@@ -1,0 +1,67 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Run: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "events_daily_rollup",
+    "map_at_isoweek",
+    "filter_nof_threshold",
+    "join_full",
+    "union_all",
+    "orderby_limit_offset",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from lapis_silo_spark.session import get_spark
+    from lapis_silo_spark.driver_queries import QUERIES, db_for
+
+    spark = get_spark()
+    db_for(spark, sf_dir)  # warm: register tables once, outside the timings
+
+    # One warm-up action so JVM/codegen startup isn't billed to the first query.
+    QUERIES[HEADLINE[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,656 @@
+"""Driver-facing query registry: every implemented operator gets an entry.
+
+Each query runs through the engine's public surface (Pipeline + expression
+tree — NOT raw spark.sql) so the correctness gate exercises the same code
+paths users do, and each has a DuckDB-runnable ANSI-SQL oracle with matching
+output column names/types (the driver hash-compares values column-sorted).
+
+Conventions for hash-stable oracles:
+- every aggregate/computed column is aliased identically on both sides;
+- double aggregates are rounded (ROUND(x, 2..4)) on both sides so
+  summation-order differences can't flip the hash;
+- LIMIT queries always order by a unique key chain first.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.expressions import (
+    And,
+    Between,
+    Equals,
+    GreaterThan,
+    InSet,
+    IsNotNull,
+    Like,
+    Negation,
+    NOf,
+    NotEquals,
+)
+from lapis_silo_spark.operators import Pipeline
+from lapis_silo_spark.operators.relational import MapExpr
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_DB_CACHE: dict[str, Database] = {}
+
+
+def db_for(spark: SparkSession, sf_dir: str) -> Database:
+    key = sf_dir
+    if key not in _DB_CACHE or _DB_CACHE[key].spark is not spark:
+        database = Database(spark)
+        database.register_parquet_dir(sf_dir)
+        _DB_CACHE[key] = database
+    return _DB_CACHE[key]
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Filter predicates (SURVEY §2.3) — each compiles through the expression tree
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_equals_groupby_count",
+    """SELECT l_linestatus, count(*) AS cnt
+       FROM lineitem WHERE l_returnflag = 'R'
+       GROUP BY l_linestatus""",
+)
+def q_filter_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship shape: filter(=) | groupBy(count) — Equals + AggregateNode."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "lineitem")
+        .filter(Equals("l_returnflag", "R"))
+        .group_by({"cnt": F.count(F.lit(1))}, ["l_linestatus"])
+        .df
+    )
+
+
+@query(
+    "filter_not_equals",
+    """SELECT o_orderstatus, count(*) AS cnt
+       FROM orders WHERE o_orderstatus IS DISTINCT FROM 'F'
+       GROUP BY o_orderstatus""",
+)
+def q_filter_not_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .filter(NotEquals("o_orderstatus", "F"))
+        .group_by({"cnt": F.count(F.lit(1))}, ["o_orderstatus"])
+        .df
+    )
+
+
+@query(
+    "filter_between_date",
+    """SELECT count(*) AS cnt FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <= TIMESTAMP '1996-12-31'""",
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between with inclusive bounds (int_between.cpp/date_between.cpp)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .filter(
+            Between("o_orderdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31))
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_between_open_bound",
+    """SELECT count(*) AS cnt FROM part WHERE p_size >= 25""",
+)
+def q_filter_between_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null high bound = open on that side (query_documentation.md:498-505)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "part")
+        .filter(Between("p_size", 25, None))
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_in_set",
+    """SELECT c_mktsegment, count(*) AS cnt FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       GROUP BY c_mktsegment""",
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .filter(InSet("c_mktsegment", ["BUILDING", "AUTOMOBILE"]))
+        .group_by({"cnt": F.count(F.lit(1))}, ["c_mktsegment"])
+        .df
+    )
+
+
+@query(
+    "filter_is_not_null",
+    """SELECT count(*) AS cnt FROM events WHERE props IS NOT NULL""",
+)
+def q_filter_is_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "events")
+        .filter(IsNotNull("props"))
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_like_regex",
+    """SELECT count(*) AS cnt FROM part
+       WHERE regexp_matches(p_name, 'gr[ae]y')""",
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE2-style partial regex match (string_search.cpp:30-50)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "part")
+        .filter(Like("p_name", "gr[ae]y"))
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_negation_keeps_nulls",
+    """SELECT count(*) AS cnt FROM lineitem
+       WHERE NOT coalesce(nullif(l_returnflag, 'N') = 'R', FALSE)""",
+)
+def q_filter_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation is complement within the row universe: rows where the column
+    is NULL survive NOT(=) — bitmap complement semantics (complement.cpp)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "lineitem")
+        .map({"flag_nulled": F.nullif(F.col("l_returnflag"), F.lit("N"))})
+        .filter(Negation(Equals("flag_nulled", "R")))
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_nof_threshold",
+    """SELECT count(*) AS cnt FROM orders
+       WHERE (CAST(coalesce(o_totalprice > 100000.0, FALSE) AS INT)
+            + CAST(coalesce(regexp_matches(o_orderpriority, 'URGENT'), FALSE) AS INT)
+            + CAST(coalesce(o_orderstatus = 'F', FALSE) AS INT)) >= 2""",
+)
+def q_filter_nof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nOf(2 of 3) — Threshold DP becomes a sum of casted booleans."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .filter(
+            NOf(
+                2,
+                [
+                    GreaterThan("o_totalprice", 100000.0),
+                    Like("o_orderpriority", "URGENT"),
+                    Equals("o_orderstatus", "F"),
+                ],
+            )
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "filter_nof_exactly",
+    """SELECT count(*) AS cnt FROM orders
+       WHERE (CAST(coalesce(o_totalprice > 100000.0, FALSE) AS INT)
+            + CAST(coalesce(regexp_matches(o_orderpriority, 'URGENT'), FALSE) AS INT)
+            + CAST(coalesce(o_orderstatus = 'F', FALSE) AS INT)) = 1""",
+)
+def q_filter_nof_exactly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .filter(
+            NOf(
+                1,
+                [
+                    GreaterThan("o_totalprice", 100000.0),
+                    Like("o_orderpriority", "URGENT"),
+                    Equals("o_orderstatus", "F"),
+                ],
+                match_exactly=True,
+            )
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "project_columns",
+    """SELECT n_name, n_regionkey FROM nation""",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return Pipeline.scan(db, "nation").project(["n_name", "n_regionkey"]).df
+
+
+@query(
+    "map_at_isoweek",
+    """SELECT substr(o_orderpriority, 1, 1) AS prio_initial,
+              CAST(weekofyear(o_orderdate) AS INT) AS wk,
+              count(*) AS cnt
+       FROM orders GROUP BY prio_initial, wk""",
+)
+def q_map_at_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map({at(), isoWeek()}) | groupBy — MapNode computed columns."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .map(
+            {
+                "prio_initial": MapExpr.at("o_orderpriority", 1),
+                "wk": MapExpr.iso_week("o_orderdate"),
+            }
+        )
+        .group_by({"cnt": F.count(F.lit(1))}, ["prio_initial", "wk"])
+        .df
+    )
+
+
+@query(
+    "groupby_null_keys",
+    """SELECT nullif(l_returnflag, 'R') AS rf, count(*) AS cnt
+       FROM lineitem GROUP BY rf""",
+)
+def q_groupby_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null group keys form their own group (aggregate_node.cpp:48-53)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "lineitem")
+        .map({"rf": F.nullif(F.col("l_returnflag"), F.lit("R"))})
+        .project(["rf"])
+        .group_by({"cnt": F.count(F.lit(1))}, ["rf"])
+        .df
+    )
+
+
+@query(
+    "orderby_limit_offset",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC
+       LIMIT 50 OFFSET 10""",
+)
+def q_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy desc + limit/offset — fused top-k (order_by_with_limit_node.cpp;
+    Catalyst: TakeOrderedAndProject)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "orders")
+        .order_by([("o_totalprice", False), ("o_orderkey", True)])
+        .offset(10)
+        .limit(50)
+        .map({"price": F.round(F.col("o_totalprice"), 2)})
+        .project(["o_orderkey", "price"])
+        .df
+    )
+
+
+@query(
+    "count_filter_total",
+    """SELECT count(*) AS count FROM lineitem WHERE l_quantity > 30.0""",
+)
+def q_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare filtered count — CountFilterNode rewrite (count_filter_node.cpp)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "lineitem")
+        .filter(GreaterThan("l_quantity", 30.0))
+        .group_by({"count": F.count(F.lit(1))})
+        .df
+    )
+
+
+# -- joins: all 8 reference types (join_node.cpp:33-53) ---------------------
+
+@query(
+    "join_inner",
+    """SELECT r_name, count(*) AS cnt
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "nation")
+        .join(Pipeline.scan(db, "region"), on=[("n_regionkey", "r_regionkey")])
+        .group_by({"cnt": F.count(F.lit(1))}, ["r_name"])
+        .df
+    )
+
+
+@query(
+    "join_left",
+    """SELECT c_mktsegment, count(o_orderkey) AS order_cnt, count(*) AS row_cnt
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_mktsegment""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="left",
+        )
+        .group_by(
+            {"order_cnt": F.count("o_orderkey"), "row_cnt": F.count(F.lit(1))},
+            ["c_mktsegment"],
+        )
+        .df
+    )
+
+
+@query(
+    "join_right",
+    """SELECT o_orderstatus, count(c_custkey) AS cust_cnt, count(*) AS row_cnt
+       FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+       GROUP BY o_orderstatus""",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="right",
+        )
+        .group_by(
+            {"cust_cnt": F.count("c_custkey"), "row_cnt": F.count(F.lit(1))},
+            ["o_orderstatus"],
+        )
+        .df
+    )
+
+
+@query(
+    "join_full",
+    """SELECT count(*) AS row_cnt,
+              count(s_suppkey) AS supp_cnt,
+              count(l_orderkey) AS line_cnt
+       FROM supplier FULL JOIN lineitem ON s_suppkey = l_suppkey""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "supplier")
+        .join(
+            Pipeline.scan(db, "lineitem"),
+            on=[("s_suppkey", "l_suppkey")],
+            how="full",
+        )
+        .group_by(
+            {
+                "row_cnt": F.count(F.lit(1)),
+                "supp_cnt": F.count("s_suppkey"),
+                "line_cnt": F.count("l_orderkey"),
+            }
+        )
+        .df
+    )
+
+
+@query(
+    "join_left_semi",
+    """SELECT count(*) AS cnt FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="leftSemi",
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "join_left_anti",
+    """SELECT count(*) AS cnt FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="leftAnti",
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "join_right_semi",
+    """SELECT count(*) AS cnt FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""",
+)
+def q_join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rightSemi = semi-join keeping the RIGHT side (swapped hash sides)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .filter(GreaterThan("c_acctbal", 0.0))
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="rightSemi",
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "join_right_anti",
+    """SELECT count(*) AS cnt FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""",
+)
+def q_join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "customer")
+        .filter(GreaterThan("c_acctbal", 0.0))
+        .join(
+            Pipeline.scan(db, "orders"),
+            on=[("c_custkey", "o_custkey")],
+            how="rightAnti",
+        )
+        .group_by({"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+@query(
+    "union_all",
+    """SELECT o_orderpriority, count(*) AS cnt FROM (
+         SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000.0
+       ) GROUP BY o_orderpriority""",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionAll keeps duplicates (union_all_node.cpp:17-26)."""
+    db = db_for(spark, sf_dir)
+    left = (
+        Pipeline.scan(db, "orders")
+        .filter(Equals("o_orderstatus", "F"))
+        .project(["o_orderpriority"])
+    )
+    right = (
+        Pipeline.scan(db, "orders")
+        .filter(GreaterThan("o_totalprice", 200000.0))
+        .project(["o_orderpriority"])
+    )
+    return left.union_all(right).group_by(
+        {"cnt": F.count(F.lit(1))}, ["o_orderpriority"]
+    ).df
+
+
+@query("schema_introspection")  # no SQL oracle: engine-defined type names
+def q_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema() — one row per output field (schema_node.cpp:22-38)."""
+    db = db_for(spark, sf_dir)
+    return Pipeline.scan(db, "lineitem").schema_().df
+
+
+@query("orderby_randomize")  # no SQL oracle: engine-defined hash order
+def q_orderby_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomize(seed) — deterministic hidden hash sort key
+    (order_by_randomize.cpp:25-33). Deterministic for a given seed, but the
+    hash function is engine-defined, so no cross-engine oracle."""
+    db = db_for(spark, sf_dir)
+    p = Pipeline.scan(db, "nation")
+    p.pk = "n_nationkey"
+    return p.order_by([], randomize_seed=42).limit(5).project(["n_name"]).df
+
+
+# ---------------------------------------------------------------------------
+# Headline analytical queries (bench + aggregate superset)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — aggregate superset (reference has count() only;
+    aggregate_node.cpp:44-47 — ours adds sum/avg as first-class)."""
+    db = db_for(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        Pipeline.scan(db, "lineitem")
+        .where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .group_by(
+            {
+                "sum_qty": F.round(F.sum("l_quantity"), 2),
+                "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+                "sum_disc_price": F.round(F.sum(disc_price), 2),
+                "sum_charge": F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2),
+                "avg_qty": F.round(F.avg("l_quantity"), 4),
+                "avg_price": F.round(F.avg("l_extendedprice"), 4),
+                "avg_disc": F.round(F.avg("l_discount"), 4),
+                "count_order": F.count(F.lit(1)),
+            },
+            ["l_returnflag", "l_linestatus"],
+        )
+        .df
+    )
+
+
+@query(
+    "tpch_q3_top_orders",
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderkey
+       ORDER BY revenue DESC, o_orderkey ASC
+       LIMIT 10""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
+    The customer side is small after the segment filter → broadcast join."""
+    db = db_for(spark, sf_dir)
+    cust = (
+        Pipeline.scan(db, "customer")
+        .filter(Equals("c_mktsegment", "BUILDING"))
+        .project(["c_custkey"])
+    )
+    joined = (
+        cust.join(Pipeline.scan(db, "orders"), on=[("c_custkey", "o_custkey")])
+        .join(Pipeline.scan(db, "lineitem"), on=[("o_orderkey", "l_orderkey")])
+        .group_by(
+            {
+                "revenue": F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                )
+            },
+            ["o_orderkey"],
+        )
+        .order_by([("revenue", False), ("o_orderkey", True)])
+        .limit(10)
+    )
+    return joined.df
+
+
+@query(
+    "events_daily_rollup",
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+              count(*) AS cnt, round(sum(value), 2) AS total_value
+       FROM events GROUP BY day, event_type""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup over the events table (batch form; the streaming
+    variant lives in lapis_silo_spark.streaming)."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "events")
+        .map({"day": F.col("ts").cast("date")})
+        .group_by(
+            {"cnt": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 2)},
+            ["day", "event_type"],
+        )
+        .df
+    )

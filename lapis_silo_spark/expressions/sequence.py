@@ -1,0 +1,287 @@
+"""Sequence predicates: symbol tests, insertions, mutation profiles, maybe/exact.
+
+These are the reference's genomic filters re-expressed relationally. Each one
+compiles to boolean flag columns fed by joins against the normalized side
+tables (see :mod:`lapis_silo_spark.catalog`), mirroring the reference's 4-way
+compile strategy in
+``/root/reference/src/silo/query_engine/scalar_expressions/symbol_in_set.cpp:231-265``:
+
+stored symbol of row r at position p =
+    mutation symbol               if (r, p) ∈ seq_mutations
+    missing (N/X)                 if p outside r's coverage, or (r, p) ∈ seq_missing
+    reference symbol at p         otherwise (covered, unmutated)
+    -- rows with a NULL sequence never match anything
+       (``symbol_in_set.cpp:104-126``)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence as Seq
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.alphabets import (
+    AA_MISSING,
+    NUC_MISSING,
+    expand_symbol,
+)
+from lapis_silo_spark.expressions.base import (
+    AmbiguityMode,
+    CompileContext,
+    Expression,
+    QueryCompileError,
+)
+
+
+def _store(ctx: CompileContext):
+    if ctx.database is None:
+        raise QueryCompileError(
+            "sequence predicates require a Database with sequence side tables"
+        )
+    return ctx.database.sequence_store(ctx.table_name)
+
+
+class _SequencePredicate(Expression):
+    def __init__(self, seq_name: str, position: int):
+        if position < 1:
+            raise QueryCompileError("sequence positions are 1-based")
+        self.seq_name = seq_name
+        self.position = position
+
+    # shared flag builders ------------------------------------------------
+    def _has_seq_flag(self, ctx: CompileContext) -> Column:
+        store = _store(ctx)
+        keys = store.coverage.filter(F.col("seq_name") == self.seq_name).select(
+            F.col("pk").alias(ctx.pk)
+        )
+        return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
+
+    def _covered_flag(self, ctx: CompileContext) -> Column:
+        """p inside [cov_start, cov_end) and not an interior missing position.
+
+        ≙ IsInCoveredRegion (``filter/operators/is_in_covered_region.cpp:31-50``).
+        """
+        store = _store(ctx)
+        p = self.position
+        in_range = store.coverage.filter(
+            (F.col("seq_name") == self.seq_name)
+            & (F.col("cov_start") <= F.lit(p))
+            & (F.col("cov_end") > F.lit(p))
+        ).select(F.col("pk").alias(ctx.pk))
+        missing = store.missing.filter(
+            (F.col("seq_name") == self.seq_name) & (F.col("pos") == F.lit(p))
+        ).select(F.col("pk").alias(ctx.pk))
+        in_range_f = F.coalesce(F.col(ctx.new_flag(in_range)), F.lit(False))
+        missing_f = F.coalesce(F.col(ctx.new_flag(missing)), F.lit(False))
+        return in_range_f & ~missing_f
+
+    def _mutation_flag(self, ctx: CompileContext, symbols: Seq[str] | None) -> Column:
+        """Row has a recorded mutation at p (optionally restricted to symbols)."""
+        store = _store(ctx)
+        muts = store.mutations.filter(
+            (F.col("seq_name") == self.seq_name)
+            & (F.col("pos") == F.lit(self.position))
+        )
+        if symbols is not None:
+            if not symbols:
+                from lapis_silo_spark.expressions.core import FalseExpr
+
+                return FalseExpr().compile(ctx)
+            muts = muts.filter(F.col("symbol").isin(list(symbols)))
+        keys = muts.select(F.col("pk").alias(ctx.pk))
+        return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
+
+
+class SymbolEquals(_SequencePredicate):
+    """``nucleotideEquals`` / ``aminoAcidEquals`` —
+    ``scalar_expressions/symbol_equals.cpp`` + ``symbol_in_set.cpp``.
+
+    ``symbol='.'`` is the reference-wildcard (matches the reference genome's
+    symbol at that position). The ambiguity mode of the enclosing
+    ``maybe()``/``exact()`` expands the searched symbol into the set of stored
+    symbols that match (``symbol_equals.cpp:65-93``), then the 4-way strategy
+    splits that set into mutation-match / reference-match / missing-match.
+    """
+
+    def __init__(self, seq_name: str, position: int, symbol: str,
+                 is_amino_acid: bool | None = None):
+        super().__init__(seq_name, position)
+        self.symbol = symbol.upper() if symbol != "." else "."
+        self.is_amino_acid = is_amino_acid
+
+    def compile(self, ctx: CompileContext) -> Column:
+        store = _store(ctx)
+        is_aa = (
+            self.is_amino_acid
+            if self.is_amino_acid is not None
+            else store.is_amino_acid(self.seq_name)
+        )
+        missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        ref_sym = store.ref_symbol(self.seq_name, self.position)
+        searched = ref_sym if self.symbol == "." else self.symbol
+
+        matched = expand_symbol(searched, ctx.mode.value, is_aa)
+
+        mut_set = sorted(matched - {ref_sym, missing_sym})
+        match_ref = ref_sym in matched
+        match_missing = missing_sym in matched
+
+        has_seq = self._has_seq_flag(ctx)
+        cond = F.lit(False)
+        if mut_set:
+            cond = cond | self._mutation_flag(ctx, mut_set)
+        if match_ref or match_missing:
+            covered = self._covered_flag(ctx)
+            if match_ref:
+                cond = cond | (covered & ~self._mutation_flag(ctx, None))
+            if match_missing:
+                # uncovered position, interior missing — and explicit stored
+                # 'N'/'X' mutations count as missing too
+                cond = cond | ~covered | self._mutation_flag(ctx, [missing_sym])
+        return has_seq & cond
+
+
+class HasMutation(_SequencePredicate):
+    """``hasMutation`` / ``hasAAMutation`` — stored symbol ∉ {reference, missing}
+    at position (``scalar_expressions/has_mutation.cpp:34-67``).
+
+    Relationally: any recorded mutation row at p whose symbol isn't the
+    missing symbol (interior missing runs live in ``seq_missing``, but an
+    explicitly stored N/X mutation must not count).
+    """
+
+    def __init__(self, seq_name: str, position: int,
+                 is_amino_acid: bool | None = None):
+        super().__init__(seq_name, position)
+        self.is_amino_acid = is_amino_acid
+
+    def compile(self, ctx: CompileContext) -> Column:
+        store = _store(ctx)
+        is_aa = (
+            self.is_amino_acid
+            if self.is_amino_acid is not None
+            else store.is_amino_acid(self.seq_name)
+        )
+        missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        muts = store.mutations.filter(
+            (F.col("seq_name") == self.seq_name)
+            & (F.col("pos") == F.lit(self.position))
+            & (F.col("symbol") != F.lit(missing_sym))
+        ).select(F.col("pk").alias(ctx.pk))
+        return F.coalesce(F.col(ctx.new_flag(muts)), F.lit(False))
+
+
+class InsertionContains(Expression):
+    """``insertionContains`` / ``aminoAcidInsertionContains`` —
+    ``scalar_expressions/insertion_contains.cpp:50-88``.
+
+    ``value`` is a regex-lite pattern over symbols where ``.*`` matches any
+    run; anchored on both ends. The reference accelerates regex search with a
+    3-mer index (``storage/column/insertion_index.cpp``); the Spark plan is a
+    predicate-pushed scan of the (comparatively tiny) insertions table — at
+    100 TB main-table scale the insertions side table stays orders of
+    magnitude smaller, so a pruned scan + semi-join is the right shape.
+    """
+
+    def __init__(self, seq_name: str, position: int, value: str):
+        if position < 0:
+            raise QueryCompileError("insertion positions are 0-based, >= 0")
+        self.seq_name = seq_name
+        self.position = position
+        self.value = value
+
+    def _regex(self) -> str:
+        # Escape everything except the `.*` wildcard runs.
+        import re
+
+        parts = self.value.upper().split(".*")
+        return "^" + ".*".join(re.escape(p) for p in parts) + "$"
+
+    def compile(self, ctx: CompileContext) -> Column:
+        store = _store(ctx)
+        keys = store.insertions.filter(
+            (F.col("seq_name") == self.seq_name)
+            & (F.col("pos") == F.lit(self.position))
+            & F.col("inserted").rlike(self._regex())
+        ).select(F.col("pk").alias(ctx.pk))
+        return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
+
+
+class MutationProfile(Expression):
+    """``nucleotideMutationProfile`` / ``aminoAcidMutationProfile`` —
+    ``scalar_expressions/mutation_profile.cpp``.
+
+    Matches rows whose sequence differs from a profile sequence in at most
+    ``distance`` *conservative* positions: ambiguity-compatible symbols do not
+    count as differences, and profile missing symbols are skipped. Compiles to
+    ``NOT nOf(distance+1, per-position-difference predicates)`` exactly like
+    the reference (``mutation_profile.cpp:249-256``); each difference
+    predicate is ``NOT maybe(symbolEquals(pos, profile[pos]))``.
+    """
+
+    def __init__(self, seq_name: str, profile: str, distance: int,
+                 is_amino_acid: bool | None = None, start_position: int = 1):
+        if distance < 0:
+            raise QueryCompileError("mutationProfile: distance must be >= 0")
+        self.seq_name = seq_name
+        self.profile = profile.upper()
+        self.distance = distance
+        self.is_amino_acid = is_amino_acid
+        self.start_position = start_position
+
+    def compile(self, ctx: CompileContext) -> Column:
+        from lapis_silo_spark.expressions.core import Negation, NOf
+
+        store = _store(ctx)
+        is_aa = (
+            self.is_amino_acid
+            if self.is_amino_acid is not None
+            else store.is_amino_acid(self.seq_name)
+        )
+        missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        diffs: list[Expression] = []
+        for i, sym in enumerate(self.profile):
+            if sym == missing_sym:
+                continue  # profile-missing positions are skipped
+            pos = self.start_position + i
+            diffs.append(
+                Negation(
+                    Maybe(
+                        SymbolEquals(self.seq_name, pos, sym, is_amino_acid=is_aa)
+                    )
+                )
+            )
+        if not diffs:
+            from lapis_silo_spark.expressions.core import TrueExpr
+
+            return TrueExpr().compile(ctx)
+        return Negation(NOf(self.distance + 1, diffs)).compile(ctx)
+
+
+class _ModeWrapper(Expression):
+    mode: AmbiguityMode
+
+    def __init__(self, child: Expression):
+        self.child = child
+
+    def compile(self, ctx: CompileContext) -> Column:
+        """Temporarily swap the ambiguity mode while compiling the child.
+
+        ≙ the reference's rewrite-with-mode
+        (``scalar_expressions/maybe.cpp:28-33`` / ``exact.cpp:29-34``).
+        """
+        prev = ctx.mode
+        ctx.mode = self.mode
+        try:
+            return self.child.compile(ctx)
+        finally:
+            ctx.mode = prev
+
+
+class Maybe(_ModeWrapper):
+    mode = AmbiguityMode.UPPER_BOUND
+
+
+class Exact(_ModeWrapper):
+    mode = AmbiguityMode.LOWER_BOUND

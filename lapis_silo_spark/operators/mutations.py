@@ -1,0 +1,167 @@
+"""``mutations()`` / ``insertions()`` domain aggregates.
+
+Reference: ``src/silo/query_engine/operators/mutations_node.cpp`` (448 LoC of
+custom bitmap arithmetic) and ``insertions_node.cpp``. Re-expressed as plain
+Spark SQL over the normalized side tables — groupBy with map-side partial
+aggregation, one shuffle keyed on (seq_name, pos), reference-genome join
+broadcast. The count algebra mirrors ``mutations_node.cpp:205-283``:
+
+    coverage(pos)   = #filtered rows with pos inside [cov_start, cov_end)
+                      − #filtered rows with pos in seq_missing
+                      − #filtered rows with an explicit missing-symbol mutation
+    count(pos, sym) = #filtered rows with mutation sym at pos   (sym ≠ missing)
+    proportion      = count / coverage,  emitted when ≥ minProportion
+
+Per-position coverage is computed with the classic interval-delta trick: each
+coverage range contributes (+1 at cov_start, −1 at cov_end); a prefix sum over
+the (tiny, genome-length) position grid yields covered-row counts per
+position. The grid comes from ``reference_genomes`` (~30k rows/segment), so
+the window function runs over broadcast-scale data regardless of table size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
+from lapis_silo_spark.operators.relational import Pipeline
+
+
+def _filtered_pks(pipeline: Pipeline) -> DataFrame:
+    return pipeline.df.select(F.col(pipeline.pk).alias("pk")).dropDuplicates(["pk"])
+
+
+def mutations_aggregate(
+    pipeline: Pipeline,
+    sequence_names: Sequence[str] | None = None,
+    min_proportion: float = 0.05,
+) -> DataFrame:
+    """``mutations(minProportion, sequenceNames)`` over the filtered rows.
+
+    Output schema matches the reference
+    (``mutations_node.cpp:285-361``): ``mutationFrom, mutationTo, position,
+    sequenceName, proportion, coverage, count``.
+    """
+    db = pipeline.database
+    store = db.sequence_store(pipeline.table_name)
+    pks = _filtered_pks(pipeline)
+
+    muts = store.mutations
+    cov = store.coverage
+    miss = store.missing
+    ref = store.reference
+    if sequence_names:
+        names = list(sequence_names)
+        muts = muts.filter(F.col("seq_name").isin(names))
+        cov = cov.filter(F.col("seq_name").isin(names))
+        miss = miss.filter(F.col("seq_name").isin(names))
+        ref = ref.filter(F.col("seq_name").isin(names))
+
+    muts = muts.join(pks, on="pk", how="left_semi")
+    cov = cov.join(pks, on="pk", how="left_semi")
+    miss = miss.join(pks, on="pk", how="left_semi")
+
+    missing_sym = F.when(F.col("is_aa"), F.lit(AA_MISSING)).otherwise(
+        F.lit(NUC_MISSING)
+    )
+    grid = ref.select(
+        "seq_name", "pos", "ref_symbol", missing_sym.alias("missing_sym")
+    )
+
+    # interval deltas → per-position covered-row counts (prefix sum on grid)
+    deltas = (
+        cov.select(F.col("seq_name"), F.col("cov_start").alias("pos"),
+                   F.lit(1).alias("delta"))
+        .unionAll(
+            cov.select(F.col("seq_name"), F.col("cov_end").alias("pos"),
+                       F.lit(-1).alias("delta"))
+        )
+        .groupBy("seq_name", "pos")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.partitionBy("seq_name").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    covered = (
+        grid.join(deltas, on=["seq_name", "pos"], how="left")
+        .withColumn("delta", F.coalesce(F.col("delta"), F.lit(0)))
+        .withColumn("in_range_count", F.sum("delta").over(w))
+    )
+
+    missing_counts = miss.groupBy("seq_name", "pos").agg(
+        F.count(F.lit(1)).alias("missing_count")
+    )
+    mut_counts = muts.groupBy("seq_name", "pos", "symbol").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    explicit_missing = (
+        mut_counts.join(
+            grid.select("seq_name", "pos", "missing_sym"), on=["seq_name", "pos"]
+        )
+        .filter(F.col("symbol") == F.col("missing_sym"))
+        .select("seq_name", "pos", F.col("count").alias("explicit_missing_count"))
+    )
+
+    coverage_per_pos = (
+        covered.join(missing_counts, on=["seq_name", "pos"], how="left")
+        .join(explicit_missing, on=["seq_name", "pos"], how="left")
+        .select(
+            "seq_name",
+            "pos",
+            "ref_symbol",
+            "missing_sym",
+            (
+                F.col("in_range_count")
+                - F.coalesce(F.col("missing_count"), F.lit(0))
+                - F.coalesce(F.col("explicit_missing_count"), F.lit(0))
+            ).alias("coverage"),
+        )
+    )
+
+    return (
+        mut_counts.join(coverage_per_pos, on=["seq_name", "pos"], how="inner")
+        .filter(
+            (F.col("symbol") != F.col("missing_sym"))
+            & (F.col("symbol") != F.col("ref_symbol"))
+            & (F.col("coverage") > 0)
+        )
+        .withColumn("proportion", F.col("count") / F.col("coverage"))
+        .filter(F.col("proportion") >= F.lit(min_proportion))
+        .select(
+            F.col("ref_symbol").alias("mutationFrom"),
+            F.col("symbol").alias("mutationTo"),
+            F.col("pos").alias("position"),
+            F.col("seq_name").alias("sequenceName"),
+            F.col("proportion"),
+            F.col("coverage"),
+            F.col("count"),
+        )
+    )
+
+
+def insertions_aggregate(
+    pipeline: Pipeline,
+    sequence_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """``insertions(sequenceNames)`` — per unique (position, inserted string)
+    count of filtered rows carrying it (``insertions_node.cpp:54-109``).
+
+    Output: ``insertedSymbols, position, sequenceName, count``.
+    """
+    db = pipeline.database
+    store = db.sequence_store(pipeline.table_name)
+    ins = store.insertions
+    if sequence_names:
+        ins = ins.filter(F.col("seq_name").isin(list(sequence_names)))
+    ins = ins.join(_filtered_pks(pipeline), on="pk", how="left_semi")
+    return ins.groupBy("seq_name", "pos", "inserted").agg(
+        F.count(F.lit(1)).alias("count")
+    ).select(
+        F.col("inserted").alias("insertedSymbols"),
+        F.col("pos").alias("position"),
+        F.col("seq_name").alias("sequenceName"),
+        F.col("count"),
+    )

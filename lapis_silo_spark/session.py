@@ -1,0 +1,99 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference engine is single-node in-memory (SILO); our engine targets a
+multi-executor cluster reading ~100 TB of Parquet. The defaults below are the
+ones that matter at that scale and are harmless on ``local[*]``:
+
+- AQE on (runtime coalescing / skew-join splitting replaces SILO's hand-tuned
+  batch sizing, ``/root/reference/src/silo/query_engine/query_plan.cpp:174-194``).
+- Arrow-accelerated Python<->JVM transfer for the few Pandas-UDF paths
+  (sequence diffing at ingest, multimodal decode).
+- Modest broadcast threshold: dimension tables (reference genomes, lineage
+  closures, phylo node tables) are small and should always broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "lapis-silo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured — on a real deployment spark-submit supplies the master and
+    these local settings are inert.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dimension tables (reference genomes ~30k rows, lineage closures,
+        # phylo trees) must broadcast; 64 MB covers them with room to spare.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet columns as long; the catalog converts
+        # them back to TimestampType on registration (Spark has no ns type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class SiloSparkSession:
+    """Engine session: wraps a SparkSession + a catalog of named tables.
+
+    Mirrors the role of ``silo::Database``
+    (``/root/reference/src/silo/database.h:15-108``): create tables, append
+    data, run queries. Where the reference exposes Cython bindings returning
+    Arrow IPC, we *are* Python — queries return live DataFrames.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    # -- catalog ----------------------------------------------------------
+    def register_parquet_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
+        """Register every ``<name>.parquet`` under ``sf_dir`` as a temp view."""
+        names = tables
+        if names is None:
+            names = [
+                f[: -len(".parquet")]
+                for f in sorted(os.listdir(sf_dir))
+                if f.endswith(".parquet")
+            ]
+        for name in names:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
