@@ -23,6 +23,15 @@ HEADLINE = [
     "join_full",
     "union_all",
     "orderby_limit_offset",
+    "window_running_total",
+    "text_token_stats",
+    "text_quality_by_source",
+    "dedup_exact_groups",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine_pairs",
+    "ann_brute_force_topk",
+    "multimodal_decode_stub",
 ]
 
 

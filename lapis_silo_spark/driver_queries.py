@@ -654,3 +654,366 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .df
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis operators (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
+
+
+@query(
+    "text_token_stats",
+    f"""SELECT lang,
+               count(*) AS docs,
+               sum(length({_TOKENS_SQL})) AS tok_sum,
+               sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_sum
+        FROM documents GROUP BY lang""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (functions.text)."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "documents")
+        .map(
+            {
+                "tok": ftext.token_count("text").cast("long"),
+                "bpe": ftext.bpe_ish_token_count("text").cast("long"),
+            }
+        )
+        .group_by(
+            {
+                "docs": F.count(F.lit(1)),
+                "tok_sum": F.sum("tok"),
+                "bpe_sum": F.sum("bpe"),
+            },
+            ["lang"],
+        )
+        .df
+    )
+
+
+@query(
+    "text_quality_by_source",
+    f"""WITH t AS (
+          SELECT source,
+                 length({_TOKENS_SQL}) AS ntok,
+                 length(list_filter({_TOKENS_SQL},
+                        t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS stop_hits,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+                 length(text) AS nchars,
+                 list_sum([length(x) FOR x IN {_TOKENS_SQL}]) AS charsum
+          FROM documents)
+        SELECT source,
+               round(avg(
+                 least(ntok / 100.0, 1.0) * 0.25
+                 + least((stop_hits * 1.0 / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                 + (1.0 - least((punct * 1.0 / greatest(nchars, 1)) * 10.0, 1.0)) * 0.25
+                 + (CASE WHEN charsum * 1.0 / greatest(ntok, 1) BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+               ), 4) AS avg_quality,
+               count(*) AS docs
+        FROM t GROUP BY source""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality scoring (functions.text.quality_score)."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "documents")
+        .map({"q": ftext.quality_score("text")})
+        .group_by(
+            {"avg_quality": F.round(F.avg("q"), 4), "docs": F.count(F.lit(1))},
+            ["source"],
+        )
+        .df
+    )
+
+
+@query(
+    "text_fingerprints",
+    f"""SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents""",
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (functions.text.doc_fingerprint)."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "documents")
+        .map({"fp": ftext.doc_fingerprint("text")})
+        .project(["doc_id", "fp"])
+        .df
+    )
+
+
+@query(
+    "text_langid_distribution",
+    f"""WITH s AS (
+          SELECT lang,
+                 length(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   ['the','a','and','of','to','in','is','that','it','for'], t))) AS en_h,
+                 length(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   ['der','die','das','und','ist','ein','nicht','mit','auf'], t))) AS de_h,
+                 length(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   ['le','la','et','les','des','est','un','une','dans'], t))) AS fr_h,
+                 length(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   ['el','la','y','los','es','un','una','que','en','por'], t))) AS es_h
+          FROM documents)
+        SELECT lang,
+               CASE WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+                    WHEN en_h >= greatest(de_h, fr_h, es_h) THEN 'en'
+                    WHEN de_h >= greatest(fr_h, es_h) THEN 'de'
+                    WHEN fr_h >= es_h THEN 'fr'
+                    ELSE 'es' END AS predicted,
+               count(*) AS cnt
+        FROM s GROUP BY lang, predicted""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "documents")
+        .map({"predicted": ftext.lang_id("text")})
+        .group_by({"cnt": F.count(F.lit(1))}, ["lang", "predicted"])
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication operators
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = (
+    f"list_distinct([substr({_NORM_SQL}, i, 5) "
+    f"FOR i IN range(1, greatest(length({_NORM_SQL}) - 4, 1) + 1)])"
+)
+
+
+@query(
+    "dedup_exact_groups",
+    f"""WITH d AS (SELECT doc_id AS id, md5({_NORM_SQL}) AS digest FROM documents)
+        SELECT id, min(id) OVER (PARTITION BY digest) AS canonical_id, digest
+        FROM d""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy canonical assignment (functions.dedup)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.exact_dedup_groups(db.table("documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    f"""WITH sh AS (
+          SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+        sz AS (SELECT doc_id AS id, length({_SHINGLES_SQL}) AS sz FROM documents),
+        common AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY a.id, b.id)
+        SELECT id_a, id_b,
+               round(common * 1.0 / (za.sz + zb.sz - common), 6) AS jaccard
+        FROM common
+        JOIN sz za ON za.id = id_a
+        JOIN sz zb ON zb.id = id_b
+        WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.35""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity join (inverted-index style)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.ngram_jaccard_pairs(
+        db.table("documents"), "doc_id", "text", threshold=0.35, k=5
+    )
+
+
+@query(
+    "dedup_minhash_bands",
+    f"""WITH h AS (
+          SELECT doc_id AS id,
+                 [('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN {_SHINGLES_SQL}] AS hs
+          FROM documents),
+        sig AS (
+          SELECT id,
+                 [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311) % 4294967311
+                            FOR h IN hs])
+                  FOR i IN range(0, 16)] AS sig
+          FROM h)
+        SELECT id, unnest(range(0, 4)) AS band,
+               md5(array_to_string(sig[(unnest(range(0, 4)) * 4 + 1):(unnest(range(0, 4)) * 4 + 4)], ',')) AS band_hash
+        FROM sig""",
+)
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures banded for LSH (deterministic universal hashing)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.minhash_bands(
+        db.table("documents"), "doc_id", "text", n_perms=16, n_bands=4, k=5
+    ).select(F.col("id"), F.col("band").cast("long").alias("band"), "band_hash")
+
+
+@query("dedup_minhash_lsh_pairs")  # approximate recall — no exact-SQL oracle
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact-Jaccard verification (scale path)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.minhash_lsh_pairs(
+        db.table("documents"), "doc_id", "text",
+        threshold=0.8, n_perms=64, n_bands=8, k=5,
+    )
+
+
+@query("dedup_simhash_pairs")  # bit-level impl detail — rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.simhash_pairs(db.table("documents"), "doc_id", "text",
+                                max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.embedding_near_dup_pairs(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_brute_force_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)
+       SELECT query_id, id,
+              round(list_cosine_similarity(vec, qvec), 6) AS cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(vec, qvec), 6) DESC, id ASC)
+                   AS INT) AS rank
+       FROM c JOIN q ON id <> query_id
+       QUALIFY rank <= 10""",
+)
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries, single corpus scan, window top-k."""
+    from lapis_silo_spark.functions import similarity as fsim
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    return fsim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", k=10,
+    )
+
+
+@query("ann_lsh_topk")  # approximate recall — no exact-SQL oracle
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane signatures)."""
+    from lapis_silo_spark.functions import similarity as fsim
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    return fsim.lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", k=10, n_planes=6, dim=64, n_tables=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload derived from text; decode stubbed)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_metadata",
+    """SELECT doc_id AS id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              md5(text) AS digest,
+              'application/octet-stream' AS media_type
+       FROM documents""",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary columns (functions.multimodal)."""
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    db = db_for(spark, sf_dir)
+    with_bin = db.table("documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return fmm.binary_metadata(with_bin, "doc_id", "payload").withColumn(
+        "n_bytes", F.col("n_bytes").cast("int")
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    """SELECT doc_id AS id,
+              CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+              CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height,
+              CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 3 AS INT) AS n_channels
+       FROM documents""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (stub byte interpretation, real batching)."""
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    db = db_for(spark, sf_dir)
+    with_bin = db.table("documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return fmm.decode_images(with_bin, "doc_id", "payload").select(
+        "id", "width", "height", "n_channels"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function superset (reference has none — SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_running_total",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING), 4) AS running
+       FROM events""",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total — window-function superset over the reference."""
+    from pyspark.sql import Window
+
+    db = db_for(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        Pipeline.scan(db, "events")
+        .map({"running": F.round(F.sum("value").over(w), 4)})
+        .project(["event_id", "user_id", "running"])
+        .df
+    )

@@ -1,0 +1,462 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- every hash is md5-derived (deterministic, engine-portable — also what makes
+  the DuckDB oracle gate possible);
+- exact dedup is a single hash-groupBy (one shuffle on the digest);
+- n-gram Jaccard runs as an inverted-index similarity join (explode shingles →
+  self-join on shingle → count) with an optional hot-shingle frequency cap —
+  the standard way to keep the candidate blow-up bounded on skewed corpora;
+- MinHash+LSH replaces the all-pairs join with band-bucket joins: candidates
+  only where a band collides, then exact-Jaccard verification. Shuffle volume
+  scales with #bands × #docs, not #docs²;
+- SimHash gives a 64-bit signature whose Hamming distance approximates cosine
+  similarity of the token multiset — banded by 16-bit chunks for candidate
+  generation;
+- embedding near-dup does exact cosine on LSH-bucketed candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.functions.text import char_shingles, normalized, tokens
+
+# Prime > 2^32 for the universal-hash family; shingle hashes are 32-bit so
+# a*x+b stays far below 2^63 (no overflow for n_perms <= ~2^20).
+MINHASH_PRIME = 4294967311
+MINHASH_B_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _spread(df: DataFrame, *cols: Column) -> DataFrame:
+    """Project to the named columns and rebalance across the cluster.
+
+    Heavy per-row work (shingle hashing, signature aggregation) must not
+    inherit a narrow input's partitioning — a single-file Parquet table scans
+    as ONE partition, serializing everything downstream. Repartitioning the
+    *projected* two columns (id, text) keeps the shuffle payload minimal.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(*cols).repartition(n)
+
+
+# -- exact -------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id, digest): canonical = min id per normalized-text
+    digest. Pure hash-groupBy — one shuffle keyed on the digest."""
+    digests = df.select(
+        F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("digest")
+    )
+    canon = digests.groupBy("digest").agg(F.min("id").alias("canonical_id"))
+    return digests.join(canon, on="digest", how="inner").select(
+        "id", "canonical_id", "digest"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    groups = exact_dedup_groups(df, id_col, text_col)
+    keep = groups.filter(F.col("id") == F.col("canonical_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index similarity join; ``max_shingle_freq`` drops shingles hot
+    enough to blow up the candidate space (precision unaffected for pairs that
+    share at least one rare shingle — the standard prefix-filter compromise).
+    """
+    base = _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    sh = base.select("id", F.explode(char_shingles("_t", k)).alias("sh"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(hot.select("sh"), on="sh", how="left_anti")
+    sizes = base.select("id", F.size(char_shingles("_t", k)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
+                      F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(col: str | Column, n_perms: int = 16, k: int = 5) -> Column:
+    """array<long> MinHash signature over character k-shingles, as a single
+    column expression.
+
+    Universal hash family h_i(x) = ((2i+1)·x + i·B) mod P over md5-derived
+    32-bit shingle hashes — deterministic and SQL-reproducible.
+
+    NOTE: expression-only path for small/embedded use. The engine's dedup
+    operators use :func:`minhash_signatures` instead — Catalyst does not
+    share the inner ``hashes`` subexpression across the ``n_perms`` outer
+    lambda iterations, so this form recomputes every shingle md5 n_perms
+    times.
+    """
+    hashes = F.transform(char_shingles(col, k), hash32)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perms - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (
+                    ((i * 2 + 1) * h + (i * MINHASH_B_MULT) % MINHASH_PRIME)
+                    % MINHASH_PRIME
+                ),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) — the scale path for MinHash signatures.
+
+    explode shingles → hash each shingle ONCE → ``n_perms`` min-aggregates
+    (one per permutation) → pack into an array. Same hash family and values
+    as :func:`minhash_signature`, but each md5 is computed exactly once, the
+    mins combine map-side (partial aggregation), and the single shuffle is
+    keyed on ``id``. Rows with NULL text produce no signature.
+    """
+    exploded = (
+        _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .select("id", F.explode(char_shingles("_t", k)).alias("sh"))
+        .select("id", hash32(F.col("sh")).alias("h"))
+    )
+    aggs = [
+        F.min(
+            (
+                F.lit(i * 2 + 1) * F.col("h")
+                + F.lit((i * MINHASH_B_MULT) % MINHASH_PRIME)
+            )
+            % MINHASH_PRIME
+        ).alias(f"_m{i}")
+        for i in range(n_perms)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_m{i}" for i in range(n_perms)]).alias("sig"))
+    )
+
+
+def _band_hash(rows_per_band: int) -> Column:
+    """md5 bucket key over the ``band``-th slice of ``sig``."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.col("sig"),
+                    F.col("band") * rows_per_band + 1,
+                    rows_per_band,
+                ),
+                lambda v: v.cast("string"),
+            ),
+        )
+    ).alias("band_hash")
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = 16,
+    n_bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id, band, band_hash): md5 over each signature band — the LSH bucket key."""
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_perms, k)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    banded = sig.select("id", "sig", band_idx)
+    return banded.select("id", "band", _band_hash(rows_per_band))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    exact_verify: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs: band-collision candidates + Jaccard verification.
+
+    Scale design: with r = n_perms/n_bands rows per band, a pair becomes a
+    candidate with probability 1-(1-j^r)^b — the (r=8, b=8) default puts the
+    S-curve threshold at (1/8)^(1/8) ≈ 0.77, i.e. tuned for true
+    near-duplicates; corpora with a high baseline similarity (shared
+    vocabulary) don't explode the candidate set the way small-r banding does.
+    Verification uses the signature-estimated Jaccard (fraction of equal
+    signature components — O(n_perms) per candidate, no shingle-set
+    materialization); ``exact_verify=True`` recomputes true shingle Jaccard
+    for the survivors only. Shuffle cost: n_bands × rows for the band join,
+    never rows².
+    """
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_perms, k)
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select("id", "sig", "band", _band_hash(rows_per_band))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(n_perms))
+    verified = (
+        candidates.withColumn("jaccard", est)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    if not exact_verify:
+        return verified
+    shingled = _spread(
+        df, F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).select("id", char_shingles("_t", k).alias("sh"))
+    return (
+        verified.drop("jaccard")
+        .join(shingled.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(shingled.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash64(col: str | Column) -> Column:
+    """63-bit SimHash over whitespace tokens (bit 63 left clear so all
+    arithmetic stays within signed int64 — no ANSI overflow).
+
+    Bit j of the signature is 1 iff Σ_tokens (±1 by token-hash bit j) > 0.
+    Token hash = two md5-derived halves packed into 63 bits. Pure expression
+    algebra (shiftright / bitwise-and), no UDF.
+    """
+    toks = tokens(col)
+    # 63-bit token hash: high 32 bits from md5(t), low 31 from md5(t+"#").
+    tok_hashes = F.transform(
+        toks,
+        lambda t: (
+            hash32(t) * F.lit(2 ** 31).cast("long")
+            + (hash32(F.concat(t, F.lit("#"))) % F.lit(2 ** 31).cast("long"))
+        ),
+    )
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(63):
+        out = out + F.when(bit_sum(j) > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig) — scale path for :func:`simhash64`: explode tokens, hash each
+    ONCE, sum per-bit signs as 63 map-side-combinable aggregates."""
+    tok = (
+        _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .select("id", F.explode(tokens("_t")).alias("t"))
+        .select(
+            "id",
+            (
+                hash32(F.col("t")) * F.lit(2 ** 31).cast("long")
+                + (
+                    hash32(F.concat(F.col("t"), F.lit("#")))
+                    % F.lit(2 ** 31).cast("long")
+                )
+            ).alias("h"),
+        )
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(63)
+    ]
+    grouped = tok.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(63):
+        sig = sig + F.when(
+            F.col(f"_b{j}") > 0, F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return grouped.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by 16-bit chunk equality (any pair within Hamming 3
+    must agree on ≥1 of 4 chunks — pigeonhole), then exact popcount verify.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sig", F.col("ch.chunk").alias("chunk"),
+             F.col("ch.chunk_val").alias("chunk_val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- embedding cosine --------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact all-pairs baseline; for the
+    bucketed scale path see similarity.lsh_candidate_pairs)."""
+    vecs = _spread(
+        df,
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(b, on=[F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

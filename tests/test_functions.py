@@ -1,0 +1,175 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "the  QUICK brown fox jumps over the lazy dog"),  # ws/case dup of 1
+            (3, "The quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (4, "der hund und die katze sind nicht auf der couch"),
+            (5, "completely unrelated zebra xylophone quartz"),
+        ],
+        schema="doc_id long, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    canon = {r["id"]: r["canonical_id"] for r in groups.collect()}
+    assert canon[1] == 1 and canon[2] == 1  # normalized-equal → same group
+    assert canon[3] == 3 and canon[4] == 4 and canon[5] == 5
+    kept = dedup.exact_dedup(docs, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # normalization makes them identical
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, n_perms=16, n_bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical signatures always collide
+
+
+def test_simhash_identical_and_distant(docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", dedup.simhash64("text").alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] >= 0  # bit 63 clear
+    # hamming(1,3) small, hamming(1,5) large
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham15 = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham13 < ham15
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=0)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+
+
+def test_embedding_near_dup(vectors):
+    pairs = dedup.embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.95
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 1),
+        "vec_id", "embedding", "vec_id", "embedding", k=2,
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["id"] for r in ranked] == [2, 3]
+    assert ranked[0]["cos"] > 0.99
+
+
+def test_lsh_topk_subset_of_exact(vectors):
+    out = similarity.lsh_bucket_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 1),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=2, n_planes=2, dim=3, n_tables=3,
+    ).collect()
+    # approximate: results must be genuine neighbors ranked by true cosine
+    assert all(r["query_id"] == 1 and r["id"] != 1 for r in out)
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog, in a house."),
+            (2, "der hund und die katze mit auf und der"),
+            (3, "zzz qqq"),
+        ],
+        schema="id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.token_count("text").alias("tok"),
+            text.bpe_ish_token_count("text").alias("bpe"),
+            text.lang_id("text").alias("lang"),
+            text.quality_score("text").alias("q"),
+            text.doc_fingerprint("text").alias("fp"),
+            text.winnow_fingerprint("text").alias("wfp"),
+        ).collect()
+    }
+    assert rows[1]["tok"] == 8
+    assert rows[1]["bpe"] == 10  # 8 words + comma + period
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "und"
+    assert all(0.0 <= rows[i]["q"] <= 1.0 for i in rows)
+    assert rows[1]["fp"] != rows[2]["fp"]
+    assert len(rows[1]["wfp"]) == 32
+
+
+def test_multimodal_metadata_magic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytes([0x89, 0x50, 0x4E, 0x47, 1, 2, 3])),
+            (2, bytes([0xFF, 0xD8, 0xFF, 0xE0, 9])),
+            (3, b"plain text bytes"),
+        ],
+        schema="id long, payload binary",
+    )
+    rows = {r["id"]: r for r in multimodal.binary_metadata(df, "id", "payload").collect()}
+    assert rows[1]["media_type"] == "image/png"
+    assert rows[2]["media_type"] == "image/jpeg"
+    assert rows[3]["media_type"] == "application/octet-stream"
+    assert rows[3]["n_bytes"] == 16
+
+
+def test_multimodal_decode_stub_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbb")], schema="id long, payload binary"
+    )
+    out1 = {r["id"]: (r["width"], r["height"]) for r in
+            multimodal.decode_images(df, "id", "payload").collect()}
+    out2 = {r["id"]: (r["width"], r["height"]) for r in
+            multimodal.decode_images(df, "id", "payload").collect()}
+    assert out1 == out2
+    assert all(16 <= w < 80 and 16 <= h < 80 for w, h in out1.values())
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(65000))], schema="id long, payload binary"
+    )
+    frames = multimodal.frame_sample_plan(df, "id", "payload", every_nth=30).collect()
+    assert [r["frame_index"] for r in frames] == [0, 30, 60]

@@ -112,12 +112,18 @@ def test_mrca_all_with_missing(example_db):
 def test_phylo_subtree(example_db):
     from lapis_silo_spark.expressions import InSet
 
+    # MRCA-rooted induced subtree with branch lengths
     p = scan(example_db).filter(InSet("primary_key", ["k1", "k2"]))
     (row,) = phylo_subtree(p, "usherTree").collect()
-    assert row["newick"] == "((L1,L2)A)ROOT;"
-    # contracting unary nodes drops the pass-through ROOT→A chain
+    assert row["subtreeNewick"] == "(L1:0.1,L2:0.2)A;"
+    assert row["missingNodeCount"] == 0
+
+    # L1+L3: MRCA is ROOT; A and B are unary pass-throughs
+    p = scan(example_db).filter(InSet("primary_key", ["k1", "k3"]))
+    (row,) = phylo_subtree(p, "usherTree").collect()
+    assert row["subtreeNewick"] == "((L1:0.1)A:0.3,(L3:0.4)B:0.5)ROOT;"
     (row,) = phylo_subtree(p, "usherTree", contract_unary_nodes=True).collect()
-    assert row["newick"] == "(L1,L2)A;"
+    assert row["subtreeNewick"] == "(L1:0.4,L3:0.9)ROOT;"
 
 
 def test_newick_roundtrip(spark):
