@@ -190,13 +190,32 @@ class InsertionContains(Expression):
         self.seq_name = seq_name
         self.position = position
         self.value = value
+        self._validate()
+
+    def _validate(self) -> None:
+        """Value grammar: symbol runs and ``.*`` wildcards only; ``\\*`` is
+        the escaped stop-codon symbol (``insertion_contains.cpp:50-88``)."""
+        import re
+
+        parts = self.value.split(".*")
+        for part in parts:
+            if not re.fullmatch(r"(\\\*|[A-Za-z\-])*", part):
+                raise QueryCompileError(
+                    "The field 'value' in the InsertionContains expression "
+                    f'does not contain a valid regex pattern: "{self.value}". '
+                    "It must only consist of symbol characters and the .* "
+                    "wildcard"
+                )
 
     def _regex(self) -> str:
-        # Escape everything except the `.*` wildcard runs.
+        # Escape everything except the `.*` wildcard runs; `\*` means a
+        # literal stop-codon '*'.
         import re
 
         parts = self.value.upper().split(".*")
-        return "^" + ".*".join(re.escape(p) for p in parts) + "$"
+        return "^" + ".*".join(
+            re.escape(p.replace("\\*", "*")) for p in parts
+        ) + "$"
 
     def compile(self, ctx: CompileContext) -> Column:
         store = _store(ctx)

@@ -110,12 +110,27 @@ def build_lineage_relation(
 def parse_lineage_definition_yaml(
     text: str,
 ) -> tuple[dict[str, list[str]], dict[str, str]]:
-    """Parse the reference's lineage-definition YAML subset without PyYAML.
+    """Parse the reference's lineage-definition YAML.
 
     Format (``documentation/lineage_definitions.md``): a mapping of lineage
-    name → {parents: [...], aliases: [...]} (keys optional). We parse the
-    2-level indentation subset the reference test data uses.
+    name → {parents: [...], aliases: [...]} (keys optional, value may be an
+    empty inline dict). Uses PyYAML when present; falls back to a minimal
+    indentation parser covering the same subset.
     """
+    try:
+        import yaml
+
+        data = yaml.safe_load(text) or {}
+        parents = {}
+        aliases = {}
+        for lineage, spec in data.items():
+            spec = spec or {}
+            parents[str(lineage)] = [str(p) for p in spec.get("parents", [])]
+            for alias in spec.get("aliases", []) or []:
+                aliases[str(alias)] = str(lineage)
+        return parents, aliases
+    except ImportError:
+        pass
     parents: dict[str, list[str]] = {}
     aliases: dict[str, str] = {}
     current: str | None = None

@@ -116,9 +116,10 @@ def _diff_one(
     ``missing`` rows; any other symbol differing from the reference → a
     ``mutation`` row. Positions are 1-based absolute (after ``offset``).
     """
-    if sequence is None and not insertions:
+    ins_list = [] if insertions is None else list(insertions)
+    if sequence is None and not ins_list:
         return
-    off = offset or 0
+    off = int(offset) if offset is not None else 0
     if sequence is not None:
         seq = sequence.upper()
         n = len(seq)
@@ -148,7 +149,7 @@ def _diff_one(
                     yield (pk, seq_name, "missing", pos, None, None)
                 elif pos > len(reference) or sym != reference[pos - 1]:
                     yield (pk, seq_name, "mutation", pos, None, sym)
-    for ins in insertions or []:
+    for ins in ins_list:
         txt = str(ins)
         colon = txt.index(":")
         yield (pk, seq_name, "insertion", int(txt[:colon]), None,
@@ -173,7 +174,17 @@ def ingest_records(
     ]
     seq_cols = [name for name, _, _ in seq_meta]
 
-    main = records_df.select(pk, *config.metadata.keys())
+    # ``unaligned_<seq>`` companion columns (reference: ZSTD_COMPRESSED_STRING
+    # columns, ``documentation/input_format.md:112-124``) — kept as plain
+    # strings; Parquet+zstd provides the compression the reference hand-rolls.
+    main = records_df.select(
+        pk,
+        *config.metadata.keys(),
+        *[
+            F.col(s)["sequence"].alias(f"unaligned_{s}")
+            for s in config.nuc_sequences
+        ],
+    )
 
     refs = {name: (ref, missing) for name, ref, missing in seq_meta}
 
