@@ -85,6 +85,11 @@ class Database:
         self.sequence_stores: dict[str, SequenceStore] = {}
         # lineage column name -> closure DataFrame (ancestor, descendant, mode)
         self.lineage_closures: dict[str, DataFrame] = {}
+        # lineage column name -> original definition YAML text (served by
+        # GET /lineageDefinition/<col>)
+        self.lineage_definitions: dict[str, str] = {}
+        # 10-digit data-version timestamp (reference: data_version.h)
+        self.data_version: str = "0000000000"
         # lineage column name -> relation DataFrame (documentation/lineage_definitions.md:96-140)
         self.lineage_relations: dict[str, DataFrame] = {}
         # phylo column name -> nodes DataFrame (node, parent, depth, euler_in, euler_out, branch_length)
@@ -102,11 +107,15 @@ class Database:
         self.sequence_stores[table] = store
 
     def register_lineage(
-        self, column: str, closure: DataFrame, relation: DataFrame | None = None
+        self, column: str, closure: DataFrame,
+        relation: DataFrame | None = None,
+        definition_text: str | None = None,
     ) -> None:
         self.lineage_closures[column] = closure
         if relation is not None:
             self.lineage_relations[column] = relation
+        if definition_text is not None:
+            self.lineage_definitions[column] = definition_text
 
     def register_phylo_tree(self, column: str, nodes: DataFrame) -> None:
         self.phylo_nodes[column] = nodes

@@ -82,11 +82,16 @@ class Pipeline:
     """
 
     def __init__(self, df: DataFrame, database: Database | None = None,
-                 table_name: str = "default", pk: str | None = None):
+                 table_name: str = "default", pk: str | None = None,
+                 ordering: list[dict] | None = None):
         self._df = df
         self.database = database
         self.table_name = table_name
         self.pk = pk or (database.primary_key(table_name) if database else "primary_key")
+        # result-ordering metadata: [{field, order, nullPlacement}] — the
+        # reference reports the root node's Arrow ordering in the
+        # ``result-ordering`` response header (``query_plan.cpp:16-29``).
+        self.ordering: list[dict] = ordering or []
 
     @classmethod
     def scan(cls, database: Database, table_name: str = "default") -> "Pipeline":
@@ -96,8 +101,14 @@ class Pipeline:
     def df(self) -> DataFrame:
         return self._df
 
-    def _with(self, df: DataFrame) -> "Pipeline":
-        return Pipeline(df, self.database, self.table_name, self.pk)
+    def _with(self, df: DataFrame, ordering: list[dict] | None = None) -> "Pipeline":
+        """Ordering propagates through row-preserving ops (filter, project,
+        map, limit, offset) and is cleared by order-destroying ones
+        (groupBy, join, unionAll), matching Acero's ordering propagation."""
+        return Pipeline(
+            df, self.database, self.table_name, self.pk,
+            ordering=self.ordering if ordering is None else ordering,
+        )
 
     # -- operators --------------------------------------------------------
     def filter(self, expr: Expression) -> "Pipeline":
@@ -148,7 +159,7 @@ class Pipeline:
             df = self._df.groupBy(*keys).agg(*agg_cols)
         else:
             df = self._df.agg(*agg_cols)
-        return self._with(df)
+        return self._with(df, ordering=[])
 
     def order_by(
         self,
@@ -161,6 +172,7 @@ class Pipeline:
         deterministic hash sort key (``order_by_randomize.cpp:25-33``).
         """
         sort_cols: list[Column] = []
+        ordering: list[dict] = []
         for k in keys:
             if isinstance(k, tuple):
                 name, ascending = k
@@ -168,11 +180,16 @@ class Pipeline:
                 name, ascending = k, True
             c = F.col(name)
             sort_cols.append(c.asc_nulls_first() if ascending else c.desc_nulls_last())
+            ordering.append({
+                "field": name,
+                "order": "ascending" if ascending else "descending",
+                "nullPlacement": "atStart" if ascending else "atEnd",
+            })
         if randomize_seed is not None:
             sort_cols.append(
                 F.xxhash64(F.col(self.pk), F.lit(randomize_seed)).asc()
             )
-        return self._with(self._df.orderBy(*sort_cols))
+        return self._with(self._df.orderBy(*sort_cols), ordering=ordering)
 
     def limit(self, n: int) -> "Pipeline":
         if n < 0:
@@ -213,7 +230,7 @@ class Pipeline:
                 cond = pair if cond is None else (cond & pair)
             return Pipeline(
                 right_df.join(left_df, on=cond, how=swapped),
-                self.database, self.table_name, self.pk,
+                self.database, self.table_name, self.pk, ordering=[],
             )
 
         keeps_both = spark_how in ("inner", "left", "right", "full")
@@ -229,7 +246,8 @@ class Pipeline:
             cond = pair if cond is None else (cond & pair)
         if cond is None:
             raise QueryCompileError("join requires at least one key pair")
-        return self._with(left_df.join(right_df, on=cond, how=spark_how))
+        return self._with(left_df.join(right_df, on=cond, how=spark_how),
+                          ordering=[])
 
     def union_all(self, other: "Pipeline | DataFrame") -> "Pipeline":
         """``unionAll`` — schema-identical concat, duplicates kept
@@ -239,7 +257,7 @@ class Pipeline:
             f.name for f in right.schema.fields
         ]:
             raise QueryCompileError("unionAll requires identical schemas")
-        return self._with(self._df.unionAll(right))
+        return self._with(self._df.unionAll(right), ordering=[])
 
     def schema_(self) -> "Pipeline":
         """``schema()`` — one row per output field, no data read
@@ -247,7 +265,8 @@ class Pipeline:
         spark = self._df.sparkSession
         rows = [(f.name, f.dataType.simpleString()) for f in self._df.schema.fields]
         return self._with(
-            spark.createDataFrame(rows, schema="fieldName string, type string")
+            spark.createDataFrame(rows, schema="fieldName string, type string"),
+            ordering=[],
         )
 
     # -- sinks ------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""HTTP façade: the reference's serving API over the Spark engine.
+
+Endpoints (reference ``app/src/``):
+
+- ``POST /query``               SaneQL body → NDJSON (default) or Arrow IPC
+  stream under ``Accept: application/vnd.apache.arrow.stream``
+  (``query_handler.cpp:38-99``).
+- ``GET /info``                 database info JSON (``info_handler.cpp``).
+- ``GET /health``               ``{"status": "UP"}`` (``health_handler.cpp``).
+- ``GET /lineageDefinition/<col>``  original lineage YAML
+  (``lineage_definition_handler.cpp``).
+- anything else                 404 ``{"error": "Not found", ...}``
+  (``not_found_handler.cpp``).
+
+Headers: every response carries ``data-version`` (10-digit version
+timestamp) and ``X-Request-Id`` (echoed or generated,
+``request_id_handler.cpp``); ``/query`` additionally reports
+``result-ordering`` — a JSON array of ``{field, order, nullPlacement}``
+(``query_plan.cpp:16-29``). Errors return the reference's
+``{"error", "message"}`` JSON shape with 400/500.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import uuid
+
+from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.expressions.base import QueryCompileError
+
+ARROW_MIME = "application/vnd.apache.arrow.stream"
+QUERY_TIMEOUT_SECONDS = 120  # reference default, query_handler.cpp:34
+
+
+def database_info(db: Database) -> dict:
+    """Shape-compatible ``/info`` payload (``info.test.js``): the bitmap-size
+    gauges map to the normalized side tables' row counts."""
+    sequence_count = db.table("default").count() if "default" in db.tables else 0
+    horizontal = 0
+    vertical = 0
+    for store in db.sequence_stores.values():
+        horizontal += store.coverage.count() + store.missing.count()
+        vertical += store.mutations.count() + store.insertions.count()
+    return {
+        "version": "lapis-silo-spark/0.1",
+        "sequenceCount": sequence_count,
+        "horizontalBitmapsSize": horizontal,
+        "verticalBitmapsSize": vertical,
+    }
+
+
+def create_app(db: Database):
+    """Build the Flask app serving ``db``. Import-guarded so the engine
+    library works without Flask installed."""
+    from flask import Flask, Response, request
+
+    app = Flask("lapis_silo_spark")
+
+    def base_headers() -> dict[str, str]:
+        rid = request.headers.get("X-Request-Id") or str(uuid.uuid4())
+        return {"X-Request-Id": rid, "data-version": db.data_version}
+
+    def error(status: int, err: str, message: str, headers=None) -> Response:
+        return Response(
+            json.dumps({"error": err, "message": message}),
+            status=status,
+            content_type="application/json",
+            headers=headers or base_headers(),
+        )
+
+    @app.post("/query")
+    def query() -> Response:
+        headers = base_headers()
+        text = request.get_data(as_text=True)
+        try:
+            from lapis_silo_spark.saneql import bind_query
+
+            pipeline = bind_query(db, text)
+            headers["result-ordering"] = json.dumps(pipeline.ordering)
+            if ARROW_MIME in request.headers.get("Accept", ""):
+                return Response(
+                    _arrow_ipc_bytes(pipeline.df),
+                    content_type=ARROW_MIME,
+                    headers=headers,
+                )
+            ndjson = "".join(
+                line + "\n" for line in pipeline.df.toJSON().toLocalIterator()
+            )
+            return Response(
+                ndjson, content_type="application/x-ndjson", headers=headers
+            )
+        except QueryCompileError as exc:
+            return error(400, "Bad request", str(exc), headers)
+        except Exception as exc:  # mirror error_request_handler.cpp
+            return error(500, "Internal server error", str(exc), headers)
+
+    @app.get("/info")
+    def info() -> Response:
+        return Response(
+            json.dumps(database_info(db)),
+            content_type="application/json",
+            headers=base_headers(),
+        )
+
+    @app.get("/health")
+    def health() -> Response:
+        return Response(
+            json.dumps({"status": "UP"}),
+            content_type="application/json",
+            headers=base_headers(),
+        )
+
+    @app.get("/lineageDefinition/<column>")
+    def lineage_definition(column: str) -> Response:
+        known_columns = set()
+        for df in db.tables.values():
+            known_columns.update(df.columns)
+        if column not in known_columns:
+            return error(
+                400, "Bad request",
+                f"The column {column} does not exist in this instance.",
+            )
+        if column not in db.lineage_definitions:
+            return error(
+                400, "Bad request",
+                f"The column {column} does not have a lineageIndex defined.",
+            )
+        return Response(
+            db.lineage_definitions[column],
+            content_type="application/yaml",
+            headers=base_headers(),
+        )
+
+    @app.errorhandler(404)
+    def not_found(_exc) -> Response:
+        return error(
+            404, "Not found", f"Resource {request.path} does not exist"
+        )
+
+    return app
+
+
+def _arrow_ipc_bytes(df) -> bytes:
+    """Arrow IPC stream sink (``exec_node/arrow_ipc_sink.cpp``): PySpark's
+    native Arrow collect + one IPC stream write."""
+    import pyarrow as pa
+
+    table = df.toArrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()
+
+
+def serve(db: Database, host: str = "127.0.0.1", port: int = 8081) -> None:
+    create_app(db).run(host=host, port=port, threaded=True)

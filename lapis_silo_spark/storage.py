@@ -1,0 +1,279 @@
+"""Versioned Parquet persistence: save / load / append / updateColumn.
+
+Reference lifecycle (``documentation/incremental_preprocessing.md:7-9``,
+``src/silo/common/data_version.h``): every append produces a NEW immutable
+data-version directory (all-or-nothing), and the server atomically switches
+to it. Here a version is a directory of Parquet datasets plus a
+``manifest.json``; the atomic switch is a ``latest`` pointer file replaced
+via ``os.replace`` (POSIX-atomic). Readers that loaded an older version keep
+working — Parquet files are never rewritten in place, exactly the
+write-once model Spark wants at 100 TB.
+
+Layout::
+
+    <root>/versions/<ts>/manifest.json
+    <root>/versions/<ts>/tables/<name>/            (parquet)
+    <root>/versions/<ts>/seq/<table>/<side>/       (parquet; side ∈
+        mutations coverage missing insertions reference)
+    <root>/versions/<ts>/lineage/<col>/{closure,relation}/
+    <root>/versions/<ts>/lineage_defs/<col>.yaml
+    <root>/versions/<ts>/phylo/<col>/
+    <root>/latest                                   (contains "<ts>")
+
+``updateColumn`` (reference ``src/silo/database.h:76-87``,
+``scalar_column_update.cpp``: scalar columns only) rewrites just the one
+table into the new version and re-links everything else — column-level
+copy-on-write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapis_silo_spark.catalog import Database, SequenceStore
+from lapis_silo_spark.expressions.base import QueryCompileError
+
+_SIDES = ("mutations", "coverage", "missing", "insertions", "reference")
+
+
+def _version_dir(root: str, version: str) -> str:
+    return os.path.join(root, "versions", version)
+
+
+def new_version_timestamp() -> str:
+    """10-digit unix-seconds version id (matches the reference's
+    ``data-version`` header format, asserted by its e2e tests)."""
+    return f"{int(time.time()):010d}"
+
+
+def save_version(
+    db: Database,
+    root: str,
+    table_partitions: dict[str, list[str]] | None = None,
+    version: str | None = None,
+) -> str:
+    """Write every registered table/side-table/hierarchy of ``db`` as a new
+    version directory, then atomically swap the ``latest`` pointer.
+
+    ``table_partitions`` optionally maps table name → partition columns
+    (e.g. ``{"default": ["date"]}``) for partition-pruned scans at scale.
+    """
+    version = version or new_version_timestamp()
+    vdir = _version_dir(root, version)
+    os.makedirs(os.path.join(vdir, "tables"), exist_ok=True)
+
+    manifest: dict = {
+        "version": version,
+        "tables": {},
+        "sequence_stores": {},
+        "lineages": {},
+        "phylo": [],
+    }
+
+    for name, df in db.tables.items():
+        path = os.path.join(vdir, "tables", name)
+        writer = df.write.mode("overwrite")
+        parts = (table_partitions or {}).get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+        manifest["tables"][name] = {
+            "primary_key": db.primary_key(name),
+            "partitions": parts or [],
+        }
+
+    for table, store in db.sequence_stores.items():
+        base = os.path.join(vdir, "seq", table)
+        for side in _SIDES:
+            # side tables sorted by (seq_name, pos) within partitions →
+            # Parquet row-group min/max stats prune position predicates (the
+            # Spark analog of the reference's chunk skipping)
+            side_df: DataFrame = getattr(store, side)
+            sort_cols = [c for c in ("seq_name", "pos", "cov_start")
+                         if c in side_df.columns]
+            if sort_cols:
+                side_df = side_df.sortWithinPartitions(*sort_cols)
+            side_df.write.mode("overwrite").parquet(os.path.join(base, side))
+        manifest["sequence_stores"][table] = True
+
+    for col, closure in db.lineage_closures.items():
+        base = os.path.join(vdir, "lineage", col)
+        closure.write.mode("overwrite").parquet(os.path.join(base, "closure"))
+        entry = {"relation": col in db.lineage_relations}
+        if col in db.lineage_relations:
+            db.lineage_relations[col].write.mode("overwrite").parquet(
+                os.path.join(base, "relation")
+            )
+        if col in db.lineage_definitions:
+            defs_dir = os.path.join(vdir, "lineage_defs")
+            os.makedirs(defs_dir, exist_ok=True)
+            with open(os.path.join(defs_dir, f"{col}.yaml"), "w") as fh:
+                fh.write(db.lineage_definitions[col])
+            entry["definition"] = True
+        manifest["lineages"][col] = entry
+
+    for col, nodes in db.phylo_nodes.items():
+        nodes.write.mode("overwrite").parquet(os.path.join(vdir, "phylo", col))
+        manifest["phylo"].append(col)
+
+    with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+    # atomic pointer swap: readers see either the old or the new version
+    tmp = os.path.join(root, ".latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(root, "latest"))
+    return version
+
+
+def latest_version(root: str) -> str:
+    with open(os.path.join(root, "latest")) as fh:
+        return fh.read().strip()
+
+
+def load_version(
+    spark: SparkSession, root: str, version: str | None = None
+) -> Database:
+    """Load a version directory into a registered :class:`Database`."""
+    version = version or latest_version(root)
+    vdir = _version_dir(root, version)
+    with open(os.path.join(vdir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+
+    db = Database(spark)
+    db.data_version = manifest["version"]
+    for name, meta in manifest["tables"].items():
+        df = spark.read.parquet(os.path.join(vdir, "tables", name))
+        db.register_table(name, df, primary_key=meta["primary_key"])
+    for table in manifest["sequence_stores"]:
+        base = os.path.join(vdir, "seq", table)
+        db.register_sequence_store(
+            table,
+            SequenceStore(
+                **{
+                    side: spark.read.parquet(os.path.join(base, side))
+                    for side in _SIDES
+                }
+            ),
+        )
+    for col, entry in manifest["lineages"].items():
+        base = os.path.join(vdir, "lineage", col)
+        closure = spark.read.parquet(os.path.join(base, "closure"))
+        relation = (
+            spark.read.parquet(os.path.join(base, "relation"))
+            if entry.get("relation") else None
+        )
+        text = None
+        if entry.get("definition"):
+            with open(os.path.join(vdir, "lineage_defs", f"{col}.yaml")) as fh:
+                text = fh.read()
+        db.register_lineage(col, closure, relation, definition_text=text)
+    for col in manifest["phylo"]:
+        db.register_phylo_tree(
+            col, spark.read.parquet(os.path.join(vdir, "phylo", col))
+        )
+    return db
+
+
+def append_version(
+    db: Database,
+    root: str,
+    table: str,
+    new_main: DataFrame,
+    new_store: SequenceStore | None = None,
+) -> str:
+    """Batch append: union new rows into ``table`` (and its side tables),
+    validate primary-key uniqueness, save as a new version.
+
+    All-or-nothing: any failure leaves the previous version untouched
+    (reference: atomic append, ``storage/table.h:53-56``).
+    """
+    pk = db.primary_key(table)
+    old = db.table(table)
+    combined = old.unionByName(new_main, allowMissingColumns=True)
+
+    dup = (
+        combined.groupBy(pk).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise QueryCompileError(
+            f"duplicate primary key {dup[0][pk]!r} in append to {table!r}"
+        )
+
+    db.register_table(table, combined, primary_key=pk)
+    if new_store is not None:
+        old_store = db.sequence_stores.get(table)
+        if old_store is None:
+            db.register_sequence_store(table, new_store)
+        else:
+            db.register_sequence_store(
+                table,
+                SequenceStore(
+                    mutations=old_store.mutations.unionByName(new_store.mutations),
+                    coverage=old_store.coverage.unionByName(new_store.coverage),
+                    missing=old_store.missing.unionByName(new_store.missing),
+                    insertions=old_store.insertions.unionByName(
+                        new_store.insertions
+                    ),
+                    reference=new_store.reference,  # reference genome is fixed
+                ),
+            )
+    return save_version(db, root)
+
+
+_UPDATABLE = ("int", "bigint", "double", "float", "date", "boolean")
+
+
+def update_column(
+    db: Database,
+    root: str,
+    table: str,
+    column: str,
+    value,
+    filter_expr=None,
+) -> str:
+    """Point update: set ``column = value`` for rows matching ``filter_expr``
+    (an engine Expression or a boolean Column), then save a new version.
+
+    Scalar columns only (INT32/INT64/FLOAT/DATE32/BOOL), mirroring
+    ``Database::updateColumn`` (``src/silo/database.h:76-87``).
+    """
+    df = db.table(table)
+    if column not in df.columns:
+        raise QueryCompileError(f"unknown column {column!r} in {table!r}")
+    dtype = df.schema[column].dataType.simpleString()
+    if dtype not in _UPDATABLE:
+        raise QueryCompileError(
+            f"updateColumn supports scalar columns only; {column!r} is {dtype}"
+        )
+
+    if filter_expr is None:
+        cond = F.lit(True)
+    elif hasattr(filter_expr, "compile"):
+        from lapis_silo_spark.expressions.base import CompileContext, apply_flag_joins
+        from lapis_silo_spark.operators.relational import Pipeline
+
+        pipe = Pipeline.scan(db, table)
+        ctx = CompileContext(database=db, table_name=table, pk=pipe.pk)
+        cond = filter_expr.compile(ctx)
+        if ctx.flag_joins:
+            df, flags = apply_flag_joins(df, ctx)
+            df = df.withColumn(
+                column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+            ).drop(*flags)
+            db.register_table(table, df, primary_key=db.primary_key(table))
+            return save_version(db, root)
+    else:
+        cond = filter_expr
+
+    df = df.withColumn(
+        column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+    )
+    db.register_table(table, df, primary_key=db.primary_key(table))
+    return save_version(db, root)
