@@ -679,6 +679,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = db_for(spark, sf_dir)
     return (
         Pipeline.scan(db, "documents")
+        .rebalance()
         .map(
             {
                 "tok": ftext.token_count("text").cast("long"),
@@ -726,6 +727,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = db_for(spark, sf_dir)
     return (
         Pipeline.scan(db, "documents")
+        .rebalance()
         .map({"q": ftext.quality_score("text")})
         .group_by(
             {"avg_quality": F.round(F.avg("q"), 4), "docs": F.count(F.lit(1))},
@@ -746,6 +748,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = db_for(spark, sf_dir)
     return (
         Pipeline.scan(db, "documents")
+        .rebalance()
         .map({"fp": ftext.doc_fingerprint("text")})
         .project(["doc_id", "fp"])
         .df
@@ -781,6 +784,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = db_for(spark, sf_dir)
     return (
         Pipeline.scan(db, "documents")
+        .rebalance()
         .map({"predicted": ftext.lang_id("text")})
         .group_by({"cnt": F.count(F.lit(1))}, ["lang", "predicted"])
         .df
@@ -982,7 +986,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions import multimodal as fmm
 
     db = db_for(spark, sf_dir)
-    with_bin = db.table("documents").withColumn(
+    with_bin = Pipeline.scan(db, "documents").rebalance().df.withColumn(
         "payload", F.encode(F.col("text"), "utf-8")
     )
     return fmm.decode_images(with_bin, "doc_id", "payload").select(

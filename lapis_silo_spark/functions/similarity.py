@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lapis_silo_spark.functions.dedup import cosine
+from lapis_silo_spark.functions.dedup import cosine, dot, norm
 
 
 def _hyperplane_component(plane: int, dim: int) -> Column:
@@ -53,14 +53,22 @@ def brute_force_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    # norms once per vector; the scan-side work per (row, query) is one dot
     scored = (
         c.join(F.broadcast(q), on=F.col("id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("vec"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
@@ -129,7 +137,7 @@ def lsh_bucket_topk(
     )
     scored = candidates.withColumn(
         "cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6)
-    )
+    )  # candidate set is already small; per-pair cosine is fine here
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -128,6 +128,23 @@ class Pipeline:
         """Raw Column filter (internal / power-user path)."""
         return self._with(self._df.filter(cond))
 
+    def rebalance(self) -> "Pipeline":
+        """Fan a narrow input across the cluster before expensive per-row
+        work. Single-row-group Parquet files scan as ONE task (Parquet splits
+        only at row-group boundaries); a cheap exchange ahead of a heavy map
+        stage trades one shuffle of the input for full-width parallelism.
+        No-op when the input already has enough partitions."""
+        n = self._df.sparkSession.sparkContext.defaultParallelism
+        try:
+            # file-count metadata is free; df.rdd.getNumPartitions() would
+            # force a full plan->RDD conversion just to ask
+            narrow = len(self._df.inputFiles()) < max(2, n // 2)
+        except Exception:
+            narrow = True
+        if not narrow:
+            return self
+        return self._with(self._df.repartition(n))
+
     def project(self, columns: Sequence[str]) -> "Pipeline":
         missing = [c for c in columns if c not in self._df.columns]
         if missing:
