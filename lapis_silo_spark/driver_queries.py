@@ -1021,3 +1021,120 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .project(["event_id", "user_id", "running"])
         .df
     )
+
+
+# ---------------------------------------------------------------------------
+# Superset relational surface (reference lacks these — SURVEY §2.5; Spark
+# provides them natively, registered here so the gate proves them correct)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_superset_stats",
+    """SELECT l_returnflag,
+              min(l_quantity) AS min_qty,
+              max(l_quantity) AS max_qty,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(avg(l_extendedprice), 2) AS avg_price,
+              count(DISTINCT l_suppkey) AS n_supp
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_agg_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/sum/avg/count-distinct — aggregates the reference lacks
+    (aggregate_node.cpp:20-26 supports only count())."""
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "lineitem")
+        .group_by(
+            {
+                "min_qty": F.min("l_quantity"),
+                "max_qty": F.max("l_quantity"),
+                "sum_qty": F.round(F.sum("l_quantity"), 2),
+                "avg_price": F.round(F.avg("l_extendedprice"), 2),
+                "n_supp": F.count_distinct(F.col("l_suppkey")),
+            },
+            ["l_returnflag"],
+        )
+        .df
+    )
+
+
+@query(
+    "set_intersect_except",
+    """WITH a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000),
+            b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < 0)
+       SELECT 'both' AS tag, c_nationkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+       UNION ALL
+       SELECT 'only_rich' AS tag, c_nationkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect/except — set ops beyond the reference's unionAll."""
+    db = db_for(spark, sf_dir)
+    cust = db.table("customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_nationkey").distinct()
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_nationkey").distinct()
+    both = a.intersect(b).select(F.lit("both").alias("tag"), "c_nationkey")
+    only = a.exceptAll(b).distinct().select(
+        F.lit("only_rich").alias("tag"), "c_nationkey"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "rollup_counts",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent from the reference (single grouping set
+    only, aggregate_node.cpp:28-75)."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "window_rank_topn",
+    """SELECT * FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+         FROM orders) t
+       WHERE rn <= 2""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-N via window ranking — window functions are absent from
+    the reference (SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    db = db_for(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        db.table("orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "streaming_windowed_counts",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+              CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+              count(*) AS count
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window count plan (streaming.windowed_counts) —
+    executed here on the static events table; the identical plan runs
+    incrementally on a stream."""
+    from lapis_silo_spark.streaming import windowed_counts
+
+    db = db_for(spark, sf_dir)
+    return windowed_counts(db.table("events"), "ts", "1 hour", "2 hours")

@@ -1,0 +1,117 @@
+"""Streaming ingest + windowed aggregation (Spark-first superset).
+
+``stream_ingest_files`` tails a directory of NDJSON files with
+``spark.readStream`` and lands every micro-batch as a NEW data version via
+``foreachBatch`` — the streaming generalization of the reference's
+batch-append lifecycle (each micro-batch is all-or-nothing, the ``latest``
+pointer swap is atomic, failed batches leave the store untouched, and the
+checkpoint makes delivery exactly-once across restarts).
+
+``windowed_counts`` is the canonical watermarked tumbling-window count over
+an event stream — the structured-streaming analog of the reference's
+``groupBy({count := count()})`` for data that never stops arriving.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+from lapis_silo_spark.storage import append_version, load_version
+
+
+def stream_append(
+    spark: SparkSession,
+    root: str,
+    config: TableConfig,
+    batch_df: DataFrame,
+) -> str:
+    """Land one (micro-)batch of raw records as a new data version."""
+    db = load_version(spark, root)
+    main, store = ingest_records(spark, batch_df, config)
+    has_seqs = bool(config.nuc_sequences or config.aa_sequences)
+    return append_version(
+        db, root, config.name, main, store if has_seqs else None
+    )
+
+
+def stream_ingest_files(
+    spark: SparkSession,
+    input_dir: str,
+    config: TableConfig,
+    root: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    on_version: Callable[[str], None] | None = None,
+) -> StreamingQuery:
+    """Continuously ingest NDJSON files appearing under ``input_dir``.
+
+    Each micro-batch flows through the SAME ingest path as batch append
+    (sequence diffing, side tables, duplicate-PK validation) and commits a
+    new version directory; the streaming checkpoint gives exactly-once
+    version commits across restarts.
+    """
+    stream = spark.readStream.schema(config.spark_schema()).json(input_dir)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        version = stream_append(spark, root, config, batch_df)
+        if on_version is not None:
+            on_version(version)
+
+    writer = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts; works on static AND streaming
+    DataFrames (the declarative plan is identical — Spark picks the
+    incremental execution when the source is a stream).
+
+    Late rows beyond ``watermark`` are dropped; state for closed windows is
+    evicted, so the aggregation runs unbounded streams in bounded memory.
+    """
+    grouped = events.withWatermark(time_col, watermark).groupBy(
+        F.window(F.col(time_col), window).alias("win"),
+        *(keys or []),
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("count")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *(keys or []),
+        "count",
+    )
+
+
+def query_latest(spark: SparkSession, root: str, saneql: str) -> DataFrame:
+    """Convenience: run a SaneQL query against the current latest version
+    (what a serving layer does between version swaps)."""
+    from lapis_silo_spark.saneql import execute_query
+
+    return execute_query(load_version(spark, root), saneql)
+
+
+__all__ = [
+    "stream_append",
+    "stream_ingest_files",
+    "windowed_counts",
+    "query_latest",
+    "Database",
+]

@@ -1,0 +1,110 @@
+"""Structured Streaming ingest + windowed aggregation (superset surface)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.saneql import execute_query
+from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+from lapis_silo_spark.storage import load_version, save_version
+from lapis_silo_spark.streaming import stream_ingest_files, windowed_counts
+
+
+@pytest.fixture(scope="module")
+def config():
+    return TableConfig(
+        name="default",
+        primary_key="primary_key",
+        metadata={"country": "string", "age": "int"},
+        nuc_sequences={"main": "ACGT"},
+    )
+
+
+def _write_ndjson(path, records):
+    with open(path, "w") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+
+
+def test_stream_ingest_lands_versions(spark, config, tmp_path):
+    root = str(tmp_path / "root")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+
+    # seed version 0 with one record
+    seed = spark.createDataFrame(
+        [{"primary_key": "s1", "country": "CH", "age": 1,
+          "main": {"sequence": "ACGT", "sequenceCompressed": None,
+                   "insertions": [], "offset": None}}],
+        schema=config.spark_schema(),
+    )
+    main, store = ingest_records(spark, seed, config)
+    db = Database(spark)
+    db.register_table("default", main, primary_key="primary_key")
+    db.register_sequence_store("default", store)
+    v0 = save_version(db, root)
+
+    _write_ndjson(inbox / "batch1.ndjson", [
+        {"primary_key": "s2", "country": "DE", "age": 2,
+         "main": {"sequence": "ACTT", "insertions": [], "offset": None}},
+        {"primary_key": "s3", "country": "CH", "age": 3,
+         "main": {"sequence": None, "insertions": [], "offset": None}},
+    ])
+
+    versions: list[str] = []
+    query = stream_ingest_files(
+        spark, str(inbox), config, root, str(tmp_path / "ckpt"),
+        on_version=versions.append,
+    )
+    query.awaitTermination(120)
+
+    assert len(versions) == 1 and versions[0] > v0
+    latest = load_version(spark, root)
+    assert latest.table("default").count() == 3
+    out = execute_query(
+        latest,
+        "default.filter(nucleotideEquals(position := 3, symbol := 'T', "
+        "sequenceName := 'main')).project({primary_key})",
+    ).collect()
+    assert [r["primary_key"] for r in out] == ["s2"]
+
+
+def test_windowed_counts_static_and_streaming(spark, tmp_path):
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 10, 5)),
+        ("u2", dt.datetime(2024, 1, 1, 10, 55)),
+        ("u1", dt.datetime(2024, 1, 1, 11, 10)),
+    ]
+    static = spark.createDataFrame(rows, schema="user string, ts timestamp")
+    out = {
+        (r["window_start"].hour, r["count"])
+        for r in windowed_counts(static, "ts", "1 hour", "2 hours").collect()
+    }
+    assert out == {(10, 2), (11, 1)}
+
+    # same plan over a stream: rate-limited file source, foreachBatch sink
+    src = tmp_path / "events"
+    src.mkdir()
+    with open(src / "e.json", "w") as fh:
+        for user, ts in rows:
+            fh.write(json.dumps({"user": user, "ts": ts.isoformat()}) + "\n")
+    stream = (
+        spark.readStream.schema("user string, ts timestamp")
+        .json(str(src))
+    )
+    agg = windowed_counts(stream, "ts", "1 hour", "2 hours", keys=["user"])
+    collected: list = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["window_start"].hour, r["user"], r["count"]) for r in collected}
+    assert got == {(10, "u1", 1), (10, "u2", 1), (11, "u1", 1)}
