@@ -150,25 +150,35 @@ def minhash_signature(col: str | Column, n_perms: int = 16, k: int = 5) -> Colum
     )
 
 
+def hash32_fast(col: Column) -> Column:
+    """32-bit shingle hash via native xxhash64 — ~4× faster than the
+    md5+conv path (no hex-string round-trip), for operators that don't need
+    an external-SQL-reproducible hash."""
+    return F.pmod(F.xxhash64(col), F.lit(2 ** 32))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_perms: int = 16,
     k: int = 5,
+    hash_fn=hash32,
 ) -> DataFrame:
     """(id, sig: array<long>) — the scale path for MinHash signatures.
 
     explode shingles → hash each shingle ONCE → ``n_perms`` min-aggregates
-    (one per permutation) → pack into an array. Same hash family and values
-    as :func:`minhash_signature`, but each md5 is computed exactly once, the
-    mins combine map-side (partial aggregation), and the single shuffle is
-    keyed on ``id``. Rows with NULL text produce no signature.
+    (one per permutation) → pack into an array. With the default ``hash_fn``
+    the values match :func:`minhash_signature` exactly (md5-derived, DuckDB
+    oracle-able); pass :func:`hash32_fast` for the throughput path. Each hash
+    is computed exactly once, the mins combine map-side (partial
+    aggregation), and the single shuffle is keyed on ``id``. Rows with NULL
+    text produce no signature.
     """
     exploded = (
         _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .select("id", F.explode(char_shingles("_t", k)).alias("sh"))
-        .select("id", hash32(F.col("sh")).alias("h"))
+        .select("id", hash_fn(F.col("sh")).alias("h"))
     )
     aggs = [
         F.min(
@@ -244,7 +254,17 @@ def minhash_lsh_pairs(
     never rows².
     """
     rows_per_band = n_perms // n_bands
-    sig = minhash_signatures(df, id_col, text_col, n_perms, k)
+    # xxhash-based signatures: LSH recall only depends on hash uniformity,
+    # not on which family — use the fast path (bands keeps md5 so its
+    # signatures stay SQL-oracle-reproducible).
+    sig = minhash_signatures(df, id_col, text_col, n_perms, k,
+                             hash_fn=hash32_fast)
+    # The band self-join references this subplan on BOTH sides; without a
+    # materialized cache Spark computes the whole shingle-hash aggregation
+    # twice (the two join-side stages run concurrently, so a lazy persist
+    # still races). Signatures are n_perms longs/doc — tiny next to the text
+    # they summarize (the "store the sketch" half of any MinHash pipeline).
+    sig = sig.persist()
     bands = sig.select(
         "id",
         "sig",
