@@ -1,0 +1,181 @@
+"""Embedded Python API — parity with the reference's ``silodb`` bindings.
+
+Reference (``python/silodb/database.pyx:14-191``, ``src/silo/database.h:15-108``):
+``Database`` exposes create-table, NDJSON append, ``query()`` returning Arrow,
+``get_filtered_bitmap`` (the raw filter layer), ``update_column``, and
+checkpoint save/load. Here the same surface wraps a ``SparkSession`` — the
+DataFrame engine replaces the embedded C++ core, and "bitmap" becomes the set
+of surviving primary keys (the relational form of a row-id bitmap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.expressions.base import QueryCompileError
+from lapis_silo_spark.sources.ndjson import TableConfig, ingest_ndjson
+
+
+class SiloDatabase:
+    """Embedded database handle: the reference's ``silodb.Database`` surface
+    over Spark."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            from lapis_silo_spark.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.db = Database(spark)
+        self._configs: dict[str, TableConfig] = {}
+
+    # -- schema / ingest ---------------------------------------------------
+    def create_table(self, config: TableConfig) -> None:
+        """Declare a table up front (``Database::createTable``); schemas are
+        fixed, never inferred."""
+        if config.name in self._configs:
+            raise QueryCompileError(f"table {config.name!r} already exists")
+        self._configs[config.name] = config
+        empty = self.spark.createDataFrame([], schema=config.spark_schema())
+        from lapis_silo_spark.sources.ndjson import ingest_records
+
+        main, store = ingest_records(self.spark, empty, config)
+        self.db.register_table(config.name, main, primary_key=config.primary_key)
+        if config.nuc_sequences or config.aa_sequences:
+            self.db.register_sequence_store(config.name, store)
+
+    def append_data_from_file(self, table: str, path: str) -> None:
+        """NDJSON append (``Database::appendDataFromFile``) — all-or-nothing,
+        duplicate primary keys rejected."""
+        config = self._config(table)
+        main, store = ingest_ndjson(self.spark, path, config)
+        old = self.db.table(table)
+        combined = old.unionByName(main, allowMissingColumns=True)
+        from pyspark.sql import functions as F
+
+        dup = (
+            combined.groupBy(config.primary_key).count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise QueryCompileError(
+                f"duplicate primary key {dup[0][config.primary_key]!r}"
+            )
+        self.db.register_table(table, combined, primary_key=config.primary_key)
+        if config.nuc_sequences or config.aa_sequences:
+            old_store = self.db.sequence_stores[table]
+            from lapis_silo_spark.catalog import SequenceStore
+
+            self.db.register_sequence_store(
+                table,
+                SequenceStore(
+                    mutations=old_store.mutations.unionByName(store.mutations),
+                    coverage=old_store.coverage.unionByName(store.coverage),
+                    missing=old_store.missing.unionByName(store.missing),
+                    insertions=old_store.insertions.unionByName(store.insertions),
+                    reference=store.reference,
+                ),
+            )
+
+    # -- query -------------------------------------------------------------
+    def query(self, table: str, saneql: str):
+        """Run SaneQL, return a ``pyarrow.Table``
+        (``Database::executeQueryAsArrowIpc``). The query text addresses the
+        table by its registered name, exactly like the HTTP path."""
+        df = self.query_df(table, saneql)
+        return df.toArrow()
+
+    def query_df(self, table: str, saneql: str) -> DataFrame:
+        """Same as :meth:`query` but returns the lazy DataFrame."""
+        self._config(table)  # existence check
+        from lapis_silo_spark.saneql import execute_query
+
+        return execute_query(self.db, saneql)
+
+    def get_filtered_keys(self, table: str, filter_saneql: str) -> set:
+        """The raw filter layer (``Database::getFilteredBitmap``): the set of
+        primary keys surviving a bare filter expression."""
+        from lapis_silo_spark.operators.relational import Pipeline
+        from lapis_silo_spark.saneql.binder import Binder
+        from lapis_silo_spark.saneql.parser import parse
+
+        binder = Binder(self.db)
+        pipeline = Pipeline.scan(self.db, table)
+        expr = binder.to_filter(parse(filter_saneql), pipeline)
+        pk = self.db.primary_key(table)
+        return {
+            row[pk] for row in pipeline.filter(expr).df.select(pk).collect()
+        }
+
+    # -- mutation ----------------------------------------------------------
+    def update_column(self, table: str, column: str, value,
+                      filter_saneql: str | None = None) -> None:
+        """Scalar point update (``Database::updateColumn``) — in-memory; use
+        :meth:`save_checkpoint` to persist a version."""
+        from pyspark.sql import functions as F
+
+        from lapis_silo_spark.operators.relational import Pipeline
+        from lapis_silo_spark.saneql.binder import Binder
+        from lapis_silo_spark.saneql.parser import parse
+
+        df = self.db.table(table)
+        dtype = df.schema[column].dataType.simpleString()
+        if dtype not in ("int", "bigint", "double", "float", "date", "boolean"):
+            raise QueryCompileError(
+                f"updateColumn supports scalar columns only; {column!r} is "
+                f"{dtype}"
+            )
+        if filter_saneql is None:
+            cond = F.lit(True)
+            flags: list[str] = []
+        else:
+            binder = Binder(self.db)
+            pipeline = Pipeline.scan(self.db, table)
+            expr = binder.to_filter(parse(filter_saneql), pipeline)
+            from lapis_silo_spark.expressions.base import (
+                CompileContext,
+                apply_flag_joins,
+            )
+
+            ctx = CompileContext(database=self.db, table_name=table,
+                                 pk=pipeline.pk)
+            cond = expr.compile(ctx)
+            flags = []
+            if ctx.flag_joins:
+                df, flags = apply_flag_joins(df, ctx)
+        df = df.withColumn(
+            column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+        )
+        if flags:
+            df = df.drop(*flags)
+        self.db.register_table(table, df,
+                               primary_key=self.db.primary_key(table))
+
+    # -- persistence -------------------------------------------------------
+    def save_checkpoint(self, root: str) -> str:
+        """Persist the current state as a new data version
+        (``Database::saveCheckpoint``)."""
+        from lapis_silo_spark.storage import save_version
+
+        return save_version(self.db, root)
+
+    @classmethod
+    def load_checkpoint(cls, root: str,
+                        spark: SparkSession | None = None) -> "SiloDatabase":
+        """Load the latest persisted version (``Database::loadCheckpoint``)."""
+        from lapis_silo_spark.storage import load_version
+
+        handle = cls(spark)
+        handle.db = load_version(handle.spark, root)
+        return handle
+
+    # -- helpers -----------------------------------------------------------
+    def _config(self, table: str) -> TableConfig:
+        if table in self._configs:
+            return self._configs[table]
+        if table in self.db.tables:
+            # loaded from checkpoint: synthesize a minimal config
+            return TableConfig(name=table,
+                               primary_key=self.db.primary_key(table))
+        raise QueryCompileError(f"unknown table {table!r}")

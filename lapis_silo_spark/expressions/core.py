@@ -20,10 +20,12 @@ Parity map (reference file → this module):
   supports a partial set, ``ast_to_query.cpp:139-201``; ours is a superset).
 
 Null semantics: the reference's filters operate on bitmaps, so a row either
-survives or not — SQL three-valued logic must not leak. Every predicate here
-resolves NULL to False *at the leaf* (`coalesce`), which makes
-``Negation(Equals(c, v))`` keep rows where ``c`` is NULL — matching the
-reference, where NOT of a bitmap is complement within the full row universe
+survives or not — SQL three-valued logic must not leak. Leaves compile to RAW
+conditions (NULL stays NULL) so Catalyst pushes them into the Parquet scan;
+at the filter boundary NULL means "not matched", which already matches the
+bitmap semantics, and :class:`Negation` is the single point that resolves
+NULL (``coalesce(NOT cond, true)``) so ``Negation(Equals(c, v))`` keeps rows
+where ``c`` is NULL — the reference's complement within the full row universe
 (``filter/operators/complement.cpp``).
 """
 
@@ -39,10 +41,6 @@ from lapis_silo_spark.expressions.base import (
     Expression,
     QueryCompileError,
 )
-
-
-def _false_if_null(col: Column) -> Column:
-    return F.coalesce(col, F.lit(False))
 
 
 class TrueExpr(Expression):
@@ -90,9 +88,14 @@ class Negation(Expression):
         self.child = child
 
     def compile(self, ctx: CompileContext) -> Column:
-        # Children always resolve null to a definite boolean, so plain NOT is
-        # the complement within the row universe.
-        return ~self.child.compile(ctx)
+        # Complement within the row universe (``complement.cpp``): a row
+        # matches the negation iff the child did NOT match — and in
+        # three-valued logic "did not match" covers both FALSE and NULL.
+        # Leaves deliberately compile to RAW conditions (so Catalyst can push
+        # them into the Parquet scan); this coalesce is the single place
+        # where NULL resolves, mirroring how the reference's bitmaps have no
+        # null state at the operator level.
+        return F.coalesce(~self.child.compile(ctx), F.lit(True))
 
 
 class _ColumnPredicate(Expression):
@@ -110,7 +113,10 @@ class Equals(_ColumnPredicate):
             # Reference treats `col = null` as isNull (input_format nulls are
             # first-class); keep that convenience.
             return F.col(self.column).isNull()
-        return _false_if_null(F.col(self.column) == F.lit(self.value))
+        # RAW condition (no null-coalescing) so the EqualTo pushes into the
+        # Parquet scan; NULL rows yield NULL ⇒ not matched at the filter,
+        # identical to the reference's bitmap semantics.
+        return F.col(self.column) == F.lit(self.value)
 
 
 class NotEquals(_ColumnPredicate):
@@ -121,11 +127,10 @@ class NotEquals(_ColumnPredicate):
     def compile(self, ctx: CompileContext) -> Column:
         if self.value is None:
             return F.col(self.column).isNotNull()
-        # NULL <> v keeps the row out in the reference? No: Selection's
-        # NotEquals comparator returns true for NULL operands only when the
-        # value is the null sentinel; a NULL cell does not equal v, so NOT
-        # EQUALS keeps it. Resolve NULL to True.
-        return F.coalesce(F.col(self.column) != F.lit(self.value), F.lit(True))
+        # A NULL cell does not equal v, so NOT EQUALS keeps it. The
+        # IsNull ∨ ≠ form stays pushable (Or(IsNull, Not(EqualTo))).
+        c = F.col(self.column)
+        return c.isNull() | (c != F.lit(self.value))
 
 
 class _Comparison(_ColumnPredicate):
@@ -144,7 +149,7 @@ class _Comparison(_ColumnPredicate):
             ">": c > v,
             ">=": c >= v,
         }[self.op]
-        return _false_if_null(cmp)
+        return cmp
 
 
 class LessThan(_Comparison):
@@ -193,7 +198,7 @@ class Between(_ColumnPredicate):
             cond = cond & upper
         if self.low is None and self.high is None:
             return c.isNotNull()
-        return _false_if_null(cond)
+        return cond
 
 
 class InSet(_ColumnPredicate):
@@ -207,7 +212,7 @@ class InSet(_ColumnPredicate):
 
     def compile(self, ctx: CompileContext) -> Column:
         c = F.col(self.column)
-        cond = _false_if_null(c.isin(self.non_null)) if self.non_null else F.lit(False)
+        cond = c.isin(self.non_null) if self.non_null else F.lit(False)
         if self.include_null:
             cond = cond | c.isNull()
         return cond
@@ -236,7 +241,7 @@ class Like(_ColumnPredicate):
         self.pattern = pattern
 
     def compile(self, ctx: CompileContext) -> Column:
-        return _false_if_null(F.col(self.column).rlike(self.pattern))
+        return F.col(self.column).rlike(self.pattern)
 
 
 class NOf(Expression):
@@ -261,7 +266,9 @@ class NOf(Expression):
             return F.lit(self.count == 0)
         total = F.lit(0)
         for child in self.children:
-            total = total + child.compile(ctx).cast("int")
+            # NULL child verdict counts as no-match (reference: absent from
+            # the child bitmap), so resolve before the arithmetic.
+            total = total + F.coalesce(child.compile(ctx), F.lit(False)).cast("int")
         return (total == F.lit(self.count)) if self.match_exactly else (
             total >= F.lit(self.count)
         )

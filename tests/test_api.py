@@ -1,0 +1,113 @@
+"""Embedded Python API (silodb-bindings parity) + physical-plan hygiene."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lapis_silo_spark.api import SiloDatabase
+from lapis_silo_spark.expressions.base import QueryCompileError
+from lapis_silo_spark.sources.ndjson import TableConfig
+
+
+@pytest.fixture(scope="module")
+def handle(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("api")
+    h = SiloDatabase(spark)
+    h.create_table(TableConfig(
+        name="default",
+        primary_key="primary_key",
+        metadata={"country": "string", "age": "int"},
+        nuc_sequences={"main": "ACGT"},
+    ))
+    ndjson = tmp / "batch.ndjson"
+    ndjson.write_text(
+        '{"primary_key": "a1", "country": "CH", "age": 4, '
+        '"main": {"sequence": "ACTT", "insertions": [], "offset": null}}\n'
+        '{"primary_key": "a2", "country": "DE", "age": 7, '
+        '"main": {"sequence": "ACGT", "insertions": ["2:GG"], "offset": null}}\n'
+    )
+    h.append_data_from_file("default", str(ndjson))
+    return h
+
+
+def test_query_returns_arrow(handle):
+    table = handle.query(
+        "default", "default.groupBy({cnt := count()}, {country})"
+        ".orderBy({country})"
+    )
+    assert table.column("country").to_pylist() == ["CH", "DE"]
+    assert table.column("cnt").to_pylist() == [1, 1]
+
+
+def test_filtered_keys(handle):
+    keys = handle.get_filtered_keys(
+        "default",
+        "nucleotideEquals(position := 3, symbol := 'T', sequenceName := 'main')",
+    )
+    assert keys == {"a1"}
+
+
+def test_duplicate_append_rejected(handle, tmp_path):
+    dup = tmp_path / "dup.ndjson"
+    dup.write_text(
+        '{"primary_key": "a1", "country": "XX", "age": 1, "main": null}\n'
+    )
+    with pytest.raises(QueryCompileError, match="duplicate primary key"):
+        handle.append_data_from_file("default", str(dup))
+
+
+def test_update_column_and_checkpoint(handle, tmp_path, spark):
+    handle.update_column("default", "age", 42, "country = 'CH'")
+    root = str(tmp_path / "ckpt_root")
+    version = handle.save_checkpoint(root)
+    assert len(version) == 10
+
+    reloaded = SiloDatabase.load_checkpoint(root, spark)
+    rows = {r["primary_key"]: r["age"]
+            for r in reloaded.db.table("default").collect()}
+    assert rows == {"a1": 42, "a2": 7}
+
+    with pytest.raises(QueryCompileError, match="scalar columns only"):
+        handle.update_column("default", "country", "ZZ")
+
+
+# -- physical-plan hygiene ---------------------------------------------------
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_plan_pushdown_and_topk(spark):
+    """The scale contracts SURVEY §7 promises: predicate pushdown into the
+    Parquet scan, broadcast joins for small dims, fused top-k."""
+    from lapis_silo_spark.driver_queries import QUERIES, db_for
+
+    sf = "/root/testdata/sf0.001"
+    db_for(spark, sf)
+
+    plan = _formatted_plan(QUERIES["tpch_q3_top_orders"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # orderBy+limit fused to top-k
+    assert "SortMergeJoin" not in plan
+
+    plan = _formatted_plan(QUERIES["filter_equals_groupby_count"](spark, sf))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "EqualTo" in plan
+
+
+def test_plan_sequence_filter_is_join_not_collect(example_db):
+    """Sequence predicates must stay distributed (joins against side tables),
+    never driver-side loops."""
+    from lapis_silo_spark.saneql import bind_query
+
+    pipeline = bind_query(
+        example_db,
+        "default.filter(nucleotideEquals(position := 3, symbol := 'T', "
+        "sequenceName := 'main'))",
+    )
+    plan = _formatted_plan(pipeline.df)
+    assert "Join" in plan  # flag join against seq_mutations
