@@ -264,3 +264,29 @@ def test_saneql_error_cases(example_db):
         execute_query(example_db, "default.limit(0)")
     with pytest.raises(QueryCompileError, match="minProportion"):
         execute_query(example_db, "default.mutations(minProportion := 1.5)")
+
+
+def test_saneql_mutation_profile_sequence_id(example_db):
+    # distance 0 from k1's stored sequence (= full reference): k1 matches
+    # itself; k3 is maybe-compatible (R@5 ⊇ A, uncovered ends are missing);
+    # k2 differs (G3T) and k4 has no sequence.
+    out = rows(
+        example_db,
+        "default.filter(nucleotideMutationProfile(distance := 0, "
+        "sequenceName := 'main', sequenceId := 'k1')).project({primary_key})",
+    )
+    got = {r["primary_key"] for r in out}
+    assert "k1" in got and "k2" not in got and "k4" not in got
+
+    with pytest.raises(QueryCompileError, match="no stored sequence"):
+        execute_query(
+            example_db,
+            "default.filter(nucleotideMutationProfile(distance := 0, "
+            "sequenceName := 'main', sequenceId := 'nope'))",
+        )
+    with pytest.raises(QueryCompileError, match="Exactly one of"):
+        execute_query(
+            example_db,
+            "default.filter(nucleotideMutationProfile(distance := 0, "
+            "sequenceName := 'main'))",
+        )
