@@ -227,6 +227,33 @@ def append_version(
     return save_version(db, root)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Persist ``df`` bucketed (+sorted) by ``bucket_col`` as an external
+    table.
+
+    This is the co-located-join layout for the 100 TB story: when the main
+    table and its sequence side tables are bucketed by ``pk`` with the same
+    bucket count, every flag semi-join plans WITHOUT a shuffle on either side
+    (Catalyst recognizes matching ``HashPartitioning`` from bucket metadata).
+    The reference gets the same effect from sharing row-id space between the
+    bitmap indexes and the columns; bucketing is the Spark-native equivalent.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 _UPDATABLE = ("int", "bigint", "double", "float", "date", "boolean")
 
 

@@ -11,6 +11,7 @@ import datetime as dt
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from lapis_silo_spark.expressions import Equals
 from lapis_silo_spark.expressions.base import QueryCompileError
@@ -282,3 +283,40 @@ def test_cli_preprocessing_and_initialize(spark, tmp_path, capsys):
         "sequenceName := 'main')).project({primary_key})",
     ).collect()
     assert [r["primary_key"] for r in got] == ["r1"]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Main + side table bucketed by pk ⇒ the pk join plans with no Exchange
+    (the co-located-join layout SURVEY §7.3 / M5 calls for)."""
+    from lapis_silo_spark.storage import write_bucketed
+
+    main = spark.range(0, 10000).select(
+        F.col("id").cast("string").alias("pk"), (F.col("id") % 7).alias("v")
+    )
+    side = spark.range(0, 30000).select(
+        (F.col("id") % 10000).cast("string").alias("pk"),
+        (F.col("id") % 13).alias("pos"),
+    )
+    write_bucketed(main, "bkt_main", "pk", 8, str(tmp_path / "bkt_main"))
+    write_bucketed(side, "bkt_side", "pk", 8, str(tmp_path / "bkt_side"))
+
+    m = spark.table("bkt_main")
+    s = spark.table("bkt_side").filter(F.col("pos") == 3)
+    # hint merge join: broadcast would hide the exchange question entirely
+    joined = m.join(s.hint("merge"), on="pk", how="left_semi")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert joined.count() > 0
+
+    # same join over unbucketed inputs shuffles both sides
+    joined2 = main.join(
+        side.filter(F.col("pos") == 3).hint("merge"), on="pk", how="left_semi"
+    )
+    plan2 = joined2._sc._jvm.PythonSQLUtils.explainString(
+        joined2._jdf.queryExecution(), "formatted"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_main")
+    spark.sql("DROP TABLE IF EXISTS bkt_side")
+    assert "Exchange" in plan2

@@ -108,3 +108,51 @@ def test_windowed_counts_static_and_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["window_start"].hour, r["user"], r["count"]) for r in collected}
     assert got == {(10, "u1", 1), (10, "u2", 1), (11, "u1", 1)}
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: first-seen dedup across micro-batches."""
+    from lapis_silo_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # batch 1: two distinct docs + an in-batch duplicate
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "d1", "text": "hello world"}) + "\n")
+        fh.write(json.dumps({"doc_id": "d2", "text": "HELLO   world"}) + "\n")
+        fh.write(json.dumps({"doc_id": "d3", "text": "something else"}) + "\n")
+
+    stream = spark.readStream.schema("doc_id string, text string").json(str(src))
+    deduped = streaming_exact_dedup(stream, "doc_id", "text")
+
+    emitted: list = []
+    q = (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # d2 normalizes to the same digest as d1 → suppressed
+    assert {r["id"] for r in emitted} == {"d1", "d3"}
+
+    # batch 2 (restart with same checkpoint): duplicate of d1 suppressed by
+    # persisted state; new doc passes
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "d4", "text": "hello world"}) + "\n")
+        fh.write(json.dumps({"doc_id": "d5", "text": "brand new"}) + "\n")
+    emitted.clear()
+    q = (
+        streaming_exact_dedup(
+            spark.readStream.schema("doc_id string, text string").json(str(src)),
+            "doc_id", "text",
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["id"] for r in emitted} == {"d5"}
