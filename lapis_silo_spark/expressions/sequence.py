@@ -227,6 +227,175 @@ class InsertionContains(Expression):
         return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
 
 
+AGGREGATE_PROFILE_THRESHOLD = 32
+
+
+class MutationProfileAggregate(Expression):
+    """Scale path for mutation profiles: ONE pass over each side table
+    instead of one flag join per profile position.
+
+    The per-position reduction (``mutation_profile.cpp:249-256``) compiles
+    ``O(len(profile))`` joins — fine for a handful of positions, a plan
+    explosion for a 30k-position genome profile. This node computes the
+    conservative difference count per row with constant join count:
+
+        diff(row) = |D_ref ∩ covered(row)| − |D_ref ∩ missing(row)|
+                    − |D_ref ∩ mutated(row)| + #incompatible-mutations(row)
+
+    where ``D_ref`` = profile positions whose searched symbol is
+    maybe-incompatible with the reference symbol (row-independent,
+    precomputed driver-side from two ~30k-entry in-memory maps), and a
+    mutation is incompatible when its stored symbol is outside the searched
+    symbol's IUPAC upper-bound expansion. Missing/uncovered positions are
+    never differences (maybe semantics), matching the per-position path
+    exactly — equivalence is pinned by tests.
+    """
+
+    def __init__(self, seq_name: str, pairs: "Seq[tuple[int, str]]",
+                 distance: int, is_amino_acid: bool | None = None):
+        if distance < 0:
+            raise QueryCompileError("mutationProfile: distance must be >= 0")
+        self.seq_name = seq_name
+        self.pairs = [(int(p), s.upper()) for p, s in pairs]
+        self.distance = distance
+        self.is_amino_acid = is_amino_acid
+
+    def compile(self, ctx: CompileContext) -> Column:
+        from lapis_silo_spark.expressions.core import TrueExpr
+
+        if not self.pairs:
+            return TrueExpr().compile(ctx)
+        store = _store(ctx)
+        is_aa = (
+            self.is_amino_acid
+            if self.is_amino_acid is not None
+            else store.is_amino_acid(self.seq_name)
+        )
+        missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        spark = store.mutations.sparkSession
+
+        # Driver-side precompute over the (small, cached) reference genome:
+        # per-position compatible-symbol sets + the reference-incompatible set.
+        profile_rows = []
+        dref: list[int] = []
+        for pos, sym in self.pairs:
+            if sym == missing_sym:
+                continue  # profile-missing positions are skipped
+            matched = expand_symbol(sym, AmbiguityMode.UPPER_BOUND.value, is_aa)
+            ref_sym = store.ref_symbol(self.seq_name, pos)
+            is_dref = ref_sym not in matched
+            if is_dref:
+                dref.append(pos)
+            profile_rows.append(
+                (pos, sorted(matched - {missing_sym}), is_dref)
+            )
+        if not profile_rows:
+            return TrueExpr().compile(ctx)
+        if self.distance >= len(profile_rows):
+            # Degenerate case: ¬nOf(distance+1, k diffs) with distance+1 > k
+            # can never fire, so the reference matches EVERY row — including
+            # null-sequence rows (nOf over an empty bitmap set is empty).
+            return TrueExpr().compile(ctx)
+
+        prof_df = F.broadcast(spark.createDataFrame(
+            profile_rows, schema="pos int, compat array<string>, is_dref boolean"
+        ))
+        sided = F.col("seq_name") == self.seq_name
+
+        mut_agg = (
+            store.mutations.filter(sided)
+            .join(prof_df, on="pos", how="inner")
+            .groupBy("pk")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("symbol") != missing_sym)
+                        & ~F.array_contains(F.col("compat"), F.col("symbol")),
+                        1,
+                    ).otherwise(0)
+                ).alias("_incompat"),
+                F.sum(F.when(F.col("is_dref"), 1).otherwise(0)).alias("_mut_dref"),
+            )
+        )
+
+        parts = mut_agg
+        if dref:
+            dref_df = F.broadcast(
+                spark.createDataFrame([(p,) for p in dref], schema="pos int")
+            )
+            cov_agg = (
+                store.coverage.filter(sided)
+                .join(
+                    dref_df,
+                    on=[
+                        F.col("pos") >= F.col("cov_start"),
+                        F.col("pos") < F.col("cov_end"),
+                    ],
+                    how="inner",
+                )
+                .groupBy("pk")
+                .agg(F.count(F.lit(1)).alias("_cov_dref"))
+            )
+            miss_agg = (
+                store.missing.filter(sided)
+                .join(dref_df, on="pos", how="inner")
+                .groupBy("pk")
+                .agg(F.count(F.lit(1)).alias("_miss_dref"))
+            )
+            parts = (
+                parts.join(cov_agg, on="pk", how="full")
+                .join(miss_agg, on="pk", how="full")
+            )
+        else:
+            parts = parts.withColumn("_cov_dref", F.lit(0)).withColumn(
+                "_miss_dref", F.lit(0)
+            )
+
+        z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+        diff = (
+            z("_cov_dref") - z("_miss_dref") - z("_mut_dref") + z("_incompat")
+        )
+        # Violator set (diff > distance) instead of matcher set: rows with a
+        # sequence but NO side-table hits have diff 0 and must match without
+        # appearing in any aggregate.
+        violators = parts.filter(diff > F.lit(self.distance)).select(
+            F.col("pk").alias(ctx.pk)
+        )
+        has_seq = F.coalesce(
+            F.col(ctx.new_flag(
+                store.coverage.filter(sided).select(F.col("pk").alias(ctx.pk))
+            )),
+            F.lit(False),
+        )
+        violator_flag = F.coalesce(F.col(ctx.new_flag(violators)), F.lit(False))
+        return has_seq & ~violator_flag
+
+
+def build_mutation_profile(
+    seq_name: str,
+    pairs: "Seq[tuple[int, str]]",
+    distance: int,
+    is_amino_acid: bool | None = None,
+) -> Expression:
+    """Pick the profile implementation: per-position predicate reduction for
+    short profiles (plan stays tiny, mirrors the reference rewrite 1:1), the
+    aggregated single-pass node beyond :data:`AGGREGATE_PROFILE_THRESHOLD`."""
+    from lapis_silo_spark.expressions.core import Negation, NOf, TrueExpr
+
+    pairs = list(pairs)
+    if not pairs:
+        return TrueExpr()
+    if len(pairs) > AGGREGATE_PROFILE_THRESHOLD:
+        return MutationProfileAggregate(seq_name, pairs, distance,
+                                        is_amino_acid)
+    diffs: list[Expression] = [
+        Negation(Maybe(SymbolEquals(seq_name, pos, sym,
+                                    is_amino_acid=is_amino_acid)))
+        for pos, sym in pairs
+    ]
+    return Negation(NOf(distance + 1, diffs))
+
+
 class MutationProfile(Expression):
     """``nucleotideMutationProfile`` / ``aminoAcidMutationProfile`` —
     ``scalar_expressions/mutation_profile.cpp``.
@@ -250,8 +419,6 @@ class MutationProfile(Expression):
         self.start_position = start_position
 
     def compile(self, ctx: CompileContext) -> Column:
-        from lapis_silo_spark.expressions.core import Negation, NOf
-
         store = _store(ctx)
         is_aa = (
             self.is_amino_acid
@@ -259,23 +426,14 @@ class MutationProfile(Expression):
             else store.is_amino_acid(self.seq_name)
         )
         missing_sym = AA_MISSING if is_aa else NUC_MISSING
-        diffs: list[Expression] = []
-        for i, sym in enumerate(self.profile):
-            if sym == missing_sym:
-                continue  # profile-missing positions are skipped
-            pos = self.start_position + i
-            diffs.append(
-                Negation(
-                    Maybe(
-                        SymbolEquals(self.seq_name, pos, sym, is_amino_acid=is_aa)
-                    )
-                )
-            )
-        if not diffs:
-            from lapis_silo_spark.expressions.core import TrueExpr
-
-            return TrueExpr().compile(ctx)
-        return Negation(NOf(self.distance + 1, diffs)).compile(ctx)
+        pairs = [
+            (self.start_position + i, sym)
+            for i, sym in enumerate(self.profile)
+            if sym != missing_sym  # profile-missing positions are skipped
+        ]
+        return build_mutation_profile(
+            self.seq_name, pairs, self.distance, is_amino_acid=is_aa
+        ).compile(ctx)
 
 
 class _ModeWrapper(Expression):

@@ -1202,17 +1202,14 @@ def s_mutation_profile(binder: Binder, name: str, bound: dict[str, ast.Node],
                 )
             pairs.append((pos_val, sym_val.upper()))
 
-    # ≤distance conservative differences ≡ ¬ nOf(distance+1, per-position
-    # difference predicates), difference = ¬ maybe(symbolEquals(pos, sym)) —
-    # exactly mutation_profile.cpp:249-256.
-    diffs: list[Expression] = [
-        Negation(Maybe(SymbolEquals(seq_name, pos, sym,
-                                    is_amino_acid=amino_acid)))
-        for pos, sym in pairs
-    ]
-    if not diffs:
-        return TrueExpr()
-    return Negation(NOf(distance + 1, diffs))
+    # ≤distance conservative differences: short profiles reduce to
+    # ¬nOf(distance+1, per-position diffs) exactly like
+    # mutation_profile.cpp:249-256; long ones take the aggregated
+    # constant-join-count path (expressions.sequence.MutationProfileAggregate).
+    from lapis_silo_spark.expressions.sequence import build_mutation_profile
+
+    return build_mutation_profile(seq_name, pairs, distance,
+                                  is_amino_acid=amino_acid)
 
 
 _SYMBOL_EQ_PARAMS = [

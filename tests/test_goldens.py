@@ -182,3 +182,26 @@ def test_golden_query(golden_db, case):
 def test_golden_invalid_query(golden_db, case):
     with pytest.raises(QueryCompileError):
         execute_query(golden_db, case["query"]).collect()
+
+
+def test_full_genome_mutation_profile(golden_db):
+    """A 29,903-position profile must compile to the constant-join aggregate
+    plan and execute — the per-position reduction would emit tens of
+    thousands of joins (reference handles this routinely,
+    performance/nof_sequence_filter.cpp)."""
+    genomes = json.loads((DATASET / "reference_genomes.json").read_text())
+    main_ref = next(
+        e["sequence"].upper() for e in genomes["nucleotideSequences"]
+        if e["name"] == "main"
+    )
+    df = execute_query(
+        golden_db,
+        "default.filter(nucleotideMutationProfile(distance := 5, "
+        f"sequenceName := 'main', querySequence := '{main_ref}'))"
+        ".project({primary_key}).orderBy({primary_key})",
+    )
+    got = [r["primary_key"] for r in df.collect()]
+    # key_1 carries 3 real mutations vs reference, key_11 two deletions,
+    # key_29 only trimmed coverage — all within distance 5 of the reference;
+    # every defaulted record IS the reference
+    assert set(got) >= {"key_1", "key_11", "key_29", "key_83"}

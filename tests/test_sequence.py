@@ -200,3 +200,51 @@ def test_insertions_aggregate(example_db):
         ("main", 5, "CGG", 1),
         ("main", 0, "TAT", 1),
     }
+
+
+# -- mutation-profile aggregate path (scale) ---------------------------------
+
+def test_mutation_profile_aggregate_equivalence(example_db):
+    """The constant-join aggregate path must agree with the per-position
+    reduction for every profile/distance on the fixture."""
+    from lapis_silo_spark.expressions.sequence import (
+        MutationProfileAggregate,
+        build_mutation_profile,
+    )
+
+    profiles = [
+        "ACGTACGTAC",   # full reference
+        "ACTTACGTAC",   # k2's mutation G3T
+        "NNGTRCGNNN",   # k3's stored form (R treated as searched symbol)
+        "TTTTTTTTTT",   # far from everything
+    ]
+    for profile in profiles:
+        pairs = [(i + 1, s) for i, s in enumerate(profile) if s != "N"]
+        for distance in (0, 1, 3, 8):
+            per_pos = build_mutation_profile("main", pairs, distance,
+                                             is_amino_acid=False)
+            agg = MutationProfileAggregate("main", pairs, distance,
+                                           is_amino_acid=False)
+            got_a = pks(scan(example_db).filter(per_pos))
+            got_b = pks(scan(example_db).filter(agg))
+            assert got_a == got_b, (profile, distance, got_a, got_b)
+
+
+def test_mutation_profile_aggregate_chosen_for_long_profiles(example_db):
+    from lapis_silo_spark.expressions.sequence import (
+        AGGREGATE_PROFILE_THRESHOLD,
+        MutationProfileAggregate,
+        build_mutation_profile,
+    )
+
+    pairs = [(1 + (i % 10), "A") for i in range(AGGREGATE_PROFILE_THRESHOLD + 1)]
+    expr = build_mutation_profile("main", pairs, 2, is_amino_acid=False)
+    assert isinstance(expr, MutationProfileAggregate)
+
+    # and it executes: distance 9 (< #positions, so non-degenerate) is large
+    # enough that every sequenced row matches; k4 (null sequence) must not
+    out = pks(scan(example_db).filter(
+        MutationProfileAggregate("main", [(p, "A") for p in range(1, 11)], 9,
+                                 is_amino_acid=False)
+    ))
+    assert out == {"k1", "k2", "k3"}
