@@ -142,7 +142,7 @@ class SiloDatabase:
                                  pk=pipeline.pk)
             cond = expr.compile(ctx)
             flags = []
-            if ctx.flag_joins:
+            if ctx.flag_joins or ctx.seq_flags:
                 df, flags = apply_flag_joins(df, ctx)
         df = df.withColumn(
             column, F.when(cond, F.lit(value)).otherwise(F.col(column))

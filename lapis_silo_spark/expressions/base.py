@@ -62,6 +62,25 @@ class FlagJoin:
     key_cols: list[str]
 
 
+@dataclass(frozen=True)
+class SeqFlagRequest:
+    """A structured sequence-index flag: enough information for the compile
+    boundary to BATCH all requests against one side table into a single
+    aggregated join (the Spark form of SURVEY §7.3's "collapse repeated
+    self-semi-joins on seq_mutations" optimization).
+
+    kinds: ``mutation`` (recorded mutation at ``pos``, optionally restricted
+    to ``symbols``), ``covered`` (pos inside a coverage range), ``missing``
+    (pos in the interior-missing set), ``has_seq`` (row stores this
+    sequence).
+    """
+
+    kind: str
+    seq_name: str
+    pos: int | None = None
+    symbols: tuple[str, ...] | None = None
+
+
 @dataclass
 class CompileContext:
     """Everything an expression needs to compile itself.
@@ -77,15 +96,28 @@ class CompileContext:
     pk: str = "primary_key"
     mode: AmbiguityMode = AmbiguityMode.NONE
     flag_joins: list[FlagJoin] = field(default_factory=list)
+    seq_flags: dict[SeqFlagRequest, str] = field(default_factory=dict)
     _flag_counter: int = 0
 
-    def new_flag(self, keys: DataFrame, key_cols: list[str] | None = None) -> str:
+    def _next_name(self) -> str:
         self._flag_counter += 1
-        name = f"__silo_flag_{self._flag_counter}"
+        return f"__silo_flag_{self._flag_counter}"
+
+    def new_flag(self, keys: DataFrame, key_cols: list[str] | None = None) -> str:
+        name = self._next_name()
         self.flag_joins.append(
             FlagJoin(flag_name=name, keys=keys, key_cols=key_cols or [self.pk])
         )
         return name
+
+    def new_seq_flag(self, request: SeqFlagRequest) -> str:
+        """Register (or reuse) a structured sequence flag. Identical requests
+        share one flag column — e.g. every predicate on a sequence shares the
+        same ``has_seq`` flag — and all requests against one side table
+        compile into ONE aggregated join in :func:`apply_flag_joins`."""
+        if request not in self.seq_flags:
+            self.seq_flags[request] = self._next_name()
+        return self.seq_flags[request]
 
 
 
@@ -119,11 +151,62 @@ class Expression:
         return Negation(self)
 
 
+def _batched_seq_flag_frames(ctx: CompileContext):
+    """Compile all structured sequence-flag requests into one aggregated
+    keys-DataFrame per (side table, seq_name): a single pass over the side
+    table computes every requested boolean via conditional MAX aggregation
+    (map-side combinable), and one pk join attaches them all."""
+    from pyspark.sql import functions as F
+
+    store = ctx.database.sequence_store(ctx.table_name)
+    by_group: dict[tuple[str, str], list[tuple[SeqFlagRequest, str]]] = {}
+    for req, flag in ctx.seq_flags.items():
+        table = "coverage" if req.kind in ("covered", "has_seq") else (
+            "mutations" if req.kind == "mutation" else "missing"
+        )
+        by_group.setdefault((table, req.seq_name), []).append((req, flag))
+
+    frames = []
+    for (table, seq_name), entries in by_group.items():
+        side = getattr(store, table).filter(F.col("seq_name") == seq_name)
+        positions = sorted({
+            req.pos for req, _ in entries
+            if req.pos is not None and req.kind in ("mutation", "missing")
+        })
+        if positions and table in ("mutations", "missing"):
+            side = side.filter(F.col("pos").isin(positions))
+        aggs = []
+        for req, flag in entries:
+            if req.kind == "has_seq":
+                cond = F.lit(True)
+            elif req.kind == "covered":
+                cond = (F.col("cov_start") <= F.lit(req.pos)) & (
+                    F.col("cov_end") > F.lit(req.pos)
+                )
+            elif req.kind == "missing":
+                cond = F.col("pos") == F.lit(req.pos)
+            else:  # mutation
+                cond = F.col("pos") == F.lit(req.pos)
+                if req.symbols is not None:
+                    cond = cond & F.col("symbol").isin(list(req.symbols))
+            aggs.append(F.max(F.when(cond, F.lit(True))).alias(flag))
+        frames.append(
+            side.groupBy(F.col("pk").alias(ctx.pk)).agg(*aggs)
+        )
+    return frames
+
+
 def apply_flag_joins(df: DataFrame, ctx: CompileContext) -> tuple[DataFrame, list[str]]:
     """Left-join every pending flag onto ``df``; return (df, flag_cols)."""
     from pyspark.sql import functions as F
 
     flags: list[str] = []
+    if ctx.seq_flags:
+        for frame in _batched_seq_flag_frames(ctx):
+            flag_cols = [c for c in frame.columns if c != ctx.pk]
+            df = df.join(frame, on=ctx.pk, how="left")
+            flags.extend(flag_cols)
+        ctx.seq_flags = {}
     for fj in ctx.flag_joins:
         keyed = fj.keys.dropDuplicates(fj.key_cols).withColumn(
             fj.flag_name, F.lit(True)

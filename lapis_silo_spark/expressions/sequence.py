@@ -28,6 +28,7 @@ from lapis_silo_spark.alphabets import (
 )
 from lapis_silo_spark.expressions.base import (
     AmbiguityMode,
+    SeqFlagRequest,
     CompileContext,
     Expression,
     QueryCompileError,
@@ -49,48 +50,50 @@ class _SequencePredicate(Expression):
         self.seq_name = seq_name
         self.position = position
 
-    # shared flag builders ------------------------------------------------
+    # shared flag builders -------------------------------------------------
+    # Each registers a STRUCTURED request (SeqFlagRequest): identical
+    # requests dedupe to one flag column, and apply_flag_joins batches every
+    # request against the same side table into ONE aggregated pk join — a
+    # query with k sequence predicates compiles to ≤3 side-table joins
+    # instead of ~4k (SURVEY §7.3's self-semi-join collapse).
     def _has_seq_flag(self, ctx: CompileContext) -> Column:
-        store = _store(ctx)
-        keys = store.coverage.filter(F.col("seq_name") == self.seq_name).select(
-            F.col("pk").alias(ctx.pk)
-        )
-        return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
+        _store(ctx)  # validate side tables exist
+        flag = ctx.new_seq_flag(SeqFlagRequest("has_seq", self.seq_name))
+        return F.coalesce(F.col(flag), F.lit(False))
 
     def _covered_flag(self, ctx: CompileContext) -> Column:
         """p inside [cov_start, cov_end) and not an interior missing position.
 
         ≙ IsInCoveredRegion (``filter/operators/is_in_covered_region.cpp:31-50``).
         """
-        store = _store(ctx)
+        _store(ctx)
         p = self.position
-        in_range = store.coverage.filter(
-            (F.col("seq_name") == self.seq_name)
-            & (F.col("cov_start") <= F.lit(p))
-            & (F.col("cov_end") > F.lit(p))
-        ).select(F.col("pk").alias(ctx.pk))
-        missing = store.missing.filter(
-            (F.col("seq_name") == self.seq_name) & (F.col("pos") == F.lit(p))
-        ).select(F.col("pk").alias(ctx.pk))
-        in_range_f = F.coalesce(F.col(ctx.new_flag(in_range)), F.lit(False))
-        missing_f = F.coalesce(F.col(ctx.new_flag(missing)), F.lit(False))
+        in_range_f = F.coalesce(
+            F.col(ctx.new_seq_flag(SeqFlagRequest("covered", self.seq_name, p))),
+            F.lit(False),
+        )
+        missing_f = F.coalesce(
+            F.col(ctx.new_seq_flag(SeqFlagRequest("missing", self.seq_name, p))),
+            F.lit(False),
+        )
         return in_range_f & ~missing_f
 
     def _mutation_flag(self, ctx: CompileContext, symbols: Seq[str] | None) -> Column:
         """Row has a recorded mutation at p (optionally restricted to symbols)."""
-        store = _store(ctx)
-        muts = store.mutations.filter(
-            (F.col("seq_name") == self.seq_name)
-            & (F.col("pos") == F.lit(self.position))
-        )
-        if symbols is not None:
-            if not symbols:
-                from lapis_silo_spark.expressions.core import FalseExpr
+        _store(ctx)
+        if symbols is not None and not symbols:
+            from lapis_silo_spark.expressions.core import FalseExpr
 
-                return FalseExpr().compile(ctx)
-            muts = muts.filter(F.col("symbol").isin(list(symbols)))
-        keys = muts.select(F.col("pk").alias(ctx.pk))
-        return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
+            return FalseExpr().compile(ctx)
+        flag = ctx.new_seq_flag(
+            SeqFlagRequest(
+                "mutation",
+                self.seq_name,
+                self.position,
+                tuple(sorted(symbols)) if symbols is not None else None,
+            )
+        )
+        return F.coalesce(F.col(flag), F.lit(False))
 
 
 class SymbolEquals(_SequencePredicate):

@@ -117,7 +117,7 @@ class Pipeline:
         )
         cond = expr.compile(ctx)
         df = self._df
-        if ctx.flag_joins:
+        if ctx.flag_joins or ctx.seq_flags:
             df, flags = apply_flag_joins(df, ctx)
             df = df.filter(cond).drop(*flags)
         else:

@@ -520,7 +520,7 @@ def h_map(binder: Binder, name: str, bound: dict[str, ast.Node]) -> Pipeline:
         )
     df = child.df
     flags: list[str] = []
-    if ctx.flag_joins:
+    if ctx.flag_joins or ctx.seq_flags:
         df, flags = apply_flag_joins(df, ctx)
     for out_name, col in columns.items():
         df = df.withColumn(out_name, col)

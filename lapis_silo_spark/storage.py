@@ -289,7 +289,7 @@ def update_column(
         pipe = Pipeline.scan(db, table)
         ctx = CompileContext(database=db, table_name=table, pk=pipe.pk)
         cond = filter_expr.compile(ctx)
-        if ctx.flag_joins:
+        if ctx.flag_joins or ctx.seq_flags:
             df, flags = apply_flag_joins(df, ctx)
             df = df.withColumn(
                 column, F.when(cond, F.lit(value)).otherwise(F.col(column))

@@ -111,3 +111,27 @@ def test_plan_sequence_filter_is_join_not_collect(example_db):
     )
     plan = _formatted_plan(pipeline.df)
     assert "Join" in plan  # flag join against seq_mutations
+
+
+def test_plan_sequence_flags_batched(example_db):
+    """k sequence predicates must compile to a constant number of side-table
+    joins (batched conditional aggregation), not ~4k — SURVEY §7.3's
+    self-semi-join collapse."""
+    from lapis_silo_spark.expressions import NOf, SymbolEquals
+    from lapis_silo_spark.operators import Pipeline
+
+    children = [
+        SymbolEquals("main", p, s)
+        for p, s in [(1, "A"), (2, "C"), (3, "T"), (4, "T"), (6, "C"), (7, "G")]
+    ]
+    pipeline = Pipeline.scan(example_db, "default").filter(NOf(3, children))
+    import re
+
+    plan = _formatted_plan(pipeline.df)
+    n_joins = len(re.findall(r"\(\d+\) [A-Za-z]*Join", plan))
+    # 6 symbol predicates → 3 batched side-table joins (mutations agg,
+    # coverage agg incl. has_seq, missing agg)
+    assert n_joins <= 4, f"expected batched flags, found {n_joins} joins"
+    # and it still answers correctly: k1 matches at 1,2,4,6,7 (>=3)
+    got = {r["primary_key"] for r in pipeline.df.select("primary_key").collect()}
+    assert "k1" in got and "k4" not in got
