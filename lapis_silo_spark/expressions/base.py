@@ -79,6 +79,7 @@ class SeqFlagRequest:
     seq_name: str
     pos: int | None = None
     symbols: tuple[str, ...] | None = None
+    exclude_symbols: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -189,6 +190,10 @@ def _batched_seq_flag_frames(ctx: CompileContext):
                 cond = F.col("pos") == F.lit(req.pos)
                 if req.symbols is not None:
                     cond = cond & F.col("symbol").isin(list(req.symbols))
+                if req.exclude_symbols:
+                    cond = cond & ~F.col("symbol").isin(
+                        list(req.exclude_symbols)
+                    )
             aggs.append(F.max(F.when(cond, F.lit(True))).alias(flag))
         frames.append(
             side.groupBy(F.col("pk").alias(ctx.pk)).agg(*aggs)

@@ -167,12 +167,13 @@ class HasMutation(_SequencePredicate):
             else store.is_amino_acid(self.seq_name)
         )
         missing_sym = AA_MISSING if is_aa else NUC_MISSING
-        muts = store.mutations.filter(
-            (F.col("seq_name") == self.seq_name)
-            & (F.col("pos") == F.lit(self.position))
-            & (F.col("symbol") != F.lit(missing_sym))
-        ).select(F.col("pk").alias(ctx.pk))
-        return F.coalesce(F.col(ctx.new_flag(muts)), F.lit(False))
+        flag = ctx.new_seq_flag(
+            SeqFlagRequest(
+                "mutation", self.seq_name, self.position,
+                exclude_symbols=(missing_sym,),
+            )
+        )
+        return F.coalesce(F.col(flag), F.lit(False))
 
 
 class InsertionContains(Expression):
