@@ -1138,3 +1138,207 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = db_for(spark, sf_dir)
     return windowed_counts(db.table("events"), "ts", "1 hour", "2 hours")
+
+
+# ---------------------------------------------------------------------------
+# Genomic core, oracle-gated: deterministic sequences derived from documents
+# so DuckDB can recompute the exact same stored-symbol semantics from first
+# principles (substr over the derived string == the engine's
+# mutations/coverage/missing side-table algebra for full-coverage sequences).
+# ---------------------------------------------------------------------------
+
+_GENOMIC_REF = "ACGT" * 8  # 32 nt reference
+_GENOMIC_DB_CACHE: dict[str, object] = {}
+
+# derived sequence: md5 hex -> ACGT alphabet; every 7th doc gets interior N@5
+_SEQ_SQL = """CASE WHEN doc_id % 7 = 0
+          THEN substr(t, 1, 4) || 'N' || substr(t, 6, 35)
+          ELSE t END"""
+_SEQ_CTE = f"""(SELECT doc_id,
+        {_SEQ_SQL} AS s
+        FROM (SELECT doc_id,
+                     translate(substr(md5(text), 1, 40), '0123456789abcdef',
+                               'ACGTACGTACGTACGT') AS t
+              FROM documents))"""
+
+
+def genomic_db(spark: SparkSession, sf_dir: str):
+    """Ingest the derived sequences through the REAL genomic pipeline
+    (mapInPandas diffing → side tables), cached per scale factor."""
+    if sf_dir in _GENOMIC_DB_CACHE:
+        return _GENOMIC_DB_CACHE[sf_dir]
+    from pyspark.sql import types as T
+
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+
+    docs = db_for(spark, sf_dir).table("documents")
+    t = F.translate(
+        F.substring(F.md5("text"), 1, 40),
+        "0123456789abcdef", "ACGTACGTACGTACGT",
+    )
+    seq = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.substring(t, 1, 4), F.lit("N"), F.substring(t, 6, 35)),
+    ).otherwise(t)
+    ins = F.when(
+        F.col("doc_id") % 5 == 0, F.array(F.lit("3:GG"))
+    ).otherwise(F.array().cast("array<string>"))
+    records = docs.select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("lang"),
+        F.struct(
+            seq.alias("sequence"),
+            F.lit(None).cast("string").alias("sequenceCompressed"),
+            ins.alias("insertions"),
+            F.lit(None).cast("int").alias("offset"),
+        ).alias("main"),
+    )
+    config = TableConfig(
+        name="default", primary_key="primary_key",
+        metadata={"lang": "string"}, nuc_sequences={"main": _GENOMIC_REF},
+    )
+    main, store = ingest_records(spark, records, config)
+    db = Database(spark)
+    db.register_table("default", main.persist(), primary_key="primary_key")
+    for side in (store.mutations, store.coverage, store.missing,
+                 store.insertions):
+        side.persist()
+    db.register_sequence_store("default", store)
+    _GENOMIC_DB_CACHE[sf_dir] = db
+    return db
+
+
+@query(
+    "genomic_symbol_equals",
+    f"""SELECT doc_id FROM {_SEQ_CTE} WHERE substr(s, 9, 1) = 'T'""",
+)
+def q_genomic_symbol_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nucleotideEquals via the side-table algebra; oracle = plain substr
+    over the identically-derived sequence string."""
+    from lapis_silo_spark.expressions import SymbolEquals
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(SymbolEquals("main", 9, "T"))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_maybe_symbol",
+    f"""SELECT doc_id FROM {_SEQ_CTE} WHERE substr(s, 5, 1) IN ('A', 'N')""",
+)
+def q_genomic_maybe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maybe(nucleotideEquals): the IUPAC upper-bound expansion of 'A' over
+    an {{A,C,G,T,N}} alphabet is exactly {{A, N}}."""
+    from lapis_silo_spark.expressions import Maybe, SymbolEquals
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(Maybe(SymbolEquals("main", 5, "A")))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_has_mutation",
+    f"""SELECT doc_id FROM {_SEQ_CTE}
+        WHERE substr(s, 2, 1) NOT IN ('C', 'N')""",
+)
+def q_genomic_has_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hasMutation(pos=2): stored symbol differs from reference 'C' and is
+    not missing."""
+    from lapis_silo_spark.expressions import HasMutation
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(HasMutation("main", 2))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_nof_symbols",
+    f"""SELECT doc_id FROM {_SEQ_CTE}
+        WHERE (substr(s, 1, 1) = 'G')::INT + (substr(s, 2, 1) = 'T')::INT
+              + (substr(s, 3, 1) = 'C')::INT >= 2""",
+)
+def q_genomic_nof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nOf(2 of 3 symbol tests) through the batched flag-join path."""
+    from lapis_silo_spark.expressions import NOf, SymbolEquals
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(NOf(2, [SymbolEquals("main", 1, "G"),
+                        SymbolEquals("main", 2, "T"),
+                        SymbolEquals("main", 3, "C")]))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_mutations_stats",
+    f"""WITH seqs AS (SELECT doc_id, s FROM {_SEQ_CTE}),
+         ref AS (SELECT pos, substr('{"ACGT" * 8}', pos, 1) AS ref_sym
+                 FROM (SELECT unnest(range(1, 33)) AS pos)),
+         stored AS (SELECT doc_id, pos, ref_sym, substr(s, pos, 1) AS sym
+                    FROM seqs CROSS JOIN ref),
+         cov AS (SELECT pos, count(*) AS coverage FROM stored
+                 WHERE sym <> 'N' GROUP BY pos)
+       SELECT ref_sym AS mutationFrom, sym AS mutationTo,
+              stored.pos AS position, 'main' AS sequenceName,
+              round(count(*) * 1.0 / any_value(coverage), 6) AS proportion,
+              any_value(coverage) AS coverage,
+              count(*) AS count
+       FROM stored JOIN cov ON stored.pos = cov.pos
+       WHERE sym <> 'N' AND sym <> ref_sym
+       GROUP BY stored.pos, ref_sym, sym
+       HAVING count(*) * 1.0 / any_value(coverage) >= 0.1""",
+)
+def q_genomic_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutations(minProportion=0.1) — the reference's flagship aggregate,
+    value-checked against first-principles SQL."""
+    from lapis_silo_spark.operators.mutations import mutations_aggregate
+
+    db = genomic_db(spark, sf_dir)
+    pipe = Pipeline.scan(db, "default")
+    out = mutations_aggregate(pipe, min_proportion=0.1)
+    return out.select(
+        "mutationFrom", "mutationTo", "position", "sequenceName",
+        F.round("proportion", 6).alias("proportion"),
+        F.col("coverage").cast("long").alias("coverage"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+@query(
+    "genomic_insertions_stats",
+    """SELECT 'GG' AS insertedSymbols, 3 AS position, 'main' AS sequenceName,
+              count(*) AS count
+       FROM documents WHERE doc_id % 5 = 0""",
+)
+def q_genomic_insertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertions() aggregate over the deterministic insertion payloads."""
+    from lapis_silo_spark.operators.mutations import insertions_aggregate
+
+    db = genomic_db(spark, sf_dir)
+    pipe = Pipeline.scan(db, "default")
+    return insertions_aggregate(pipe).select(
+        "insertedSymbols",
+        F.col("position").cast("int").alias("position"),
+        "sequenceName",
+        F.col("count").cast("long").alias("count"),
+    )
