@@ -1198,9 +1198,25 @@ def genomic_db(spark: SparkSession, sf_dir: str):
         name="default", primary_key="primary_key",
         metadata={"lang": "string"}, nuc_sequences={"main": _GENOMIC_REF},
     )
+    # synthetic 3-level lineage: doc_id%3 -> A / A.1 / A.1.1
+    did = F.col("primary_key").cast("long")
+    lin = (
+        F.when(did % 3 == 0, "A")
+        .when(did % 3 == 1, "A.1")
+        .otherwise("A.1.1")
+    )
+    records = records.withColumn("pango", lin)
+    config.metadata["pango"] = "string"
     main, store = ingest_records(spark, records, config)
     db = Database(spark)
     db.register_table("default", main.persist(), primary_key="primary_key")
+    from lapis_silo_spark.sources.lineage import build_lineage_closure
+
+    db.register_lineage(
+        "pango",
+        build_lineage_closure(spark, {"A": [], "A.1": ["A"],
+                                      "A.1.1": ["A.1"]}),
+    )
     for side in (store.mutations, store.coverage, store.missing,
                  store.insertions):
         side.persist()
@@ -1341,4 +1357,24 @@ def q_genomic_insertions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("position").cast("int").alias("position"),
         "sequenceName",
         F.col("count").cast("long").alias("count"),
+    )
+
+
+@query(
+    "genomic_lineage_filter",
+    """SELECT doc_id FROM documents
+       WHERE doc_id % 3 IN (1, 2)""",
+)
+def q_genomic_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineage('A.1', includeSublineages) via the precomputed closure table:
+    sub-clade = {A.1, A.1.1} = doc_id % 3 in (1, 2)."""
+    from lapis_silo_spark.expressions import LineageFilter
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(LineageFilter("pango", "A.1", include_sublineages=True))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
     )
