@@ -1378,3 +1378,22 @@ def q_genomic_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .project(["doc_id"])
         .df
     )
+
+
+@query(
+    "genomic_insertion_contains",
+    """SELECT doc_id FROM documents WHERE doc_id % 5 = 0""",
+)
+def q_genomic_insertion_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertionContains(position=3, value='G.*') over the deterministic
+    insertion payloads (every 5th doc carries 3:GG)."""
+    from lapis_silo_spark.expressions import InsertionContains
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(InsertionContains("main", 3, "G.*"))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
