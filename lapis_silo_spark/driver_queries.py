@@ -1206,7 +1206,11 @@ def genomic_db(spark: SparkSession, sf_dir: str):
         .otherwise("A.1.1")
     )
     records = records.withColumn("pango", lin)
+    records = records.withColumn(
+        "tree_node", F.concat(F.lit("L"), (did % 4).cast("string"))
+    )
     config.metadata["pango"] = "string"
+    config.metadata["tree_node"] = "string"
     main, store = ingest_records(spark, records, config)
     db = Database(spark)
     db.register_table("default", main.persist(), primary_key="primary_key")
@@ -1216,6 +1220,14 @@ def genomic_db(spark: SparkSession, sf_dir: str):
         "pango",
         build_lineage_closure(spark, {"A": [], "A.1": ["A"],
                                       "A.1.1": ["A.1"]}),
+    )
+    from lapis_silo_spark.sources.phylo import build_phylo_nodes, parse_newick
+
+    db.register_phylo_tree(
+        "tree_node",
+        build_phylo_nodes(
+            spark, parse_newick("((L0:0.1,L1:0.2)X:0.3,(L2:0.4,L3:0.5)Y:0.6)R;")
+        ),
     )
     for side in (store.mutations, store.coverage, store.missing,
                  store.insertions):
@@ -1397,3 +1409,58 @@ def q_genomic_insertion_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .project(["doc_id"])
         .df
     )
+
+
+@query(
+    "genomic_phylo_descendant",
+    """SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1)""",
+)
+def q_genomic_phylo_descendant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phyloDescendantOf('X') over the synthetic tree
+    ((L0,L1)X,(L2,L3)Y)R: X's leaves are L0, L1 = doc_id % 4 in (0, 1)."""
+    from lapis_silo_spark.expressions import PhyloDescendantOf
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(PhyloDescendantOf("tree_node", "X"))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_mrca",
+    """SELECT 'Y' AS mrcaNode, 'R' AS mrcaParent, 1 AS mrcaDepth,
+              CAST(0 AS BIGINT) AS missingNodeCount""",
+)
+def q_genomic_mrca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mostRecentCommonAncestor of the L2+L3 rows = internal node Y
+    (depth 1, parent R), no rows missing from the tree."""
+    from lapis_silo_spark.expressions import InSet
+    from lapis_silo_spark.operators.phylo import most_recent_common_ancestor
+
+    db = genomic_db(spark, sf_dir)
+    pipe = Pipeline.scan(db, "default").filter(
+        InSet("tree_node", ["L2", "L3"])
+    )
+    return most_recent_common_ancestor(pipe, "tree_node")
+
+
+@query(
+    "genomic_phylo_subtree",
+    """SELECT '(L0:0.1,L1:0.2)X;' AS subtreeNewick,
+              CAST(0 AS BIGINT) AS missingNodeCount""",
+)
+def q_genomic_phylo_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phyloSubtree of the L0+L1 rows: MRCA-rooted induced Newick with
+    branch lengths."""
+    from lapis_silo_spark.expressions import InSet
+    from lapis_silo_spark.operators.phylo import phylo_subtree
+
+    db = genomic_db(spark, sf_dir)
+    pipe = Pipeline.scan(db, "default").filter(
+        InSet("tree_node", ["L0", "L1"])
+    )
+    return phylo_subtree(pipe, "tree_node")
