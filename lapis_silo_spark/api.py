@@ -120,6 +120,10 @@ class SiloDatabase:
         from lapis_silo_spark.saneql.parser import parse
 
         df = self.db.table(table)
+        if column not in df.columns:
+            raise QueryCompileError(
+                f"unknown column {column!r} in {table!r}"
+            )
         dtype = df.schema[column].dataType.simpleString()
         if dtype not in ("int", "bigint", "double", "float", "date", "boolean"):
             raise QueryCompileError(

@@ -102,7 +102,12 @@ def cmd_append(args) -> int:
     config = _build_config(args.config, args.reference_genomes)
     db = load_version(spark, args.root)
     main, store = ingest_ndjson(spark, args.input, config)
-    version = append_version(db, args.root, "default", main, store)
+    # only hand over the store when this config declares sequences —
+    # otherwise append_version would replace the stored reference genome
+    # with the placeholder empty one
+    has_seqs = bool(config.nuc_sequences or config.aa_sequences)
+    version = append_version(db, args.root, "default", main,
+                             store if has_seqs else None)
     print(json.dumps({"version": version}))
     return 0
 

@@ -46,11 +46,14 @@ def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
     out = df.select(*cols)
     try:
-        if len(df.inputFiles()) >= max(2, n // 2):
-            return out
+        files = df.inputFiles()
     except Exception:
-        pass
-    return out.repartition(n)
+        files = []
+    # repartition only a KNOWN-narrow file scan; [] = non-file-backed input
+    # whose partitioning we should not second-guess
+    if files and len(files) < max(2, n // 2):
+        return out.repartition(n)
+    return out
 
 
 # -- exact -------------------------------------------------------------------
@@ -93,11 +96,16 @@ def ngram_jaccard_pairs(
     share at least one rare shingle — the standard prefix-filter compromise).
     """
     base = _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    sh = base.select("id", F.explode(char_shingles("_t", k)).alias("sh"))
+    # One shingling pass, persisted: the self-join references it twice and
+    # sizes derives from it (shingles are distinct per doc), so normalization
+    # + shingling never recompute. Storage memory is LRU-evictable.
+    sh = base.select(
+        "id", F.explode(char_shingles("_t", k)).alias("sh")
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(hot.select("sh"), on="sh", how="left_anti")
-    sizes = base.select("id", F.size(char_shingles("_t", k)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -264,6 +272,8 @@ def minhash_lsh_pairs(
     # twice (the two join-side stages run concurrently, so a lazy persist
     # still races). Signatures are n_perms longs/doc — tiny next to the text
     # they summarize (the "store the sketch" half of any MinHash pipeline).
+    # The cache is never explicitly unpersisted (the result is lazy); Spark's
+    # storage memory is LRU-evictable, so repeated calls stay bounded.
     sig = sig.persist()
     bands = sig.select(
         "id",

@@ -38,7 +38,7 @@ def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         F.length(b).alias("n_bytes"),
-        F.md5(b.cast("string")).alias("digest"),
+        F.md5(b).alias("digest"),  # md5 over raw bytes — a utf8 cast is lossy for binary
         media_type.alias("media_type"),
     )
 

@@ -138,9 +138,12 @@ class Pipeline:
         try:
             # file-count metadata is free; df.rdd.getNumPartitions() would
             # force a full plan->RDD conversion just to ask
-            narrow = len(self._df.inputFiles()) < max(2, n // 2)
+            files = self._df.inputFiles()
         except Exception:
-            narrow = True
+            files = []
+        # [] means non-file-backed (in-memory or derived) — provenance
+        # unknown, so do NOT force an exchange on it
+        narrow = bool(files) and len(files) < max(2, n // 2)
         if not narrow:
             return self
         return self._with(self._df.repartition(n))

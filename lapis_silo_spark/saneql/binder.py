@@ -515,9 +515,13 @@ def h_map(binder: Binder, name: str, bound: dict[str, ast.Node]) -> Pipeline:
     )
     columns: dict[str, Column] = {}
     for out_name, value in assignments:
-        columns[out_name] = (
-            value.compile(ctx) if isinstance(value, Expression) else value
-        )
+        if isinstance(value, Expression):
+            # predicates materialized as columns must be definite booleans
+            # (bitmap semantics: a row matches or it doesn't) — the filter
+            # boundary resolves NULL implicitly, map() has no such boundary
+            columns[out_name] = F.coalesce(value.compile(ctx), F.lit(False))
+        else:
+            columns[out_name] = value
     df = child.df
     flags: list[str] = []
     if ctx.flag_joins or ctx.seq_flags:
@@ -940,7 +944,11 @@ def s_lineage(binder: Binder, name: str, bound: dict[str, ast.Node],
                 f"invalid recombinantFollowingMode: '{mode}'. Valid values "
                 "are: alwaysFollow, followIfFullyContainedInClade, doNotFollow"
             )
-        include = True  # an explicit mode implies closure semantics
+        # an explicit mode implies closure semantics even with
+        # includeSublineages:=false — matching handleLineage
+        # (ast_to_query.cpp:404-426), which sets sublineage_mode whenever
+        # recombinantFollowingMode is present
+        include = True
     return LineageFilter(column, value, include_sublineages=include,
                          recombinant_mode=mode)
 

@@ -95,10 +95,16 @@ def create_app(db: Database):
         except Exception as exc:  # mirror error_request_handler.cpp
             return error(500, "Internal server error", str(exc), headers)
 
+    info_cache: dict[str, dict] = {}
+
     @app.get("/info")
     def info() -> Response:
+        # counts are immutable per data version — compute once, not per poll
+        if db.data_version not in info_cache:
+            info_cache.clear()
+            info_cache[db.data_version] = database_info(db)
         return Response(
-            json.dumps(database_info(db)),
+            json.dumps(info_cache[db.data_version]),
             content_type="application/json",
             headers=base_headers(),
         )

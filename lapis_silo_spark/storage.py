@@ -56,6 +56,7 @@ def save_version(
     root: str,
     table_partitions: dict[str, list[str]] | None = None,
     version: str | None = None,
+    extra_manifest: dict | None = None,
 ) -> str:
     """Write every registered table/side-table/hierarchy of ``db`` as a new
     version directory, then atomically swap the ``latest`` pointer.
@@ -74,6 +75,8 @@ def save_version(
         "lineages": {},
         "phylo": [],
     }
+    if extra_manifest:
+        manifest.update(extra_manifest)
 
     for name, df in db.tables.items():
         path = os.path.join(vdir, "tables", name)
@@ -137,6 +140,12 @@ def latest_version(root: str) -> str:
         return fh.read().strip()
 
 
+def read_manifest(root: str, version: str | None = None) -> dict:
+    version = version or latest_version(root)
+    with open(os.path.join(_version_dir(root, version), "manifest.json")) as fh:
+        return json.load(fh)
+
+
 def load_version(
     spark: SparkSession, root: str, version: str | None = None
 ) -> Database:
@@ -187,6 +196,7 @@ def append_version(
     table: str,
     new_main: DataFrame,
     new_store: SequenceStore | None = None,
+    extra_manifest: dict | None = None,
 ) -> str:
     """Batch append: union new rows into ``table`` (and its side tables),
     validate primary-key uniqueness, save as a new version.

@@ -30,13 +30,18 @@ def stream_append(
     root: str,
     config: TableConfig,
     batch_df: DataFrame,
+    batch_id: int | None = None,
 ) -> str:
-    """Land one (micro-)batch of raw records as a new data version."""
+    """Land one (micro-)batch of raw records as a new data version. The
+    ``batch_id`` is recorded in the version manifest so re-delivered batches
+    can be detected (see ``stream_ingest_files``)."""
     db = load_version(spark, root)
     main, store = ingest_records(spark, batch_df, config)
     has_seqs = bool(config.nuc_sequences or config.aa_sequences)
+    extra = {"stream_batch_id": batch_id} if batch_id is not None else None
     return append_version(
-        db, root, config.name, main, store if has_seqs else None
+        db, root, config.name, main, store if has_seqs else None,
+        extra_manifest=extra,
     )
 
 
@@ -53,15 +58,26 @@ def stream_ingest_files(
 
     Each micro-batch flows through the SAME ingest path as batch append
     (sequence diffing, side tables, duplicate-PK validation) and commits a
-    new version directory; the streaming checkpoint gives exactly-once
-    version commits across restarts.
+    new version directory. foreachBatch is at-least-once, so commits are
+    made IDEMPOTENT: the batch id is written into the version manifest
+    (atomically with the pointer swap), and a re-delivered batch whose id
+    already appears in the latest manifest is skipped — together with the
+    streaming checkpoint this yields exactly-once version commits across
+    crash/restart.
     """
+    from lapis_silo_spark.storage import read_manifest
+
     stream = spark.readStream.schema(config.spark_schema()).json(input_dir)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        version = stream_append(spark, root, config, batch_df)
+        try:
+            if read_manifest(root).get("stream_batch_id") == batch_id:
+                return  # re-delivered after a crash past the commit point
+        except FileNotFoundError:
+            pass
+        version = stream_append(spark, root, config, batch_df, batch_id)
         if on_version is not None:
             on_version(version)
 
