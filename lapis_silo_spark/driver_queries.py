@@ -935,6 +935,51 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_topk",
+    """WITH corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+            cent AS (SELECT id AS cid, vec AS cvec FROM corp WHERE id % 50 = 0),
+            assign AS (
+              SELECT id, cid, vec FROM (
+                SELECT id, cid, vec,
+                       row_number() OVER (PARTITION BY id
+                            ORDER BY round(list_cosine_similarity(vec, cvec), 6) DESC,
+                                     cid ASC) AS rn
+                FROM corp CROSS JOIN cent) t WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+            probe AS (
+              SELECT query_id, qvec, cid FROM (
+                SELECT query_id, qvec, cid,
+                       row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC,
+                                     cid ASC) AS rn
+                FROM q CROSS JOIN cent) t WHERE rn <= 3),
+            cand AS (
+              SELECT p.query_id, p.qvec, a.id, a.vec
+              FROM assign a JOIN probe p ON a.cid = p.cid
+              WHERE a.id <> p.query_id)
+       SELECT query_id, id,
+              round(list_cosine_similarity(vec, qvec), 6) AS cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(vec, qvec), 6) DESC, id ASC)
+                   AS INT) AS rank
+       FROM cand QUALIFY rank <= 10""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: Voronoi-cell assignment around a deterministic centroid
+    seed (ids ≡ 0 mod 50), search only the 3 probed cells per query."""
+    from lapis_silo_spark.functions import similarity as fsim
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    return fsim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", centroid_pred=F.col("vec_id") % 50 == 0,
+        k=10, n_probe=3,
+    )
+
+
 @query("ann_lsh_topk")  # approximate recall — no exact-SQL oracle
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signatures)."""

@@ -80,6 +80,114 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    rounded to 6 decimals; ties broken by smallest centroid id).
+
+    Scale shape: the centroid table is broadcast (IVF codebooks are small —
+    thousands of rows even at billion-vector scale), so the corpus×centroid
+    scoring is map-side with no shuffle; the per-row argmax is a map-side
+    partial ``max(struct(cos, -cid))`` aggregation, shuffling exactly one
+    reduced row per corpus vector.
+
+    ``carry_cols`` are per-row payload columns (constant within an id group)
+    carried through the aggregation with ``first()`` — carrying the vector
+    itself this way saves re-joining the corpus on id afterwards, which
+    would shuffle both N-row sides.
+    """
+    scored = corpus.join(F.broadcast(centroids), how="cross").withColumn(
+        "_cos", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_cos"), (-F.col(cid_col)).alias("_negcid"))).alias("_b"),
+        *[F.first(col).alias(col) for col in carry_cols],
+    )
+    return best.select(id_col, (-F.col("_b._negcid")).alias(cid_col), *carry_cols)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    centroid_pred: Column,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    Voronoi cells around a small centroid set, then search only the
+    ``n_probe`` cells nearest each query.
+
+    ``centroid_pred`` selects the centroid rows out of the corpus — a
+    deterministic seeding (k-means with zero refinement iterations) so
+    results are reproducible and SQL-oracle-able; swap in trained centroids
+    without changing the search path.
+
+    Scale shape vs brute force: brute force computes |corpus|×|queries|
+    cosines; IVF computes |corpus|×K assignment cosines ONCE (amortized
+    across every future query batch) plus only the probed cells per query —
+    candidate generation is a broadcast join on the cell id, so no
+    corpus-sized shuffle per query batch.
+
+    Output: (query_id, id, cos, rank) — same contract as brute_force_topk.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cent = corpus.filter(centroid_pred).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qvec"),
+    )
+
+    assign = ivf_assign(c, cent, carry_cols=("vec",))
+
+    # probe list: per query, the n_probe nearest centroids (query side is a
+    # small batch — the window shuffle is |queries|×K rows)
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .withColumn("_cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qvec", "cid")
+    )
+    # candidates: corpus rows living in a probed cell. probes is
+    # |queries|×n_probe rows -> broadcast; the assigned corpus never shuffles
+    # again (it carries its vectors out of the argmax aggregation).
+    candidates = assign.join(F.broadcast(probes), on="cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = candidates.withColumn(
+        "cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cos", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

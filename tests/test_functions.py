@@ -108,6 +108,30 @@ def test_lsh_topk_subset_of_exact(vectors):
     assert ranks == list(range(1, len(out) + 1))
 
 
+def test_ivf_topk_probed_cells(vectors):
+    # centroids = ids 1 and 3 (x-axis and y-axis); cells: {1,2}->1 and
+    # {3,4}->3 (v4=(-1,0,0) scores 0 vs c3 but -1 vs c1). Probing only the
+    # nearest cell of query 1 must return 2 and never the unprobed 3/4.
+    out = similarity.ivf_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 1),
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroid_pred=F.col("vec_id").isin(1, 3),
+        k=3, n_probe=1,
+    ).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2]
+    # with both cells probed it converges to the exact ranking
+    out2 = similarity.ivf_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") == 1),
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroid_pred=F.col("vec_id").isin(1, 3),
+        k=3, n_probe=2,
+    ).collect()
+    assert [r["id"] for r in sorted(out2, key=lambda r: r["rank"])] == [2, 3, 4]
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [
