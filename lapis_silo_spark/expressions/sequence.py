@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from lapis_silo_spark.alphabets import (
     AA_MISSING,
+    AA_SYMBOLS,
     NUC_MISSING,
+    NUC_SYMBOLS,
+    ambiguity_symbols,
     expand_symbol,
 )
 from lapis_silo_spark.expressions.base import (
@@ -146,12 +149,15 @@ class SymbolEquals(_SequencePredicate):
 
 
 class HasMutation(_SequencePredicate):
-    """``hasMutation`` / ``hasAAMutation`` — stored symbol ∉ {reference, missing}
-    at position (``scalar_expressions/has_mutation.cpp:34-67``).
+    """``hasMutation`` / ``hasAAMutation`` — the stored symbol is definitely
+    not the reference symbol (``scalar_expressions/has_mutation.cpp:34-67``).
 
-    Relationally: any recorded mutation row at p whose symbol isn't the
-    missing symbol (interior missing runs live in ``seq_missing``, but an
-    explicitly stored N/X mutation must not count).
+    Default/exact mode: matched symbols = alphabet minus
+    ``AMBIGUITY_SYMBOLS[ref]`` — an ambiguity code that *could* be the
+    reference (e.g. stored Y over ref C) is not a certain mutation, and the
+    missing symbol never is. Under ``maybe()`` only the reference symbol
+    itself is excluded: any other stored symbol — including missing/uncovered
+    — could be a mutation.
     """
 
     def __init__(self, seq_name: str, position: int,
@@ -167,13 +173,18 @@ class HasMutation(_SequencePredicate):
             else store.is_amino_acid(self.seq_name)
         )
         missing_sym = AA_MISSING if is_aa else NUC_MISSING
-        flag = ctx.new_seq_flag(
-            SeqFlagRequest(
-                "mutation", self.seq_name, self.position,
-                exclude_symbols=(missing_sym,),
+        ref_sym = store.ref_symbol(self.seq_name, self.position)
+        alphabet = set(AA_SYMBOLS if is_aa else NUC_SYMBOLS)
+        has_seq = self._has_seq_flag(ctx)
+        if ctx.mode is AmbiguityMode.UPPER_BOUND:
+            # anything but the reference could be a mutation — including
+            # stored missing symbols and uncovered positions
+            mut_syms = sorted(alphabet - {ref_sym})
+            return has_seq & (
+                self._mutation_flag(ctx, mut_syms) | ~self._covered_flag(ctx)
             )
-        )
-        return F.coalesce(F.col(flag), F.lit(False))
+        mut_syms = sorted(alphabet - ambiguity_symbols(ref_sym, is_aa))
+        return has_seq & self._mutation_flag(ctx, mut_syms)
 
 
 class InsertionContains(Expression):

@@ -88,8 +88,17 @@ def test_amino_acid_symbols(example_db):
 
 def test_has_mutation(example_db):
     assert pks(scan(example_db).filter(HasMutation("main", 3))) == {"k2"}
-    assert pks(scan(example_db).filter(HasMutation("main", 5))) == {"k3"}
+    # k3 stores R={A,G} over ref A at 5 — it COULD be the reference, so it is
+    # not a certain mutation (has_mutation.cpp:61-64 removes every symbol in
+    # AMBIGUITY_SYMBOLS[ref]); k2's missing N at 5 isn't one either
+    assert pks(scan(example_db).filter(HasMutation("main", 5))) == set()
     assert pks(scan(example_db).filter(HasMutation("main", 1))) == set()
+    # under maybe() only the reference symbol itself is ruled out: k2 (missing
+    # could be anything) and k3 (R could be G) both match
+    assert pks(scan(example_db).filter(Maybe(HasMutation("main", 5)))) == {
+        "k2",
+        "k3",
+    }
 
 
 # -- insertionContains -------------------------------------------------------
@@ -118,7 +127,7 @@ def test_nof_over_sequence_predicates(example_db):
         2,
         [
             SymbolEquals("main", 3, "T"),  # k2
-            HasMutation("main", 5),  # k3
+            HasMutation("main", 5),  # nobody (R over ref A is not certain)
             Equals("country", "Switzerland"),  # k1,k2
         ],
     )
