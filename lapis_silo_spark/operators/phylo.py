@@ -83,8 +83,10 @@ def most_recent_common_ancestor(
 def _format_branch_length(length: float | None) -> str:
     if length is None:
         return ""
-    # Match the reference's shortest-roundtrip float formatting (1e-06 → 1e-06)
-    text = repr(length)
+    # Match the reference's shortest-roundtrip float formatting (1e-06 →
+    # 1e-06); contraction sums re-round to the data's precision so float
+    # addition noise (…3999999999998) doesn't leak into the Newick text
+    text = repr(round(length, 11))
     return f":{text}"
 
 
@@ -109,6 +111,9 @@ def phylo_subtree(
     parent_of = {r["node"]: r["parent"] for r in all_nodes}
     depth_of = {r["node"]: r["depth"] for r in all_nodes}
     length_of = {r["node"]: r["branch_length"] for r in all_nodes}
+    # euler_in follows the source tree's sibling order — the golden Newick
+    # renders children in file order, not lexically
+    order_of = {r["node"]: r["euler_in"] for r in all_nodes}
 
     # Root the induced subtree at the MRCA of the selected set
     # (Subtree_simpleQuery.json's output root is the selected keys' MRCA,
@@ -149,7 +154,8 @@ def phylo_subtree(
         label = n + _format_branch_length(length)
         if not kids:
             return label
-        return "(" + ",".join(render(k) for k in sorted(kids)) + ")" + label
+        kids = sorted(kids, key=lambda k: order_of.get(k, 0))
+        return "(" + ",".join(render(k) for k in kids) + ")" + label
 
     def render_root(n: str) -> str:
         # root carries no branch length in the reference output
@@ -158,9 +164,12 @@ def phylo_subtree(
             return render_root(kids[0])
         if not kids:
             return n
-        return "(" + ",".join(render(k) for k in sorted(kids)) + ")" + n
+        kids = sorted(kids, key=lambda k: order_of.get(k, 0))
+        return "(" + ",".join(render(k) for k in kids) + ")" + n
 
-    newick = ";".join(render_root(r) for r in sorted(roots)) + ";" if roots else None
+    # no tree nodes selected → empty string, not null
+    # (Subtree_onlyMissingNodes.json)
+    newick = ";".join(render_root(r) for r in sorted(roots)) + ";" if roots else ""
     out = spark.createDataFrame(
         [(newick, missing_rows)],
         schema="subtreeNewick string, missingNodeCount long",

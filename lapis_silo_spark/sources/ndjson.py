@@ -85,6 +85,10 @@ class TableConfig:
             fields.append(T.StructField(col, type_map[typ]))
         for seq in list(self.nuc_sequences) + list(self.aa_sequences):
             fields.append(T.StructField(seq, seq_struct))
+        # raw unaligned companions are separate top-level input fields
+        # (``documentation/input_format.md:230-236``), null when absent
+        for seq in self.nuc_sequences:
+            fields.append(T.StructField(f"unaligned_{seq}", T.StringType()))
         return T.StructType(fields)
 
 
@@ -175,13 +179,16 @@ def ingest_records(
     seq_cols = [name for name, _, _ in seq_meta]
 
     # ``unaligned_<seq>`` companion columns (reference: ZSTD_COMPRESSED_STRING
-    # columns, ``documentation/input_format.md:112-124``) — kept as plain
+    # columns fed by the ``unaligned_<seq>`` input fields,
+    # ``documentation/input_format.md:112-124,230-236``) — kept as plain
     # strings; Parquet+zstd provides the compression the reference hand-rolls.
+    have = set(records_df.columns)
     main = records_df.select(
         pk,
         *config.metadata.keys(),
         *[
-            F.col(s)["sequence"].alias(f"unaligned_{s}")
+            (F.col(f"unaligned_{s}") if f"unaligned_{s}" in have
+             else F.lit(None).cast("string")).alias(f"unaligned_{s}")
             for s in config.nuc_sequences
         ],
     )

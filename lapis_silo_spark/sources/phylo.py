@@ -70,7 +70,10 @@ def parse_newick(newick: str) -> list[tuple[str, str | None, float | None]]:
     while stack:
         (label, length, children), parent = stack.pop()
         out.append((label, parent, length))
-        for child in children:
+        # reversed push → preorder emission in FILE order; sibling order is
+        # part of the golden contract (subtree Newick renders children in the
+        # source tree's order)
+        for child in reversed(children):
             stack.append((child, label))
 
     names = [n for n, _, _ in out]
