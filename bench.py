@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine_pairs",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
     "multimodal_decode_stub",
 ]
 
