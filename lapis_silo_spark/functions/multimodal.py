@@ -14,6 +14,8 @@ narrow mapInPandas (no shuffle) whose parallelism is the file-split count.
 
 from __future__ import annotations
 
+import os
+from hashlib import md5 as _md5
 from typing import Iterator
 
 import pandas as pd
@@ -54,6 +56,10 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+def _REAL_DECODE() -> bool:
+    return bool(os.environ.get("SILO_SPARK_REAL_DECODE"))
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
     """STUB decoder — deterministic fake standing in for a real image decoder.
 
@@ -61,15 +67,12 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
     flag; otherwise fabricates (width, height, channels, 4-dim feature) from
     the byte content so the full pipeline shape is exercised deterministically.
     """
-    import hashlib
-    import os
-
-    if os.environ.get("SILO_SPARK_REAL_DECODE"):
+    if _REAL_DECODE():
         raise NotImplementedError(
             "real image decoding requires an image library not present in "
             "this container; install one and replace _decode_image_stub"
         )
-    digest = hashlib.md5(payload).digest()
+    digest = _md5(payload).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
     channels = 1 + digest[2] % 3
@@ -90,17 +93,19 @@ def decode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"id": [], "width": [], "height": [], "n_channels": [],
-                   "feature": []}
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                w, h, c, feat = _decode_image_stub(bytes(payload))
-                out["id"].append(row["id"])
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_channels"].append(c)
-                out["feature"].append(feat)
-            yield pd.DataFrame(out)
+            # column-wise iteration — iterrows() materializes a Series per
+            # row and dominates the stage cost at scale
+            decoded = [
+                _decode_image_stub(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_channels": [d[2] for d in decoded],
+                "feature": [d[3] for d in decoded],
+            })
 
     return selected.mapInPandas(decode_batches, schema=_DECODED_SCHEMA)
 

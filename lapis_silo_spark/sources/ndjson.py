@@ -198,9 +198,12 @@ def ingest_records(
     def explode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for _, rec in pdf.iterrows():
-                for seq_name in seq_cols:
-                    payload = rec[seq_name]
+            pks = pdf[pk]
+            # column-wise iteration (iterrows would materialize a Series per
+            # record — this loop is the ingest hot path)
+            for seq_name in seq_cols:
+                ref, missing_sym = refs[seq_name]
+                for rec_pk, payload in zip(pks, pdf[seq_name]):
                     if payload is None:
                         continue
                     # payload arrives as a dict-like Row
@@ -212,10 +215,9 @@ def ingest_records(
                             "zstd library not present in this environment; "
                             "provide 'sequence' instead"
                         )
-                    ref, missing_sym = refs[seq_name]
                     rows.extend(
                         _diff_one(
-                            rec[pk], seq_name, seq, get("insertions"),
+                            rec_pk, seq_name, seq, get("insertions"),
                             get("offset"), ref, missing_sym,
                         )
                     )
