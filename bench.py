@@ -33,6 +33,12 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "multimodal_decode_stub",
+    # the reference's own headline workload: mutation statistics and symbol
+    # filters over the ingested sequence store (performance/
+    # mutation_benchmark.cpp); first query pays the synthetic-store ingest
+    "genomic_mutations_stats",
+    "genomic_symbol_equals",
+    "genomic_insertions_stats",
 ]
 
 

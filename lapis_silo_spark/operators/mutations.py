@@ -60,9 +60,12 @@ def mutations_aggregate(
         miss = miss.filter(F.col("seq_name").isin(names))
         ref = ref.filter(F.col("seq_name").isin(names))
 
-    muts = muts.join(pks, on="pk", how="left_semi")
-    cov = cov.join(pks, on="pk", how="left_semi")
-    miss = miss.join(pks, on="pk", how="left_semi")
+    if not pipeline.full_table:
+        # restrict side tables to the filtered row set; skipped entirely for
+        # a whole-table aggregate — the reference's full-bitmap short-circuit
+        muts = muts.join(pks, on="pk", how="left_semi")
+        cov = cov.join(pks, on="pk", how="left_semi")
+        miss = miss.join(pks, on="pk", how="left_semi")
 
     missing_sym = F.when(F.col("is_aa"), F.lit(AA_MISSING)).otherwise(
         F.lit(NUC_MISSING)
@@ -156,7 +159,8 @@ def insertions_aggregate(
     ins = store.insertions
     if sequence_names:
         ins = ins.filter(F.col("seq_name").isin(list(sequence_names)))
-    ins = ins.join(_filtered_pks(pipeline), on="pk", how="left_semi")
+    if not pipeline.full_table:
+        ins = ins.join(_filtered_pks(pipeline), on="pk", how="left_semi")
     return ins.groupBy("seq_name", "pos", "inserted").agg(
         F.count(F.lit(1)).alias("count")
     ).select(

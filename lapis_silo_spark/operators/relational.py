@@ -83,8 +83,14 @@ class Pipeline:
 
     def __init__(self, df: DataFrame, database: Database | None = None,
                  table_name: str = "default", pk: str | None = None,
-                 ordering: list[dict] | None = None):
+                 ordering: list[dict] | None = None,
+                 full_table: bool = False):
         self._df = df
+        # True while the row SET is provably the whole table (scan, then only
+        # row-set-preserving ops) — domain aggregates skip their filtered-pk
+        # semi-joins in that case, the Spark analog of the reference's
+        # full-bitmap short-circuit.
+        self.full_table = full_table
         self.database = database
         self.table_name = table_name
         self.pk = pk or (database.primary_key(table_name) if database else "primary_key")
@@ -95,19 +101,23 @@ class Pipeline:
 
     @classmethod
     def scan(cls, database: Database, table_name: str = "default") -> "Pipeline":
-        return cls(database.table(table_name), database, table_name)
+        return cls(database.table(table_name), database, table_name,
+                   full_table=True)
 
     @property
     def df(self) -> DataFrame:
         return self._df
 
-    def _with(self, df: DataFrame, ordering: list[dict] | None = None) -> "Pipeline":
+    def _with(self, df: DataFrame, ordering: list[dict] | None = None,
+              keeps_rows: bool = False) -> "Pipeline":
         """Ordering propagates through row-preserving ops (filter, project,
         map, limit, offset) and is cleared by order-destroying ones
-        (groupBy, join, unionAll), matching Acero's ordering propagation."""
+        (groupBy, join, unionAll), matching Acero's ordering propagation.
+        ``keeps_rows`` marks ops that provably keep the full row set."""
         return Pipeline(
             df, self.database, self.table_name, self.pk,
             ordering=self.ordering if ordering is None else ordering,
+            full_table=self.full_table and keeps_rows,
         )
 
     # -- operators --------------------------------------------------------
@@ -146,20 +156,20 @@ class Pipeline:
         narrow = bool(files) and len(files) < max(2, n // 2)
         if not narrow:
             return self
-        return self._with(self._df.repartition(n))
+        return self._with(self._df.repartition(n), keeps_rows=True)
 
     def project(self, columns: Sequence[str]) -> "Pipeline":
         missing = [c for c in columns if c not in self._df.columns]
         if missing:
             raise QueryCompileError(f"project: unknown column(s) {missing}")
-        return self._with(self._df.select(*columns))
+        return self._with(self._df.select(*columns), keeps_rows=True)
 
     def map(self, exprs: Mapping[str, Column]) -> "Pipeline":
         """Computed columns; name collision replaces in place (``map_node.cpp``)."""
         df = self._df
         for name, col in exprs.items():
             df = df.withColumn(name, col)
-        return self._with(df)
+        return self._with(df, keeps_rows=True)
 
     def group_by(
         self,
@@ -209,7 +219,8 @@ class Pipeline:
             sort_cols.append(
                 F.xxhash64(F.col(self.pk), F.lit(randomize_seed)).asc()
             )
-        return self._with(self._df.orderBy(*sort_cols), ordering=ordering)
+        return self._with(self._df.orderBy(*sort_cols), ordering=ordering,
+                          keeps_rows=True)
 
     def limit(self, n: int) -> "Pipeline":
         if n < 0:

@@ -530,7 +530,8 @@ def h_map(binder: Binder, name: str, bound: dict[str, ast.Node]) -> Pipeline:
         df = df.withColumn(out_name, col)
     if flags:
         df = df.drop(*flags)
-    return Pipeline(df, child.database, child.table_name, child.pk)
+    return Pipeline(df, child.database, child.table_name, child.pk,
+                    full_table=child.full_table)
 
 
 def _seq_names_of_kind(child: Pipeline, amino_acid: bool,
