@@ -80,13 +80,14 @@ def cmd_preprocessing(args) -> int:
     if args.phylo_tree:
         from lapis_silo_spark.sources.phylo import (
             build_phylo_nodes,
-            parse_newick,
+            parse_tree_file,
         )
 
         with open(args.phylo_tree) as fh:
             tree_text = fh.read()
         db.register_phylo_tree(
-            args.phylo_column, build_phylo_nodes(spark, parse_newick(tree_text))
+            args.phylo_column,
+            build_phylo_nodes(spark, parse_tree_file(args.phylo_tree, tree_text)),
         )
     version = save_version(db, args.output)
     print(json.dumps({"version": version, "root": args.output}))

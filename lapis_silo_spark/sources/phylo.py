@@ -83,6 +83,60 @@ def parse_newick(newick: str) -> list[tuple[str, str | None, float | None]]:
     return out
 
 
+def parse_auspice_json(text: str) -> list[tuple[str, str | None, float | None]]:
+    """Parse an Auspice v2 dataset JSON into ``(node, parent,
+    branch_length)`` tuples in preorder (file) order.
+
+    Mirrors ``phylo_tree.cpp:71-107,275-285``: the tree lives under the
+    ``tree`` key; every node needs a unique ``name``; ``node_attrs.div`` is
+    taken as the branch length verbatim.
+    """
+    import json
+
+    data = json.loads(text)
+    if "tree" not in data:
+        raise ValueError(
+            "Invalid File: Auspice JSON does not contain a 'tree' entry."
+        )
+
+    out: list[tuple[str, str | None, float | None]] = []
+    seen: set[str] = set()
+    stack: list[tuple[dict, str | None]] = [(data["tree"], None)]
+    while stack:
+        node, parent = stack.pop()
+        if "name" not in node:
+            raise ValueError(
+                "Invalid File: Auspice JSON node does not contain a 'name' entry."
+            )
+        name = str(node["name"])
+        if name in seen:
+            raise ValueError(
+                f"Duplicate node ID found in Auspice JSON string: '{name}'"
+            )
+        seen.add(name)
+        blen = None
+        attrs = node.get("node_attrs") or {}
+        if "div" in attrs:
+            blen = float(attrs["div"])
+        out.append((name, parent, blen))
+        for child in reversed(node.get("children") or []):
+            stack.append((child, name))
+    return out
+
+
+def parse_tree_file(path: str, text: str) -> list[tuple[str, str | None, float | None]]:
+    """Dispatch on extension like the reference (``phylo_tree.cpp:378-394``):
+    ``.nwk`` → Newick, ``.json`` → Auspice v2, anything else is an error."""
+    lower = path.lower()
+    if lower.endswith(".nwk"):
+        return parse_newick(text)
+    if lower.endswith(".json"):
+        return parse_auspice_json(text)
+    raise ValueError(
+        f"Error when parsing tree file: '{path}'. Path must end with .nwk or .json"
+    )
+
+
 def build_phylo_nodes(
     spark: SparkSession,
     edges: list[tuple[str, str | None, float | None]],

@@ -143,3 +143,45 @@ def test_newick_roundtrip(spark):
         rows["A"]["euler_in"] < rows["L1"]["euler_in"] <= rows["L1"]["euler_out"]
         < rows["A"]["euler_out"]
     )
+
+
+def test_auspice_json_matches_newick(spark):
+    """The same tree via Auspice v2 JSON and Newick must yield identical
+    (node, parent, branch_length) tuples in the same (file) order —
+    phylo_tree.cpp:71-107 takes node_attrs.div as the branch length."""
+    import json
+
+    import pytest
+
+    from lapis_silo_spark.sources.phylo import parse_auspice_json, parse_tree_file
+
+    auspice = json.dumps({
+        "version": "v2",
+        "tree": {
+            "name": "ROOT",
+            "children": [
+                {"name": "A", "node_attrs": {"div": 0.3}, "children": [
+                    {"name": "L1", "node_attrs": {"div": 0.1}},
+                    {"name": "L2", "node_attrs": {"div": 0.2}},
+                ]},
+                {"name": "B", "node_attrs": {"div": 0.5}, "children": [
+                    {"name": "L3", "node_attrs": {"div": 0.4}},
+                ]},
+            ],
+        },
+    })
+    from lapis_silo_spark.sources.phylo import parse_newick
+
+    assert parse_auspice_json(auspice) == parse_newick(
+        "((L1:0.1,L2:0.2)A:0.3,(L3:0.4)B:0.5)ROOT;"
+    )
+    # extension dispatch mirrors phylo_tree.cpp:378-394
+    assert parse_tree_file("t.json", auspice)[0][0] == "ROOT"
+    with pytest.raises(ValueError, match="must end with .nwk or .json"):
+        parse_tree_file("t.txt", "x")
+    with pytest.raises(ValueError, match="'tree' entry"):
+        parse_auspice_json("{}")
+    with pytest.raises(ValueError, match="Duplicate node"):
+        parse_auspice_json(json.dumps(
+            {"tree": {"name": "R", "children": [{"name": "R"}]}}
+        ))
