@@ -37,6 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,6 +113,7 @@ def _diff_one(
     offset: int | None,
     reference: str,
     missing_sym: str,
+    ref_bytes: "np.ndarray | None" = None,
 ) -> Iterator[tuple]:
     """Explode one aligned sequence into side-table event tuples.
 
@@ -119,6 +121,10 @@ def _diff_one(
     leading/trailing missing runs shrink coverage; interior missing symbols →
     ``missing`` rows; any other symbol differing from the reference → a
     ``mutation`` row. Positions are 1-based absolute (after ``offset``).
+
+    The per-position comparison is vectorized (byte arrays, ``np.nonzero``
+    over inequality masks) — this is the ingest hot loop; a per-character
+    Python loop over full genomes would dominate 100 TB ingest cost.
     """
     ins_list = [] if insertions is None else list(insertions)
     if sequence is None and not ins_list:
@@ -127,17 +133,17 @@ def _diff_one(
     if sequence is not None:
         seq = sequence.upper()
         n = len(seq)
-        first = 0
-        while first < n and seq[first] == missing_sym:
-            first += 1
-        if first == n:
+        sbytes = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+        miss_b = ord(missing_sym)
+        not_missing = sbytes != miss_b
+        covered_idx = np.nonzero(not_missing)[0]
+        if covered_idx.size == 0:
             # entirely missing: coverage row with empty range — the row HAS a
             # sequence (matches missing searches) but covers nothing
             yield (pk, seq_name, "coverage", off + 1, off + 1, None)
         else:
-            last = n - 1
-            while seq[last] == missing_sym:
-                last -= 1
+            first = int(covered_idx[0])
+            last = int(covered_idx[-1])
             cov_start = off + first + 1  # 1-based inclusive
             cov_end = off + last + 2  # half-open
             yield (pk, seq_name, "coverage", cov_start, cov_end, None)
@@ -146,13 +152,28 @@ def _diff_one(
                     f"{pk}/{seq_name}: aligned sequence overruns reference "
                     f"({cov_end - 1} > {len(reference)})"
                 )
-            for i in range(first, last + 1):
-                sym = seq[i]
-                pos = off + i + 1
-                if sym == missing_sym:
-                    yield (pk, seq_name, "missing", pos, None, None)
-                elif pos > len(reference) or sym != reference[pos - 1]:
-                    yield (pk, seq_name, "mutation", pos, None, sym)
+            window = sbytes[first:last + 1]
+            if ref_bytes is None:
+                ref_bytes = np.frombuffer(
+                    reference.upper().encode("latin-1"), dtype=np.uint8
+                )
+            # align the reference window to the covered span (positions past
+            # the reference end always count as mutations)
+            ref_lo = off + first
+            ref_window = ref_bytes[ref_lo:ref_lo + window.size]
+            if ref_window.size < window.size:
+                ref_window = np.concatenate(
+                    [ref_window, np.zeros(window.size - ref_window.size,
+                                          dtype=np.uint8)]
+                )
+            interior_missing = window == miss_b
+            mutated = (window != ref_window) & ~interior_missing
+            for i in np.nonzero(interior_missing)[0]:
+                yield (pk, seq_name, "missing", off + first + int(i) + 1,
+                       None, None)
+            for i in np.nonzero(mutated)[0]:
+                yield (pk, seq_name, "mutation", off + first + int(i) + 1,
+                       None, chr(window[int(i)]))
     for ins in ins_list:
         txt = str(ins)
         colon = txt.index(":")
@@ -203,6 +224,7 @@ def ingest_records(
             # record — this loop is the ingest hot path)
             for seq_name in seq_cols:
                 ref, missing_sym = refs[seq_name]
+                ref_bytes = np.frombuffer(ref.encode("latin-1"), dtype=np.uint8)
                 for rec_pk, payload in zip(pks, pdf[seq_name]):
                     if payload is None:
                         continue
@@ -219,6 +241,7 @@ def ingest_records(
                         _diff_one(
                             rec_pk, seq_name, seq, get("insertions"),
                             get("offset"), ref, missing_sym,
+                            ref_bytes=ref_bytes,
                         )
                     )
             yield pd.DataFrame(
