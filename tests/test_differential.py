@@ -60,6 +60,14 @@ def _gen_predicate(rng: random.Random, depth: int = 0) -> str:
         lambda: f"hasAAMutation(position:={rng.choice([9, 28, 142])}, sequenceName:='S')",
         lambda: (f"insertionContains(position:=25701, value:='{rng.choice(['CCC', 'CC.*', '.*C'])}', "
                  "sequenceName:='main')"),
+        lambda: (f"aminoAcidInsertionContains(position:=214, "
+                 f"value:='{rng.choice(['EPE', 'E.*E', '.*PE'])}', sequenceName:='S')"),
+        lambda: (f"aminoAcidEquals(position:={rng.choice([19, 142, 478, 614, 681])}, "
+                 f"symbol:='{rng.choice(['R', 'D', 'K', 'G', 'H', 'X', '-'])}', "
+                 "sequenceName:='S')"),
+        lambda: (f"usherTree.phyloDescendantOf('NODE_00000{rng.randint(10, 96)}')"),
+        lambda: (f"pango_lineage.lineage('{rng.choice(['B.1.617.2', 'XBB', 'GD', 'P.1'])}', "
+                 f"includeSublineages:=true)"),
     ]
     if depth >= 2:
         return rng.choice(leaves)()
@@ -92,10 +100,15 @@ def _gen_query(rng: random.Random) -> str:
     elif action < 0.75:
         tail = (".orderBy({primary_key})"
                 ".project({primary_key, division, age, qc_value})")
-    elif action < 0.85:
+    elif action < 0.8:
         tail = f".mutations(minProportion:={rng.choice([0.3, 0.7, 1])})"
-    elif action < 0.95:
-        tail = ".insertions()"
+    elif action < 0.87:
+        names = rng.choice(["{S}", "{E}", "{S, N}"])
+        tail = (f".aminoAcidMutations(minProportion:="
+                f"{rng.choice([0.3, 0.5])}, sequenceNames:={names})")
+    elif action < 0.92:
+        tail = rng.choice([".insertions()",
+                           ".aminoAcidInsertions(sequenceNames:={S})"])
     else:
         tail = (".orderBy({primary_key})"
                 f".offset({rng.randint(0, 5)}).limit({rng.randint(1, 20)})"
