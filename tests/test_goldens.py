@@ -241,3 +241,29 @@ def test_full_genome_mutation_profile(golden_db):
     # *definite* positions — fully-covered unmutated rows qualify; the
     # heavily-trimmed reconstruction rows mostly read N (not definite)
     assert got  # non-empty and executes via the aggregate plan
+
+
+def test_golden_values_survive_persistence(golden_db, tmp_path_factory):
+    """save_version → load_version must preserve golden VALUES: a sample of
+    corpus queries (covering metadata filters, sequence predicates, domain
+    aggregates, lineage closure, phylo tree) re-run against the reloaded
+    store and must still match exactly."""
+    from lapis_silo_spark.storage import load_version, save_version
+
+    root = str(tmp_path_factory.mktemp("golden_store"))
+    save_version(golden_db, root)
+    reloaded = load_version(golden_db.spark, root)
+
+    sample = [
+        "And", "booleanEquals_Or", "dateBetween_openFrom2", "Maybe", "Exact",
+        "GroupByLineage", "PhyloDescendantOf", "insertionsAction",
+        "aaMutDistribution_min0", "sequenceStartEndMutations",
+        "nOf_2of3_aggregated2", "Subtree_simpleQuery", "fastaAligned_multiple",
+        "fasta_oneRowTwoUnalignedSequences", "OrderByFloat",
+    ]
+    for name in sample:
+        case = json.loads((E2E / "queries" / f"{name}.json").read_text())
+        rows = [r.asDict()
+                for r in execute_query(reloaded, case["query"]).collect()]
+        expected = case.get("expectedQueryResult") or []
+        assert _normalize(rows) == _normalize(expected), name
