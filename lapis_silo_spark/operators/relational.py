@@ -302,8 +302,17 @@ class Pipeline:
 
     # -- sinks ------------------------------------------------------------
     def to_ndjson(self) -> list[str]:
-        """NDJSON sink (``exec_node/ndjson_sink.cpp``) — collect as JSON lines."""
-        return self._df.toJSON().collect()
+        """NDJSON sink (``exec_node/ndjson_sink.cpp``) — collect as JSON lines.
+
+        Null fields are EMITTED (``{"division": null}``), matching the
+        reference's output rows; Spark's ``toJSON`` would silently drop them.
+        """
+        out = self._df.select(
+            F.to_json(
+                F.struct(*self._df.columns), {"ignoreNullFields": "false"}
+            ).alias("j")
+        )
+        return [r["j"] for r in out.collect()]
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)

@@ -26,6 +26,8 @@ import io
 import json
 import uuid
 
+from pyspark.sql import functions as F
+
 from lapis_silo_spark.catalog import Database
 from lapis_silo_spark.expressions.base import QueryCompileError
 
@@ -84,8 +86,17 @@ def create_app(db: Database):
                     content_type=ARROW_MIME,
                     headers=headers,
                 )
+            df = pipeline.df
+            # emit null fields explicitly, matching the reference's rows
+            # (Spark's toJSON drops them); streamed via toLocalIterator so a
+            # large result never materializes driver-side at once
+            jdf = df.select(
+                F.to_json(
+                    F.struct(*df.columns), {"ignoreNullFields": "false"}
+                ).alias("j")
+            )
             ndjson = "".join(
-                line + "\n" for line in pipeline.df.toJSON().toLocalIterator()
+                r["j"] + "\n" for r in jdf.toLocalIterator()
             )
             return Response(
                 ndjson, content_type="application/x-ndjson", headers=headers

@@ -267,3 +267,25 @@ def test_golden_values_survive_persistence(golden_db, tmp_path_factory):
                 for r in execute_query(reloaded, case["query"]).collect()]
         expected = case.get("expectedQueryResult") or []
         assert _normalize(rows) == _normalize(expected), name
+
+
+def test_golden_values_through_http(golden_db):
+    """A sample of golden queries POSTed to /query must return the expected
+    rows as NDJSON — value conformance through the full serving path
+    (parse → bind → execute → serialize → headers)."""
+    from lapis_silo_spark.server import create_app
+
+    app = create_app(golden_db)
+    app.testing = True
+    client = app.test_client()
+    sample = ["And", "GroupByDivision", "insertionsAction",
+              "MostRecentCommonAncestor_SimpleQuery", "secondSequence",
+              "symbolEquals/testSeqPos2SymbolMaybeC"]
+    for name in sample:
+        case = json.loads((E2E / "queries" / f"{name}.json").read_text())
+        resp = client.post("/query", data=case["query"])
+        assert resp.status_code == 200, (name, resp.get_data(as_text=True))
+        rows = [json.loads(line) for line in
+                resp.get_data(as_text=True).splitlines() if line]
+        expected = case.get("expectedQueryResult") or []
+        assert _normalize(rows) == _normalize(expected), name
