@@ -289,3 +289,25 @@ def test_golden_values_through_http(golden_db):
                 resp.get_data(as_text=True).splitlines() if line]
         expected = case.get("expectedQueryResult") or []
         assert _normalize(rows) == _normalize(expected), name
+
+
+def test_golden_values_through_arrow_ipc(golden_db):
+    """The same golden sample via ``Accept: application/vnd.apache.arrow.stream``
+    must round-trip through the Arrow IPC sink with identical values."""
+    import pyarrow as pa
+
+    from lapis_silo_spark.server import ARROW_MIME, create_app
+
+    app = create_app(golden_db)
+    app.testing = True
+    client = app.test_client()
+    for name in ["GroupByDivision", "boolean_Details", "aaInsertionsAction"]:
+        case = json.loads((E2E / "queries" / f"{name}.json").read_text())
+        resp = client.post("/query", data=case["query"],
+                           headers={"Accept": ARROW_MIME})
+        assert resp.status_code == 200, name
+        assert resp.content_type == ARROW_MIME
+        table = pa.ipc.open_stream(resp.get_data()).read_all()
+        rows = table.to_pylist()
+        expected = case.get("expectedQueryResult") or []
+        assert _normalize(rows) == _normalize(expected), name
