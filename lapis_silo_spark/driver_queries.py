@@ -536,9 +536,22 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
-@query("schema_introspection")  # no SQL oracle: engine-defined type names
+@query(
+    "schema_introspection",
+    """SELECT column_name AS fieldName,
+              CASE lower(data_type)
+                   WHEN 'integer' THEN 'int'
+                   WHEN 'varchar' THEN 'string'
+                   -- DuckDB TIMESTAMP is timezone-naive == Spark's _ntz
+                   WHEN 'timestamp' THEN 'timestamp_ntz'
+                   ELSE lower(data_type) END AS type
+       FROM information_schema.columns
+       WHERE table_name = 'lineitem'""",
+)
 def q_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema() — one row per output field (schema_node.cpp:22-38)."""
+    """schema() — one row per output field (schema_node.cpp:22-38); the
+    oracle maps DuckDB's information_schema type names onto Spark's
+    simpleString names."""
     db = db_for(spark, sf_dir)
     return Pipeline.scan(db, "lineitem").schema_().df
 
