@@ -892,7 +892,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_pairs")  # bit-level impl detail — rows-only check
+@query(
+    "dedup_simhash_pairs",
+    # md5-derived token hashes → DuckDB recomputes identical 63-bit
+    # signatures; the chunk candidate generation is pigeonhole-complete for
+    # hamming <= 3, so the exact O(n²) pair join is the true oracle
+    """WITH norm AS (SELECT doc_id AS id,
+                            lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+                     FROM documents),
+            toks AS (SELECT id, unnest(string_split(nt, ' ')) AS t FROM norm),
+            h AS (SELECT id,
+                         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                           * 2147483648
+                         + (CAST(('0x' || substr(md5(t || '#'), 1, 8)) AS BIGINT)
+                            % 2147483648) AS th
+                  FROM toks),
+            bits AS (SELECT id, j,
+                            SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS s
+                     FROM h CROSS JOIN (SELECT unnest(range(63)) AS j) jj
+                     GROUP BY id, j),
+            sig AS (SELECT id,
+                           SUM(CASE WHEN s > 0
+                                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                                    ELSE 0 END) AS sig
+                    FROM bits GROUP BY id)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM sig a JOIN sig b ON a.id < b.id
+       WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures)."""
     from lapis_silo_spark.functions import dedup as fdedup
@@ -993,7 +1022,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # approximate recall — no exact-SQL oracle
+@query(
+    "ann_lsh_topk",
+    # the hyperplanes are md5-derived, so DuckDB recomputes the exact same
+    # signatures: coef(p,d) = ((0x || md5(p:d)[1:8]) % 2001 - 1000)/1000
+    """WITH dims AS (SELECT unnest(range(64)) AS d),
+            planes AS (SELECT unnest(range(24)) AS p),
+            coef AS (
+              SELECT p, d,
+                     ((CAST(('0x' || substr(md5(p || ':' || d), 1, 8)) AS BIGINT)
+                       % 2001) - 1000) / 1000.0 AS c
+              FROM planes CROSS JOIN dims),
+            corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+                     FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+            csig AS (
+              SELECT id, p // 6 AS t, p,
+                     CASE WHEN SUM(vec[d + 1] * c) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM corp CROSS JOIN coef GROUP BY id, p),
+            cbuck AS (
+              SELECT id, t || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+              FROM csig GROUP BY id, t),
+            qsig AS (
+              SELECT query_id, p // 6 AS t, p,
+                     CASE WHEN SUM(qvec[d + 1] * c) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM q CROSS JOIN coef GROUP BY query_id, p),
+            qbuck AS (
+              SELECT query_id,
+                     t || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+              FROM qsig GROUP BY query_id, t),
+            cand AS (
+              SELECT DISTINCT qb.query_id, cb.id
+              FROM cbuck cb JOIN qbuck qb USING (bucket)
+              WHERE cb.id <> qb.query_id)
+       SELECT query_id, id,
+              round(list_cosine_similarity(corp.vec, q.qvec), 6) AS cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(corp.vec, q.qvec), 6)
+                            DESC, id ASC) AS INT) AS rank
+       FROM cand JOIN corp USING (id) JOIN q USING (query_id)
+       QUALIFY rank <= 10""",
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signatures)."""
     from lapis_silo_spark.functions import similarity as fsim
