@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
 from lapis_silo_spark.catalog import SequenceStore
+from lapis_silo_spark.jvm import ensure_zstd_udfs
 
 
 @dataclass
@@ -199,6 +200,37 @@ def ingest_records(
     ]
     seq_cols = [name for name, _, _ in seq_meta]
 
+    # ``sequenceCompressed`` (base64 + zstd with the column's reference genome
+    # as raw-content dictionary; takes precedence over ``sequence`` —
+    # ``documentation/input_format.md:206-208``) is decompressed JVM-side via
+    # the bundled zstd-jni UDF *before* the Python diffing pass, so the hot
+    # mapInPandas stage only ever sees plain aligned strings. When the JVM
+    # helper cannot be built (no JDK), compressed payloads surface a clear
+    # error in the Python pass below instead.
+    if seq_cols and ensure_zstd_udfs(spark):
+        for seq_name, ref, _missing in seq_meta:
+            dict_hex = ref.encode("utf-8").hex()
+            payload = F.col(seq_name)
+            records_df = records_df.withColumn(
+                seq_name,
+                F.when(payload.isNull(), payload).otherwise(
+                    F.struct(
+                        F.when(
+                            payload.getField("sequenceCompressed").isNotNull(),
+                            F.expr(
+                                f"zstd_dict_decompress(unbase64("
+                                f"`{seq_name}`.sequenceCompressed), "
+                                f"X'{dict_hex}')"
+                            ),
+                        ).otherwise(payload.getField("sequence"))
+                        .alias("sequence"),
+                        F.lit(None).cast("string").alias("sequenceCompressed"),
+                        payload.getField("insertions").alias("insertions"),
+                        payload.getField("offset").alias("offset"),
+                    )
+                ),
+            )
+
     # ``unaligned_<seq>`` companion columns (reference: ZSTD_COMPRESSED_STRING
     # columns fed by the ``unaligned_<seq>`` input fields,
     # ``documentation/input_format.md:112-124,230-236``) — kept as plain
@@ -232,10 +264,12 @@ def ingest_records(
                     get = payload.get if hasattr(payload, "get") else payload.__getitem__
                     seq = get("sequence")
                     if seq is None and get("sequenceCompressed") is not None:
-                        raise NotImplementedError(
-                            "sequenceCompressed (zstd-dict) ingest requires a "
-                            "zstd library not present in this environment; "
-                            "provide 'sequence' instead"
+                        # only reachable when the JVM zstd helper could not be
+                        # built (ensure_zstd_udfs returned False)
+                        raise RuntimeError(
+                            "sequenceCompressed (zstd-dict) ingest requires "
+                            "the JVM zstd UDF, which failed to build in this "
+                            "environment; provide 'sequence' instead"
                         )
                     rows.extend(
                         _diff_one(

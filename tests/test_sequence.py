@@ -257,3 +257,51 @@ def test_mutation_profile_aggregate_chosen_for_long_profiles(example_db):
                                  is_amino_acid=False)
     ))
     assert out == {"k1", "k2", "k3"}
+
+
+# -- sequenceCompressed ingest (JVM zstd-dict UDF) ---------------------------
+
+def test_sequence_compressed_ingest_matches_plain(spark):
+    """zstd-dict payloads (input_format.md:206-208) must diff identically to
+    plain sequences, and take precedence over `sequence` when both present."""
+    from pyspark.sql import functions as F
+
+    from lapis_silo_spark.jvm import ensure_zstd_udfs
+    from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+
+    assert ensure_zstd_udfs(spark), "JVM zstd UDF must build in this env"
+
+    ref = "ACGTACGTAC"
+    dict_hex = ref.encode().hex()
+    plain_seqs = {"p1": "ACTTNCGTAC", "p2": "NNGTRCGNNN", "p3": ref}
+
+    def b64(s: str) -> str:
+        return spark.sql(
+            f"SELECT base64(zstd_dict_compress('{s}', X'{dict_hex}'))"
+        ).collect()[0][0]
+
+    config = TableConfig(primary_key="pk", nuc_sequences={"main": ref})
+
+    def ingest(records):
+        df = spark.createDataFrame(records, schema=config.spark_schema())
+        _, store = ingest_records(spark, df, config)
+        muts = {tuple(r) for r in store.mutations.collect()}
+        cov = {tuple(r) for r in store.coverage.collect()}
+        miss = {tuple(r) for r in store.missing.collect()}
+        return muts, cov, miss
+
+    plain = ingest([
+        {"pk": k, "main": {"sequence": s, "sequenceCompressed": None,
+                           "insertions": [], "offset": None}}
+        for k, s in plain_seqs.items()
+    ])
+    compressed = ingest([
+        # "wrong" plain sequence alongside: compressed must win (precedence)
+        {"pk": k, "main": {"sequence": ref if k != "p3" else None,
+                           "sequenceCompressed": b64(s),
+                           "insertions": [], "offset": None}}
+        for k, s in plain_seqs.items()
+    ])
+    assert compressed == plain
+    muts, _, _ = plain
+    assert ("p1", "main", 3, "T") in muts  # sanity: diffing really ran
