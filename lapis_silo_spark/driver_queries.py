@@ -1125,6 +1125,124 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data hygiene: decontamination, deterministic sampling, quality
+# filtering (reference has no analog — training-pipeline superset)
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontam_ngram_overlap",
+    f"""WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN [array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)]
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+            ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+            tr AS (SELECT DISTINCT doc_id, gram FROM grams
+                   WHERE doc_id % 10 <> 0)
+        SELECT tr.doc_id, count(*) AS hits
+        FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""",
+)
+def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs sharing word 3-grams with the
+    held-out tenth of the corpus (functions.decontam — broadcast eval grams,
+    one pass over the training side)."""
+    from lapis_silo_spark.functions import decontam as fdec
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return fdec.contaminated_docs(train_df, eval_df, "doc_id", "text", n=3)
+
+
+@query(
+    "sample_stratified_hash",
+    """SELECT lang, count(*) AS kept, sum(n_chars) AS chars_kept
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+                       WHEN 'fr' THEN '40' ELSE '20' END
+       GROUP BY lang""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed stratified sampling: md5-bucket
+    predicate per language stratum (functions.sampling — codegen'd scan
+    filter, no shuffle before the final rollup)."""
+    from lapis_silo_spark.functions import sampling as fsamp
+
+    db = db_for(spark, sf_dir)
+    keep = fsamp.stratified_hash_sample(
+        "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25},
+        default_rate=0.125,
+    )
+    return (
+        db.table("documents")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    f"""WITH t AS (
+          SELECT source,
+                 length({_TOKENS_SQL}) AS ntok,
+                 length(list_filter({_TOKENS_SQL},
+                        t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS stop_hits,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+                 length(text) AS nchars,
+                 list_sum([length(x) FOR x IN {_TOKENS_SQL}]) AS charsum
+          FROM documents),
+        scored AS (
+          SELECT source,
+                 least(ntok / 100.0, 1.0) * 0.25
+                 + least((stop_hits * 1.0 / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                 + (1.0 - least((punct * 1.0 / greatest(nchars, 1)) * 10.0, 1.0)) * 0.25
+                 + (CASE WHEN charsum * 1.0 / greatest(ntok, 1) BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END) * 0.25 AS q
+          FROM t),
+        cuts AS (SELECT source, quantile_cont(q, 0.25) AS cut
+                 FROM scored GROUP BY source)
+        SELECT scored.source, count(*) AS kept, round(avg(q), 4) AS avg_q
+        FROM scored JOIN cuts ON scored.source = cuts.source
+        WHERE q >= cut GROUP BY scored.source""",
+)
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: drop the worst quartile per source.
+
+    The per-source cutoffs are a tiny exact-percentile aggregate that
+    broadcasts back onto the scored scan — at 100 TB the heavy side is
+    touched twice but never shuffled on a wide key."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    scored = (
+        Pipeline.scan(db, "documents")
+        .rebalance()
+        .df.select("source", ftext.quality_score("text").alias("q"))
+    )
+    cuts = scored.groupBy("source").agg(
+        F.percentile("q", 0.25).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .filter(F.col("q") >= F.col("cut"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-function superset (reference has none — SURVEY §2.5)
 # ---------------------------------------------------------------------------
 

@@ -129,6 +129,23 @@ def char_shingles(col: str | Column, k: int = 5) -> Column:
     )
 
 
+def word_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Space-joined word n-grams of the normalized text (array<string>).
+
+    Guarded against short documents: Spark's ``sequence(a, b)`` DESCENDS when
+    ``b < a``, so the window count is clamped to zero explicitly — a doc with
+    fewer than ``n`` tokens yields an empty array, not reversed garbage.
+    """
+    toks = tokens(col)
+    windows = F.size(toks) - (n - 1)
+    return F.when(windows < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(windows, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def winnow_fingerprint(col: str | Column, k: int = 8) -> Column:
     """Rolling-hash-style fingerprint: lexicographic min of md5 over all
     character k-shingles (one-window winnowing). Deterministic and

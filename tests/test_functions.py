@@ -197,3 +197,65 @@ def test_frame_sample_plan(spark):
     )
     frames = multimodal.frame_sample_plan(df, "id", "payload", every_nth=30).collect()
     assert [r["frame_index"] for r in frames] == [0, 30, 60]
+
+
+# -- training-data hygiene: decontam / sampling / word n-grams ----------------
+
+def test_word_ngrams_short_doc_guard(spark):
+    # fewer tokens than n must give [], not Spark's descending-sequence garbage
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "text string"
+    )
+    out = [r[0] for r in df.select(text.word_ngrams("text", 3)).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_contaminated_docs_hand_computed(spark):
+    from lapis_silo_spark.functions import decontam
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown", "quick brown fox"
+            (2, "totally unrelated sentence here"),
+            (3, "lazy dog sleeps all day"),     # shares "lazy dog sleeps"
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "lazy dog sleeps")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in decontam.contaminated_docs(train, eval_df).collect()
+    }
+    assert got == {1: 2, 3: 1}
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from lapis_silo_spark.functions import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    kept1 = df.filter(sampling.hash_sample("k", 0.25)).count()
+    kept2 = df.filter(sampling.hash_sample("k", 0.25)).count()
+    assert kept1 == kept2  # content-addressed: identical across runs
+    assert 0.18 < kept1 / 2000 < 0.32  # ~64/256 of a uniform hash
+
+    # nested property: a 12.5% sample is a subset of the 25% sample
+    small = df.filter(sampling.hash_sample("k", 0.125))
+    assert small.join(
+        df.filter(sampling.hash_sample("k", 0.25)), "k", "left_anti"
+    ).count() == 0
+
+
+def test_stratified_hash_sample_rates(spark):
+    from lapis_silo_spark.functions import sampling
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s"
+    )
+    keep = sampling.stratified_hash_sample("k", "s", {"a": 1.0}, default_rate=0.0)
+    out = df.filter(keep).groupBy("s").count().collect()
+    assert {r["s"]: r["count"] for r in out} == {"a": 500}  # b fully dropped
