@@ -43,9 +43,14 @@ def contaminated_docs(
     grams = eval_ngram_table(eval_df, text_col, n)
     train_grams = train_df.select(
         id_col, F.explode(word_ngrams(text_col, n)).alias("gram")
-    ).distinct()
+    )
+    # Join BEFORE deduplicating: the broadcast join is map-side, so only the
+    # grams that actually hit the eval set ever reach a shuffle — at corpus
+    # scale contamination is sparse, so this shuffles a sliver of the data a
+    # distinct-then-join formulation would move. countDistinct still does a
+    # partial (map-side) aggregate of that sliver.
     return (
         train_grams.join(F.broadcast(grams), "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(F.count_distinct("gram").alias("hits"))
     )

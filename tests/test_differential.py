@@ -127,7 +127,7 @@ def evaluator_and_records():
 
 
 # one pytest case per seed so failures name the reproducing seed
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(int(__import__("os").environ.get("FUZZ_SEEDS", "40"))))
 def test_engine_matches_reference_evaluator(golden_db, evaluator_and_records,
                                             seed):
     ev, records = evaluator_and_records

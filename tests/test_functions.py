@@ -259,3 +259,20 @@ def test_stratified_hash_sample_rates(spark):
     keep = sampling.stratified_hash_sample("k", "s", {"a": 1.0}, default_rate=0.0)
     out = df.filter(keep).groupBy("s").count().collect()
     assert {r["s"]: r["count"] for r in out} == {"a": 500}  # b fully dropped
+
+
+def test_decontam_plan_broadcasts_eval_grams(spark):
+    """The eval-gram side must broadcast (map-side contamination probe); a
+    sort-merge join here would shuffle the full exploded training corpus."""
+    from lapis_silo_spark.functions import decontam
+
+    train = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma delta ', id) AS text"
+    )
+    eval_df = spark.range(0, 5).selectExpr(
+        "id AS doc_id", "'alpha beta gamma' AS text"
+    )
+    plan = decontam.contaminated_docs(train, eval_df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
