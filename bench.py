@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash_bands",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine_pairs",
+    "dedup_embedding_lsh_pairs",
     "decontam_ngram_overlap",
     "ann_brute_force_topk",
     "ann_ivf_topk",

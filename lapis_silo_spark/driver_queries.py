@@ -948,6 +948,47 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_lsh_pairs",
+    # same md5-derived hyperplanes as ann_lsh_topk, so DuckDB reproduces the
+    # exact candidate set: 24 planes in 4 tables of 6
+    """WITH dims AS (SELECT unnest(range(64)) AS d),
+            planes AS (SELECT unnest(range(24)) AS p),
+            coef AS (
+              SELECT p, d,
+                     ((CAST(('0x' || substr(md5(p || ':' || d), 1, 8)) AS BIGINT)
+                       % 2001) - 1000) / 1000.0 AS c
+              FROM planes CROSS JOIN dims),
+            corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+                     FROM embeddings),
+            sig AS (
+              SELECT id, p // 6 AS t, p,
+                     CASE WHEN SUM(vec[d + 1] * c) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM corp CROSS JOIN coef GROUP BY id, p),
+            buck AS (
+              SELECT id, t || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+              FROM sig GROUP BY id, t),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM buck a JOIN buck b USING (bucket) WHERE a.id < b.id)
+       SELECT id_a, id_b,
+              round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos
+       FROM cand JOIN corp va ON id_a = va.id JOIN corp vb ON id_b = vb.id
+       WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.4""",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the scale path: n_tables ×
+    rows shuffle instead of the exact baseline's rows² cross join)."""
+    from lapis_silo_spark.functions import similarity as fsim
+
+    db = db_for(spark, sf_dir)
+    return fsim.lsh_candidate_pairs(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
+        n_planes=6, n_tables=4, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lapis_silo_spark.functions.dedup import cosine, dot, norm
 
@@ -26,7 +27,13 @@ def _hyperplane_component(plane: int, dim: int) -> Column:
 
 
 def lsh_signature(vec_col: Column, n_planes: int, dim: int) -> Column:
-    """Random-hyperplane (sign) signature as a bit-string, e.g. '1011…'."""
+    """Random-hyperplane (sign) signature as a bit-string, e.g. '1011…'.
+
+    Expression form — fine for a handful of planes. For full plane banks use
+    ``lsh_table_buckets`` (vectorized): a planes×dims expression tree blows
+    past the JVM's 64 KB method limit, and Spark's interpreted fallback
+    tree-walks every multiply-add per row.
+    """
     bits = []
     for p in range(n_planes):
         dot = F.lit(0.0)
@@ -34,6 +41,71 @@ def lsh_signature(vec_col: Column, n_planes: int, dim: int) -> Column:
             dot = dot + vec_col.getItem(d) * _hyperplane_component(p, d)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _plane_matrix(total_planes: int, dim: int) -> "object":
+    """The md5-derived hyperplane bank as a numpy (total_planes × dim)
+    matrix — bit-identical coefficients to ``_hyperplane_component``
+    (first 8 hex chars of md5("p:d") → ((h % 2001) - 1000)/1000)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                ((int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+                  % 2001) - 1000) / 1000.0
+                for d in range(dim)
+            ]
+            for p in range(total_planes)
+        ]
+    )
+
+
+def lsh_table_buckets(
+    vec_col: str, n_planes: int, n_tables: int, dim: int
+) -> Column:
+    """All ``n_tables`` banded bucket labels of a vector (array<string>,
+    entries ``"t:bits"``), computed as ONE numpy matmul per Arrow batch.
+
+    The signature is a (rows × dim) · (dim × planes) matrix product — the
+    textbook case where a vectorized Pandas UDF beats built-in expressions:
+    the equivalent expression tree has planes×dim nodes, which both breaks
+    whole-stage codegen (64 KB method limit) and is quadratically slow under
+    the interpreted fallback. Plane order matches the expression/SQL form
+    (global plane index ``t*n_planes + p``), so oracle SQL stays valid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_planes * n_tables
+    planes = _plane_matrix(total, dim)
+
+    # no type hints: module-level `from __future__ import annotations` makes
+    # them strings pandas_udf can't resolve from this closure's scope
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (mat @ planes.T) >= 0  # rows × total
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    f"{t}:" + "".join(
+                        "1" if b else "0"
+                        for b in row[t * n_planes:(t + 1) * n_planes]
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return _buckets(F.col(vec_col).cast("array<double>"))
 
 
 def brute_force_topk(
@@ -215,26 +287,17 @@ def lsh_bucket_topk(
         F.col(query_vec_col).cast("array<double>").alias("qvec"),
     )
 
-    # per-table signatures with table-offset plane indices
-    def sig_for_table(vec: str, t: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            dot = F.lit(0.0)
-            for d in range(dim):
-                dot = dot + F.col(vec).getItem(d) * _hyperplane_component(
-                    t * n_planes + p, d
-                )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(F.lit(f"{t}:"), *bits)
-
+    # per-table bucket labels, vectorized (one matmul per Arrow batch; the
+    # expression form breaks codegen past ~a dozen planes — see
+    # lsh_table_buckets)
     c_buckets = c.select(
         "id", "vec",
-        F.explode(F.array(*[sig_for_table("vec", t) for t in range(n_tables)])
+        F.explode(lsh_table_buckets("vec", n_planes, n_tables, dim)
                   ).alias("bucket"),
     )
     q_buckets = q.select(
         "query_id", "qvec",
-        F.explode(F.array(*[sig_for_table("qvec", t) for t in range(n_tables)])
+        F.explode(lsh_table_buckets("qvec", n_planes, n_tables, dim)
                   ).alias("bucket"),
     )
     candidates = (
@@ -251,4 +314,80 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "cos", "rank")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded hyperplane LSH — the scale
+    path for ``dedup.embedding_near_dup_pairs`` (which is exact but O(n²)).
+
+    Candidates must share a full sign-signature in at least one of
+    ``n_tables`` plane sets; survivors are verified with the exact cosine.
+    Shuffle cost is n_tables × rows for the bucket join (vs rows² for the
+    all-pairs cross join); hot buckets (dense clusters) are AQE skew-join
+    territory. Plane coefficients are md5-derived (``_hyperplane_component``)
+    so an external SQL engine can reproduce the candidate set exactly.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+
+    # Both sketches feed multiple plan branches — persist once (same
+    # rationale as dedup.minhash_lsh_pairs: the join-side stages run
+    # concurrently, a lazy recompute would double the work; storage memory
+    # is LRU-evictable so repeated calls stay bounded).
+    vecs = vecs.persist()
+    # The self-join and the pair dedup stay NARROW — ids and bucket labels
+    # only. Dense duplicate clusters collide in every table, so candidates
+    # before dedup are ~n_tables× the true pair count; dragging two 64-dim
+    # vectors per candidate through that shuffle dominates wall-clock. The
+    # vectors re-join AFTER dropDuplicates, keyed on id.
+    buckets = vecs.select(
+        "id",
+        F.explode(
+            lsh_table_buckets("vec", n_planes, n_tables, dim)
+        ).alias("bucket"),
+    ).persist()
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

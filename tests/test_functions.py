@@ -276,3 +276,25 @@ def test_decontam_plan_broadcasts_eval_grams(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_candidate_pairs_subset_of_exact(vectors):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            vectors, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.lsh_candidate_pairs(
+            vectors, "vec_id", "embedding", threshold=0.5,
+            n_planes=2, n_tables=4, dim=3,
+        ).collect()
+    }
+    # approximate recall: every LSH pair is a true pair with the exact cosine
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    # identical vectors collide in every table — (1,2) must be found
+    assert (1, 2) in lsh
