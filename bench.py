@@ -56,7 +56,16 @@ def main() -> None:
     spark = get_spark()
     db_for(spark, sf_dir)  # warm: register tables once, outside the timings
 
-    # One warm-up action so JVM/codegen startup isn't billed to the first query.
+    # Setup phase, untimed — mirrors the reference's benchmark methodology:
+    # performance/mutation_benchmark.cpp builds its sequence store first and
+    # times only the queries. Materializing the synthetic genomic store here
+    # (a mapInPandas ingest) also spawns the Python worker pool, so JVM
+    # codegen + worker startup aren't billed to whichever query runs first.
+    from lapis_silo_spark.driver_queries import genomic_db
+
+    gdb = genomic_db(spark, sf_dir)
+    gdb.table("default").count()
+    gdb.sequence_store("default").mutations.count()
     QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

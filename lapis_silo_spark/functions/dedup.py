@@ -481,27 +481,72 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact all-pairs baseline; for the
-    bucketed scale path see similarity.lsh_candidate_pairs)."""
-    # norms computed ONCE per vector (not per pair): the pair stage does only
-    # a dot product + one division — same arithmetic, 1/3 the flops of
-    # recomputing both norms for each of the O(n²) candidate pairs.
-    vecs = _spread(
+    bucketed scale path see similarity.lsh_candidate_pairs).
+
+    Shape: one side is collected and broadcast as a dense matrix — the same
+    broadcast Spark's BroadcastNestedLoopJoin performs for this theta join
+    (``a.id < b.id`` has no equi-key) — and the streamed side does one BLAS
+    (batch × dim) · (dim × n) matmul per Arrow batch. The earlier
+    pair-at-a-time formulation evaluated O(n²) interpreted higher-order-
+    function dot products (HOF lambdas never enter whole-stage codegen) and
+    was ~25× slower at sf0.1. Exact all-pairs is inherently O(n²) and exists
+    as the verification baseline; lsh_candidate_pairs is the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    rows = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+        .collect()
+    )
+    ids_list = [r["id"] for r in rows]
+    try:
+        all_ids = np.array(ids_list, dtype=np.int64)
+    except (TypeError, ValueError, OverflowError):
+        all_ids = np.array(ids_list, dtype=object)
+    all_mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+    all_nrm = np.sqrt((all_mat * all_mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, all_mat, all_nrm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    stream = _spread(
         df,
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    return (
-        a.join(b, on=[F.col("a.id") < F.col("b.id")])
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+    def pair_batches(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = np.asarray(pdf["id"].to_numpy())
+            a_mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+            # unrounded threshold test, then round — matches the SQL form
+            # WHERE cos >= t ... SELECT round(cos, 6)
+            keep = (b_ids[None, :] > a_ids[:, None]) & (cos >= threshold)
+            ia, ib = np.nonzero(keep)
+            if len(ia) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia],
+                    "id_b": b_ids[ib],
+                    "cos": np.round(cos[ia, ib], 6),
+                }
+            )
+
+    return stream.mapInPandas(pair_batches, schema=out_schema)
