@@ -1313,6 +1313,91 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (reference has hash equi-join only — join_node.cpp:88-91,
+# SURVEY §2.5; as-of and range joins are the time-series superset)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_prior_click",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+                  WHERE event_type = 'click')
+       SELECT e.event_id, c.click_id AS prior_click_id
+       FROM e ASOF LEFT JOIN c
+         ON e.user_id = c.user_id AND c.cts <= e.ts""",
+)
+def q_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each error event picks up the latest click by
+    the same user at-or-before it (operators/temporal.py::asof_join — one
+    shuffle on user_id + a running window, no O(n·m) candidate join)."""
+    from lapis_silo_spark.operators.temporal import asof_join
+
+    db = db_for(spark, sf_dir)
+    ev = db.table("events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        payload=["click_id"], prefix="prior_", tiebreak="click_id",
+    ).select("event_id", F.col("prior_click_id"))
+
+
+@query(
+    "range_join_clicks_5m",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error'),
+            c AS (SELECT user_id, ts AS cts FROM events
+                  WHERE event_type = 'click')
+       SELECT e.event_id, count(c.cts) AS clicks_5m
+       FROM e LEFT JOIN c
+         ON e.user_id = c.user_id
+        AND c.cts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+       GROUP BY e.event_id""",
+)
+def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: clicks within the 5 minutes before each error,
+    binned to a (user_id, time-bucket) equi-join + exact refine
+    (operators/temporal.py::range_join_binned) — hash join, never
+    BroadcastNestedLoopJoin. Left-outer counts via aggregate + join-back."""
+    from lapis_silo_spark.operators.temporal import range_join_binned
+
+    db = db_for(spark, sf_dir)
+    ev = db.table("events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    five_min_us = 5 * 60 * 1_000_000
+    pairs = range_join_binned(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_lo=F.unix_micros(F.col("ts")) - F.lit(five_min_us),
+        left_hi=F.unix_micros(F.col("ts")),
+        right_point=F.unix_micros(F.col("cts")),
+        bin_width=five_min_us,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("clicks_5m"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("clicks_5m"), F.lit(0).cast("long")).alias(
+                "clicks_5m"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Superset relational surface (reference lacks these — SURVEY §2.5; Spark
 # provides them natively, registered here so the gate proves them correct)
 # ---------------------------------------------------------------------------
