@@ -135,3 +135,49 @@ def test_plan_sequence_flags_batched(example_db):
     # and it still answers correctly: k1 matches at 1,2,4,6,7 (>=3)
     got = {r["primary_key"] for r in pipeline.df.select("primary_key").collect()}
     assert "k1" in got and "k4" not in got
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin: each
+# broadcasts a side bounded by something other than data size, so the shape
+# survives a 100 TB corpus.
+_BNLJ_WHITELIST = {
+    # brute force by definition: broadcast the query batch across the corpus
+    "ann_brute_force_topk",
+    # probe-list build: query batch × codebook cross (|q|×K rows, both small);
+    # the corpus-side candidate join is an equi-join on the cell id
+    "ann_ivf_topk",
+    # euler-interval containment against ONE broadcast ancestor row
+    "genomic_phylo_descendant",
+}
+
+
+def test_plan_hygiene_sweep_all_queries(spark):
+    """Every queries() entry keeps the scale contracts: no CartesianProduct,
+    no data-sized BroadcastNestedLoopJoin (theta-join explosion), and Python
+    only as Arrow-batched stages (MapInPandas/ArrowEvalPython) — never
+    row-at-a-time BatchEvalPython. Guards against a future query regressing
+    to a shape that cannot finish at 100 TB."""
+    from lapis_silo_spark.driver_queries import QUERIES, db_for
+
+    sf = "/root/testdata/sf0.001"
+    db_for(spark, sf)
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf)
+        if df.isStreaming:
+            continue
+        plan = _formatted_plan(df)
+        bad = [
+            marker
+            for marker in (
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "BatchEvalPython",
+            )
+            if marker in plan
+        ]
+        if name in _BNLJ_WHITELIST:
+            bad = [m for m in bad if m != "BroadcastNestedLoopJoin"]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan hygiene violations: {offenders}"
