@@ -65,7 +65,10 @@ def main() -> None:
 
     gdb = genomic_db(spark, sf_dir)
     gdb.table("default").count()
-    gdb.sequence_store("default").mutations.count()
+    store = gdb.sequence_store("default")
+    for side in (store.mutations, store.coverage, store.missing,
+                 store.insertions):
+        side.count()
     QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -989,6 +989,44 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_assignment",
+    """WITH RECURSIVE
+         pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+                   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]) >= 0.4),
+         edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+         walk(node, root) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+         ),
+         comp AS (SELECT node AS vec_id, min(root) AS cluster_id
+                  FROM walk GROUP BY node)
+       SELECT vec_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              vec_id = cluster_id AS is_canonical
+       FROM comp""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed to connected components (min-label
+    propagation, functions.dedup.dedup_cluster_assignment): the stage that
+    makes pair output actionable — transitive closure picks ONE canonical
+    doc per cluster. Oracle recomputes the closure with a recursive CTE."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    pairs = fdedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+    return fdedup.dedup_cluster_assignment(emb, pairs, "vec_id").select(
+        F.col("id").alias("vec_id"), "cluster_id", "cluster_size",
+        "is_canonical",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lapis_silo_spark.functions.text import char_shingles, normalized, tokens
@@ -550,3 +550,63 @@ def embedding_near_dup_pairs(
             )
 
     return stream.mapInPandas(pair_batches, schema=out_schema)
+
+
+def dedup_cluster_assignment(
+    universe: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into CLUSTERS: every id in ``universe``
+    gets ``cluster_id`` = the minimum id of its connected component (its own
+    id when it has no near-duplicates), plus ``cluster_size`` and an
+    ``is_canonical`` flag (true on the minimum member — the row a dedup
+    pipeline keeps). This is the stage after pair generation that makes pair
+    output actionable: transitive closure, so A~B plus B~C dedups A,B,C
+    together even though (A,C) was never emitted.
+
+    Algorithm: min-label propagation — labels start as ids; each round every
+    node takes the min of its own and its neighbors' labels, until fixpoint.
+    Rounds are bounded by the cluster diameter (near-dup components are
+    shallow; the 30-round cap is generous), each round is one equi-join +
+    one map-side-combinable min-aggregate, and the driver loop is the
+    canonical Spark iterative shape (GraphX connectedComponents does the
+    same propagation). Convergence detection exploits monotonicity: labels
+    only ever DECREASE, so the label sum is strictly decreasing until the
+    fixpoint — one cheap global aggregate per round instead of a
+    change-detection join. ``localCheckpoint`` truncates lineage so round
+    N's plan doesn't embed rounds 1..N-1.
+    """
+    ids = universe.select(F.col(id_col).alias("id")).distinct()
+    fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, on=[edges["u"] == labels["id"]])
+            .select(F.col("v").alias("id"), "label")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -84,6 +84,29 @@ def test_embedding_near_dup(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_dedup_cluster_assignment_transitive(spark):
+    # chain 1~2, 2~3 plus the isolated 4: closure must merge {1,2,3}
+    # even though (1,3) was never emitted as a pair.
+    universe = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], schema="doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], schema="id_a long, id_b long"
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.dedup_cluster_assignment(
+            universe, pairs, "doc_id"
+        ).collect()
+    }
+    assert out == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        4: (4, 1, True),
+    }
+
+
 def test_brute_force_topk(vectors):
     out = similarity.brute_force_topk(
         vectors,
