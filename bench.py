@@ -24,7 +24,9 @@ HEADLINE = [
     "union_all",
     "orderby_limit_offset",
     "window_running_total",
+    "events_sessionize_30m",
     "text_token_stats",
+    "text_repetition_signals",
     "text_quality_by_source",
     "dedup_exact_groups",
     "dedup_minhash_bands",

@@ -180,11 +180,12 @@ class Database:
             schema = pq.read_schema(first)
             for fld in schema:
                 if pat.is_timestamp(fld.type) and fld.type.unit == "ns":
+                    # `div`, not `/`: epoch nanos (~1.7e18) exceed a
+                    # double's 53-bit mantissa, so float division can be
+                    # off by ±128 ns — enough to flip the µs digit.
                     df = df.withColumn(
                         fld.name,
-                        F.timestamp_micros(
-                            (F.col(fld.name) / F.lit(1000)).cast("long")
-                        ),
+                        F.timestamp_micros(F.expr(f"`{fld.name}` div 1000")),
                     )
         except Exception:
             pass  # non-local filesystems: leave columns as read

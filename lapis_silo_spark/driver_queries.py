@@ -804,6 +804,62 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition_signals",
+    f"""WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t,
+                             length({_NORM_SQL}) AS tlen
+                      FROM documents),
+         bi AS (SELECT doc_id, g, count(*) AS c, length(g) AS glen
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+                      FROM toks)
+                GROUP BY doc_id, g),
+         tri AS (SELECT doc_id, g, count(*) AS c, length(g) AS glen
+                 FROM (SELECT doc_id,
+                              unnest(list_transform(
+                                generate_series(1, greatest(len(t) - 2, 0)),
+                                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+                       FROM toks)
+                 GROUP BY doc_id, g),
+         top2 AS (SELECT doc_id, max(c * glen) AS top_chars
+                  FROM bi GROUP BY doc_id),
+         dup3 AS (SELECT doc_id,
+                         sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_chars
+                  FROM tri GROUP BY doc_id)
+       SELECT toks.doc_id,
+              round(CASE WHEN tlen > 0
+                         THEN coalesce(top_chars, 0) / tlen ELSE 0.0 END,
+                    6) AS top_bigram_frac,
+              round(CASE WHEN tlen > 0
+                         THEN coalesce(dup_chars, 0) / tlen ELSE 0.0 END,
+                    6) AS dup_trigram_frac
+       FROM toks LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: characters covered by the
+    most frequent word bigram and by duplicated trigrams, as fractions of
+    the normalized text. Engine side is a zero-shuffle run-length fold over
+    sorted n-gram arrays (functions.text._run_length_char_stats); the oracle
+    recomputes via the relational explode→groupBy formulation."""
+    from lapis_silo_spark.functions import text as ftext
+
+    db = db_for(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "documents")
+        .rebalance()
+        .map({
+            "top_bigram_frac":
+                F.round(ftext.top_ngram_char_fraction("text", 2), 6),
+            "dup_trigram_frac":
+                F.round(ftext.dup_ngram_char_fraction("text", 3), 6),
+        })
+        .project(["doc_id", "top_bigram_frac", "dup_trigram_frac"])
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication operators
 # ---------------------------------------------------------------------------
@@ -1432,6 +1488,49 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clicks_5m"
             ),
         )
+    )
+
+
+@query(
+    "events_sessionize_30m",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM marked)
+       SELECT user_id, session_seq,
+              min(ts) AS session_start, max(ts) AS session_end,
+              count(*) AS n_events,
+              (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                AS duration_s,
+              round(sum(value), 2) AS total_value
+       FROM sess GROUP BY user_id, session_seq""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) + per-session
+    rollup — operators/temporal.py::session_stats. One shuffle end-to-end:
+    boundary lag, session numbering, and the per-session aggregate all
+    reuse the user_id partitioning."""
+    from lapis_silo_spark.operators.temporal import session_stats
+
+    db = db_for(spark, sf_dir)
+    return session_stats(
+        db.table("events"),
+        on=["user_id"],
+        ts_col="ts",
+        gap_seconds=1800,
+        aggs={"total_value": F.round(F.sum("value"), 2)},
+        tiebreak="event_id",
+    ).select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "n_events", "duration_s", "total_value",
     )
 
 

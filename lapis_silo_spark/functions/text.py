@@ -146,6 +146,77 @@ def word_ngrams(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def _run_length_char_stats(grams: Column) -> Column:
+    """Fold a SORTED copy of ``grams`` into ``struct(top, dup)``:
+
+    - ``top`` = max over distinct grams of occurrences × gram length
+      (characters covered by the most repeated n-gram);
+    - ``dup`` = sum over grams occurring more than once of occurrences ×
+      gram length (characters covered by any duplicated n-gram).
+
+    Sorting makes equal grams adjacent, so both reduce to run-length
+    accumulation inside ONE ``F.aggregate`` — per-row, JVM-side, zero
+    shuffle, versus the naive explode→groupBy(doc, gram) formulation whose
+    shuffle volume is the corpus' total n-gram count.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def close(acc: Column) -> tuple[Column, Column]:
+        chars = acc["run"] * F.length(acc["prev"])
+        top = F.when(
+            acc["prev"].isNotNull(), F.greatest(acc["top"], chars)
+        ).otherwise(acc["top"])
+        dup = F.when(
+            acc["prev"].isNotNull() & (acc["run"] > 1), acc["dup"] + chars
+        ).otherwise(acc["dup"])
+        return top, dup
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"].isNotNull() & (acc["prev"] == g)
+        top, dup = close(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["top"]).otherwise(top).alias("top"),
+            F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        top, dup = close(acc)
+        return F.struct(top.alias("top"), dup.alias("dup"))
+
+    return F.aggregate(F.array_sort(grams), init, step, finish)
+
+
+def top_ngram_char_fraction(col: str | Column, n: int = 2) -> Column:
+    """Fraction of normalized-text characters covered by the single most
+    frequent word n-gram (occurrences × gram length / text length) — the
+    Gopher-style repetition quality signal; boilerplate-heavy documents
+    score high. Empty/too-short documents score 0.0."""
+    t = normalized(col)
+    stats = _run_length_char_stats(word_ngrams(col, n))
+    return F.when(F.length(t) > 0, stats["top"] / F.length(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_ngram_char_fraction(col: str | Column, n: int = 3) -> Column:
+    """Fraction of normalized-text characters covered by word n-grams that
+    occur more than once in the document — Gopher's duplicate-n-gram
+    repetition signal, complementing :func:`top_ngram_char_fraction` (which
+    only sees the single worst offender)."""
+    t = normalized(col)
+    stats = _run_length_char_stats(word_ngrams(col, n))
+    return F.when(F.length(t) > 0, stats["dup"] / F.length(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def winnow_fingerprint(col: str | Column, k: int = 8) -> Column:
     """Rolling-hash-style fingerprint: lexicographic min of md5 over all
     character k-shingles (one-window winnowing). Deterministic and

@@ -124,3 +124,67 @@ def range_join_binned(
         F.col("__pt").between(F.col("__lo"), F.col("__hi"))
     )
     return joined.drop("__lo", "__hi", "__pt", "__bin")
+
+
+def sessionize(
+    events: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: assign every event a per-key ``session_seq``
+    (1-based), where a new session starts whenever the time since the key's
+    previous event exceeds ``gap_seconds``. The reference has no windowing at
+    all (SURVEY §2.5); this is the batch analytic a clickstream/training-log
+    pipeline needs before per-session aggregation.
+
+    Plan shape: ONE shuffle — both windows (the ``lag`` that marks session
+    boundaries and the running ``sum`` that numbers them) share the same
+    partitioning ``on`` and ordering, so Catalyst plans a single Exchange +
+    Sort and evaluates both Window operators over it. Never collects to the
+    driver; compare Spark's built-in ``session_window`` which only emits
+    per-session aggregates, not per-event assignment.
+
+    ``tiebreak`` orders same-timestamp events deterministically.
+    """
+    on = list(on)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak is not None else []
+    )
+    w_lag = Window.partitionBy(*on).orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(F.col(ts_col)).over(w_lag)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+           > gap_seconds * 1_000_000)
+    ).cast("long")
+    return events.withColumn("session_seq", F.sum(is_new).over(w_run))
+
+
+def session_stats(
+    events: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    aggs: dict[str, Column] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize` output: one row per
+    (key..., session_seq) with ``session_start``, ``session_end``,
+    ``n_events``, ``duration_s``, plus any caller ``aggs``. The groupBy keys
+    are a superset of the window partitioning, so the aggregation reuses the
+    sessionize shuffle's partitioning (no second Exchange of the full data).
+    """
+    on = list(on)
+    extra = dict(aggs or {})
+    sess = sessionize(events, on, ts_col, gap_seconds, tiebreak=tiebreak)
+    dur = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    return sess.groupBy(*on, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (dur / 1_000_000.0).alias("duration_s"),
+        *[c.alias(name) for name, c in extra.items()],
+    )

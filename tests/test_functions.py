@@ -321,3 +321,29 @@ def test_lsh_candidate_pairs_subset_of_exact(vectors):
         assert cos == exact[pair]
     # identical vectors collide in every table — (1,2) must be found
     assert (1, 2) in lsh
+
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),   # "spam ham" bigram dominates
+            (2, "all words here are unique ok"),
+            (3, ""),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["top2"], r["dup3"])
+        for r in df.select(
+            "doc_id",
+            text.top_ngram_char_fraction("text", 2).alias("top2"),
+            text.dup_ngram_char_fraction("text", 3).alias("dup3"),
+        ).collect()
+    }
+    # doc1: normalized len 26; "spam ham" occurs 3x (len 8) -> 24/26;
+    # trigram "spam ham spam"x2 + "ham spam ham"x2 -> (2+2)*13/26 = 2.0
+    assert out[1] == (pytest.approx(24 / 26), pytest.approx(52 / 26))
+    # doc2: every bigram unique -> top = len("all words")/len; dup = 0
+    assert out[2][0] == pytest.approx(9 / 28)
+    assert out[2][1] == 0.0
+    assert out[3] == (0.0, 0.0)

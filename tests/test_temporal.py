@@ -172,3 +172,56 @@ def test_range_join_plan_is_equi_join(spark, range_frames):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from lapis_silo_spark.operators.temporal import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    # u1: gap of exactly 60s does NOT split (strict >); 61s does.
+    rows = [
+        ("u1", 1, at(0)),
+        ("u1", 2, at(60)),
+        ("u1", 3, at(121)),
+        ("u2", 4, at(0)),
+    ]
+    df = spark.createDataFrame(rows, schema="user string, eid long, ts timestamp")
+    out = {
+        (r["user"], r["eid"]): r["session_seq"]
+        for r in sessionize(df, ["user"], "ts", 60, tiebreak="eid").collect()
+    }
+    assert out == {("u1", 1): 1, ("u1", 2): 1, ("u1", 3): 2, ("u2", 4): 1}
+
+    stats = {
+        (r["user"], r["session_seq"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(df, ["user"], "ts", 60, tiebreak="eid").collect()
+    }
+    assert stats == {
+        ("u1", 1): (2, 60.0),
+        ("u1", 2): (1, 0.0),
+        ("u2", 1): (1, 0.0),
+    }
+
+
+def test_sessionize_single_shuffle(spark):
+    import datetime as dt
+
+    from lapis_silo_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [("u1", 1, dt.datetime(2024, 1, 1))],
+        schema="user string, eid long, ts timestamp",
+    )
+    out = sessionize(df, ["user"], "ts", 60, tiebreak="eid")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # both windows must share ONE exchange (plus nothing else shuffling);
+    # formatted plans print each node twice (tree line + detail header)
+    assert plan.count(") Exchange") == 1
