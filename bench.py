@@ -25,13 +25,18 @@ HEADLINE = [
     "orderby_limit_offset",
     "window_running_total",
     "events_sessionize_30m",
+    "asof_prior_click",
+    "range_join_clicks_5m",
     "text_token_stats",
     "text_repetition_signals",
     "text_quality_by_source",
     "dedup_exact_groups",
     "dedup_minhash_bands",
     "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine_pairs",
+    # embedding near-dup: the benched headline is the LSH scale path; the
+    # exact all-pairs variant stays registered as the small-sf oracle
+    # verifier only (it is O(n²) + driver-collect by construction and now
+    # refuses to run above EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
     "decontam_ngram_overlap",
     "ann_brute_force_topk",

@@ -556,15 +556,22 @@ def q_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Pipeline.scan(db, "lineitem").schema_().df
 
 
-@query("orderby_randomize")  # no SQL oracle: engine-defined hash order
+@query(
+    "orderby_randomize",
+    # The hash order itself is engine-defined, but randomize is a
+    # PERMUTATION: the driver's value compare is order-insensitive, so the
+    # full row multiset is the oracle (no row lost or duplicated). The
+    # randomize+limit fusion is pinned by unit tests (test_relational).
+    """SELECT n_name FROM nation""",
+)
 def q_orderby_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """randomize(seed) — deterministic hidden hash sort key
-    (order_by_randomize.cpp:25-33). Deterministic for a given seed, but the
-    hash function is engine-defined, so no cross-engine oracle."""
+    (order_by_randomize.cpp:25-33). The hash function is engine-defined, so
+    the oracle anchors the permuted row SET, not the order."""
     db = db_for(spark, sf_dir)
     p = Pipeline.scan(db, "nation")
     p.pk = "n_nationkey"
-    return p.order_by([], randomize_seed=42).limit(5).project(["n_name"]).df
+    return p.order_by([], randomize_seed=42).project(["n_name"]).df
 
 
 # ---------------------------------------------------------------------------
@@ -681,8 +688,8 @@ _TOKENS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
     "text_token_stats",
     f"""SELECT lang,
                count(*) AS docs,
-               sum(length({_TOKENS_SQL})) AS tok_sum,
-               sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_sum
+               CAST(sum(length({_TOKENS_SQL})) AS BIGINT) AS tok_sum,
+               CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_sum
         FROM documents GROUP BY lang""",
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,15 +943,51 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id"), F.col("band").cast("long").alias("band"), "band_hash")
 
 
-@query("dedup_minhash_lsh_pairs")  # approximate recall — no exact-SQL oracle
+@query(
+    "dedup_minhash_lsh_pairs",
+    # Full value oracle: DuckDB recomputes the identical md5-derived
+    # universal-hash signatures, band buckets, collision candidates, and
+    # signature-estimated Jaccard — the entire LSH pipeline is deterministic
+    # under the hash32 family (the xxhash fast path stays the library
+    # default; recall vs exact Jaccard is pinned separately in tests).
+    f"""WITH h AS (
+          SELECT doc_id AS id,
+                 [('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN {_SHINGLES_SQL}] AS hs
+          FROM documents),
+        sig AS (
+          SELECT id,
+                 [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311) % 4294967311
+                            FOR h IN hs])
+                  FOR i IN range(0, 64)] AS sig
+          FROM h),
+        bands AS (
+          SELECT id, sig, unnest(range(0, 8)) AS band,
+                 md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.sig AS sig_a, b.sig AS sig_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.id < b.id),
+        est AS (
+          SELECT id_a, id_b,
+                 len(list_filter([sig_a[i + 1] = sig_b[i + 1]
+                                  FOR i IN range(0, 64)], x -> x)) / 64.0 AS j
+          FROM cand)
+       SELECT id_a, id_b, round(j, 6) AS jaccard FROM est WHERE j >= 0.8""",
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs + exact-Jaccard verification (scale path)."""
+    """LSH candidate pairs + signature-Jaccard verification (scale path),
+    run under the SQL-reproducible md5 hash family so the whole pipeline is
+    value-anchored against DuckDB."""
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
     return fdedup.minhash_lsh_pairs(
         db.table("documents"), "doc_id", "text",
         threshold=0.8, n_perms=64, n_bands=8, k=5,
+        hash_fn=fdedup.hash32,
     )
 
 
@@ -1295,7 +1338,7 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_stratified_hash",
-    """SELECT lang, count(*) AS kept, sum(n_chars) AS chars_kept
+    """SELECT lang, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
        FROM documents
        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
              CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
@@ -1458,7 +1501,7 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned to a (user_id, time-bucket) equi-join + exact refine
     (operators/temporal.py::range_join_binned) — hash join, never
     BroadcastNestedLoopJoin. Left-outer counts via aggregate + join-back."""
-    from lapis_silo_spark.operators.temporal import range_join_binned
+    from lapis_silo_spark.operators.temporal import range_join_binned, to_micros
 
     db = db_for(spark, sf_dir)
     ev = db.table("events")
@@ -1473,9 +1516,9 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors,
         clicks,
         on=["user_id"],
-        left_lo=F.unix_micros(F.col("ts")) - F.lit(five_min_us),
-        left_hi=F.unix_micros(F.col("ts")),
-        right_point=F.unix_micros(F.col("cts")),
+        left_lo=to_micros("ts") - F.lit(five_min_us),
+        left_hi=to_micros("ts"),
+        right_point=to_micros("cts"),
         bin_width=five_min_us,
     )
     counts = pairs.groupBy("event_id").agg(F.count("*").alias("clicks_5m"))
@@ -1502,8 +1545,9 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        sess AS (
-         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+         SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          FROM marked)
        SELECT user_id, session_seq,
               min(ts) AS session_start, max(ts) AS session_end,
@@ -1975,3 +2019,63 @@ def q_genomic_phylo_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
         InSet("tree_node", ["L0", "L1"])
     )
     return phylo_subtree(pipe, "tree_node")
+
+
+@query(
+    "genomic_mutation_profile",
+    f"""SELECT doc_id FROM {_SEQ_CTE}
+        WHERE (substr(s, 1, 1) NOT IN ('A', 'N'))::INT
+            + (substr(s, 2, 1) NOT IN ('C', 'N'))::INT
+            + (substr(s, 3, 1) NOT IN ('G', 'N'))::INT
+            + (substr(s, 4, 1) NOT IN ('T', 'N'))::INT <= 2""",
+)
+def q_genomic_mutation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nucleotideMutationProfile('ACGT', distance=2) through the per-position
+    path (NOT nOf(d+1, ¬maybe(symbolEquals)) — mutation_profile.cpp:249-256):
+    rows whose first 4 stored symbols differ from 'ACGT' in at most 2
+    conservative positions; 'N' is ambiguity-compatible with everything, so
+    it never counts as a difference."""
+    from lapis_silo_spark.expressions.sequence import MutationProfile
+
+    db = genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(MutationProfile("main", "ACGT", distance=2, start_position=1))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
+@query(
+    "genomic_mutation_profile_agg",
+    f"""WITH seqs AS (SELECT doc_id, s FROM {_SEQ_CTE}),
+         stored AS (SELECT doc_id, substr(s, pos, 1) AS sym,
+                           substr('{_GENOMIC_REF}', pos, 1) AS ref_sym
+                    FROM seqs CROSS JOIN
+                         (SELECT unnest(range(1, 33)) AS pos)),
+         diffs AS (SELECT doc_id,
+                          count(*) FILTER (WHERE sym <> ref_sym
+                                             AND sym <> 'N') AS d
+                   FROM stored GROUP BY doc_id)
+       SELECT doc_id FROM diffs WHERE d <= 24""",
+)
+def q_genomic_mutation_profile_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The aggregated mutation-profile scale path (one pass over each side
+    table with constant join count — expressions/sequence.py::
+    MutationProfileAggregate), invoked directly on a full-genome 32-position
+    profile (= the reference sequence itself, distance=24). The oracle
+    recomputes the conservative difference count from first principles."""
+    from lapis_silo_spark.expressions.sequence import MutationProfileAggregate
+
+    db = genomic_db(spark, sf_dir)
+    pairs = [(i + 1, _GENOMIC_REF[i]) for i in range(len(_GENOMIC_REF))]
+    return (
+        Pipeline.scan(db, "default")
+        .filter(MutationProfileAggregate("main", pairs, distance=24))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )

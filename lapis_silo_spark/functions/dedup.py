@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     k: int = 5,
     exact_verify: bool = False,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-duplicate pairs: band-collision candidates + Jaccard verification.
 
@@ -262,11 +263,12 @@ def minhash_lsh_pairs(
     never rows².
     """
     rows_per_band = n_perms // n_bands
-    # xxhash-based signatures: LSH recall only depends on hash uniformity,
-    # not on which family — use the fast path (bands keeps md5 so its
-    # signatures stay SQL-oracle-reproducible).
+    # Default to xxhash-based signatures: LSH recall only depends on hash
+    # uniformity, not on which family — the fast path saves the md5
+    # hex-string round-trip. Pass ``hash_fn=hash32`` to make the full pair
+    # output SQL-oracle-reproducible (the registered correctness query does).
     sig = minhash_signatures(df, id_col, text_col, n_perms, k,
-                             hash_fn=hash32_fast)
+                             hash_fn=hash_fn or hash32_fast)
     # The band self-join references this subplan on BOTH sides; without a
     # materialized cache Spark computes the whole shingle-hash aggregation
     # twice (the two join-side stages run concurrently, so a lazy persist
@@ -474,11 +476,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: Hard ceiling on the exact all-pairs path. Above this the broadcast matrix
+#: alone is >~1 GB and the O(n²) compare cannot finish; the LSH path must be
+#: used instead. Override only for controlled verification runs.
+EXACT_EMBEDDING_MAX_ROWS = 1_000_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    max_rows: int = EXACT_EMBEDDING_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact all-pairs baseline; for the
     bucketed scale path see similarity.lsh_candidate_pairs).
@@ -489,8 +498,14 @@ def embedding_near_dup_pairs(
     (batch × dim) · (dim × n) matmul per Arrow batch. The earlier
     pair-at-a-time formulation evaluated O(n²) interpreted higher-order-
     function dot products (HOF lambdas never enter whole-stage codegen) and
-    was ~25× slower at sf0.1. Exact all-pairs is inherently O(n²) and exists
-    as the verification baseline; lsh_candidate_pairs is the scale path.
+    was ~25× slower at sf0.1.
+
+    Exact all-pairs is inherently O(n²) and exists as the small-scale
+    verification oracle ONLY: it refuses to run above ``max_rows`` (the
+    count is checked BEFORE anything is collected to the driver) — at
+    cluster scale use :func:`lapis_silo_spark.functions.similarity.
+    lsh_candidate_pairs`, whose banded hyperplane buckets never materialize
+    the n² candidate set.
     """
     import numpy as np
     import pandas as pd
@@ -498,6 +513,14 @@ def embedding_near_dup_pairs(
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the exact O(n²) verification "
+            f"baseline and collects every vector to the driver; refusing "
+            f"{n} rows (max_rows={max_rows}). Use "
+            f"similarity.lsh_candidate_pairs for the scale path."
+        )
     rows = (
         df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))

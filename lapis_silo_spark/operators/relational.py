@@ -165,11 +165,13 @@ class Pipeline:
         return self._with(self._df.select(*columns), keeps_rows=True)
 
     def map(self, exprs: Mapping[str, Column]) -> "Pipeline":
-        """Computed columns; name collision replaces in place (``map_node.cpp``)."""
-        df = self._df
-        for name, col in exprs.items():
-            df = df.withColumn(name, col)
-        return self._with(df, keeps_rows=True)
+        """Computed columns; name collision replaces in place (``map_node.cpp``).
+
+        One ``withColumns`` call: a single analyzer pass however many
+        entries, and every expression is evaluated against the node's INPUT
+        row (the reference's MapNode semantics — computed columns never see
+        each other)."""
+        return self._with(self._df.withColumns(dict(exprs)), keeps_rows=True)
 
     def group_by(
         self,

@@ -24,6 +24,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def to_micros(c: Column | str) -> Column:
+    """Epoch microseconds from a TIMESTAMP *or* TIMESTAMP_NTZ column.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (the type Parquet files written
+    without timezone metadata load as), so every temporal operator goes
+    through this helper. The ``cast("timestamp")`` is a no-op for TIMESTAMP
+    and interprets NTZ wall-clock values under the session timezone — which
+    ``session.get_spark`` pins to UTC, so the mapping is stable and
+    DST-free. Time *differences* are therefore exact for both types.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -98,7 +112,7 @@ def range_join_binned(
     """Inner interval join: pairs where ``right_point`` falls in the left
     row's inclusive numeric range ``[left_lo, left_hi]`` and the equi-keys
     ``on`` match. Bounds and point must be numeric (convert timestamps with
-    ``F.unix_micros`` first); ``bin_width`` should be ≈ the typical interval
+    :func:`to_micros` first); ``bin_width`` should be ≈ the typical interval
     width so each left row spans O(1) bins.
 
     Plan shape: the left row explodes into its covered bins
@@ -157,7 +171,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w_lag)
     is_new = (
         prev_ts.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+        | (to_micros(ts_col) - to_micros(prev_ts)
            > gap_seconds * 1_000_000)
     ).cast("long")
     return events.withColumn("session_seq", F.sum(is_new).over(w_run))
@@ -180,7 +194,7 @@ def session_stats(
     on = list(on)
     extra = dict(aggs or {})
     sess = sessionize(events, on, ts_col, gap_seconds, tiebreak=tiebreak)
-    dur = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    dur = to_micros(F.max(ts_col)) - to_micros(F.min(ts_col))
     return sess.groupBy(*on, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

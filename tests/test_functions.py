@@ -47,6 +47,40 @@ def test_minhash_lsh_finds_dups(docs):
     assert (1, 2) in got  # identical signatures always collide
 
 
+@pytest.mark.parametrize("hash_fn", [dedup.hash32, dedup.hash32_fast])
+def test_minhash_lsh_recall_vs_exact(spark, hash_fn):
+    """Value-anchor the probabilistic LSH path against exact Jaccard on the
+    real testdata: every LSH pair must be a genuine near-duplicate (exact
+    J well above the estimation noise floor), and near-identical pairs
+    (exact J >= 0.9) must be recalled — at (r=8, b=8) the collision
+    probability at J=0.9 is 1-(1-0.9^8)^8 ≈ 0.99, and identical shingle
+    sets collide deterministically. Holds for BOTH hash families (recall
+    depends only on hash uniformity)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, k=5
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            n_perms=64, n_bands=8, k=5, hash_fn=hash_fn,
+        ).collect()
+    }
+    # precision: estimated-J >= 0.8 implies exact J >= 0.6 (4 sigma margin
+    # at 64 permutations) — no false near-duplicates
+    for pair in lsh:
+        assert pair in exact and exact[pair] >= 0.6, pair
+    # recall on near-identical ground truth
+    truth = {p for p, j in exact.items() if j >= 0.9}
+    assert truth, "testdata should contain near-identical pairs"
+    found = len(truth & lsh) / len(truth)
+    assert found >= 0.8, f"LSH recall {found:.2f} over {len(truth)} pairs"
+
+
 def test_simhash_identical_and_distant(docs):
     sigs = {
         r["doc_id"]: r["sig"]
@@ -341,9 +375,12 @@ def test_repetition_fractions(spark):
         ).collect()
     }
     # doc1: normalized len 26; "spam ham" occurs 3x (len 8) -> 24/26;
-    # trigram "spam ham spam"x2 + "ham spam ham"x2 -> (2+2)*13/26 = 2.0
-    assert out[1] == (pytest.approx(24 / 26), pytest.approx(52 / 26))
-    # doc2: every bigram unique -> top = len("all words")/len; dup = 0
-    assert out[2][0] == pytest.approx(9 / 28)
+    # trigram "spam ham spam" (13 ch) x2 + "ham spam ham" (12 ch) x2
+    #   -> (2*13 + 2*12)/26 = 50/26
+    assert out[1] == (pytest.approx(24 / 26), pytest.approx(50 / 26))
+    # doc2: every bigram occurs once -> top = chars of the LONGEST bigram
+    # ("words here" / "are unique", 10 ch) since top = max(count * len);
+    # dup = 0
+    assert out[2][0] == pytest.approx(10 / 28)
     assert out[2][1] == 0.0
     assert out[3] == (0.0, 0.0)
