@@ -87,17 +87,60 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Same-machine positioning baseline: time each headline query's DuckDB
+    # oracle on the identical parquet (single-node engine, same data, same
+    # box). Best-effort metadata — a failure here never breaks the bench.
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        try:
+            import duckdb
+
+            from lapis_silo_spark.driver_queries import ORACLES
+
+            con = duckdb.connect()
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"):
+                path = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.exists(path):
+                    con.execute(
+                        f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')"
+                    )
+            oracle_timings: dict[str, float] = {}
+            for name in HEADLINE:
+                sql = ORACLES.get(name)
+                if sql is None:
+                    continue
+                try:
+                    start = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    oracle_timings[name] = round(
+                        time.perf_counter() - start, 4
+                    )
+                except Exception:  # noqa: BLE001 — oracle uses engine setup
+                    continue
+            shared = set(oracle_timings)
+            result["duckdb_oracle"] = {
+                "queries": oracle_timings,
+                "total_shared": round(
+                    sum(oracle_timings[q] for q in shared), 4
+                ),
+                "spark_total_shared": round(
+                    sum(timings[q] for q in shared if q in timings), 4
+                ),
             }
-        )
-    )
+        except Exception:  # noqa: BLE001
+            pass
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -64,18 +64,11 @@ class SiloDatabase:
             )
         self.db.register_table(table, combined, primary_key=config.primary_key)
         if config.nuc_sequences or config.aa_sequences:
-            old_store = self.db.sequence_stores[table]
-            from lapis_silo_spark.catalog import SequenceStore
+            from lapis_silo_spark.sources.adapt import merge_stores
 
+            old_store = self.db.sequence_stores[table]
             self.db.register_sequence_store(
-                table,
-                SequenceStore(
-                    mutations=old_store.mutations.unionByName(store.mutations),
-                    coverage=old_store.coverage.unionByName(store.coverage),
-                    missing=old_store.missing.unionByName(store.missing),
-                    insertions=old_store.insertions.unionByName(store.insertions),
-                    reference=store.reference,
-                ),
+                table, merge_stores(old_store, store)
             )
 
     # -- query -------------------------------------------------------------

@@ -47,7 +47,16 @@ class SequenceStore:
     missing: DataFrame
     insertions: DataFrame
     reference: DataFrame  # (seq_name, pos, ref_symbol, is_aa)
+    #: Adapted per-position storage baseline ``(seq_name, pos, local_symbol)``
+    #: — the symbol a row WITHOUT an explicit ``seq_mutations`` entry stores
+    #: at that position (``vertical_sequence_index.h:71-82``: flip the stored
+    #: reference to the majority symbol to minimize stored diffs). ``None``
+    #: means the storage baseline IS the published reference genome. Query
+    #: semantics (mutationFrom, hasMutation, the ``.`` wildcard) always stay
+    #: anchored to the published ``reference``.
+    local_reference: DataFrame | None = None
     _ref_cache: dict[str, dict[int, str]] = field(default_factory=dict)
+    _local_cache: dict[str, dict[int, str]] = field(default_factory=dict)
     _aa_names: set[str] | None = None
 
     def ref_symbol(self, seq_name: str, pos: int) -> str:
@@ -67,6 +76,23 @@ class SequenceStore:
     def ref_length(self, seq_name: str) -> int:
         self.ref_symbol(seq_name, 1)  # populate cache / validate name
         return len(self._ref_cache[seq_name])
+
+    def local_symbol(self, seq_name: str, pos: int) -> str:
+        """The storage-baseline symbol at ``pos`` — what a row with no
+        explicit mutation entry stores there. Falls back to the published
+        reference symbol when the store is unadapted."""
+        if self.local_reference is None:
+            return self.ref_symbol(seq_name, pos)
+        if seq_name not in self._local_cache:
+            rows = self.local_reference.filter(
+                F.col("seq_name") == seq_name
+            ).collect()
+            self._local_cache[seq_name] = {
+                r["pos"]: r["local_symbol"] for r in rows
+            }
+        sym = self._local_cache[seq_name].get(pos)
+        # positions absent from the adaptation table keep the published symbol
+        return sym if sym is not None else self.ref_symbol(seq_name, pos)
 
     def is_amino_acid(self, seq_name: str) -> bool:
         if self._aa_names is None:

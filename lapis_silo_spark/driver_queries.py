@@ -2021,6 +2021,75 @@ def q_genomic_phylo_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phylo_subtree(pipe, "tree_node")
 
 
+_ADAPTED_DB_CACHE: dict[str, object] = {}
+
+
+def adapted_genomic_db(spark: SparkSession, sf_dir: str):
+    """The synthetic genomic store with its storage baseline flipped to the
+    per-position majority symbol (sources/adapt.py ≙
+    vertical_sequence_index.h:71-82). Query answers must be IDENTICAL to the
+    unadapted store — the oracle below is the same first-principles SQL."""
+    if sf_dir in _ADAPTED_DB_CACHE:
+        return _ADAPTED_DB_CACHE[sf_dir]
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.sources.adapt import adapt_local_reference
+
+    base = genomic_db(spark, sf_dir)
+    store = adapt_local_reference(base.sequence_store("default"))
+    store.mutations.persist()
+    db = Database(spark)
+    db.register_table(
+        "default", base.table("default"), primary_key="primary_key"
+    )
+    db.register_sequence_store("default", store)
+    _ADAPTED_DB_CACHE[sf_dir] = db
+    return db
+
+
+@query(
+    "genomic_adapted_mutations",
+    # identical oracle to genomic_mutations_stats: adaptation is a pure
+    # storage-layout change, answers stay anchored to the published reference
+    ORACLES["genomic_mutations_stats"],
+)
+def q_genomic_adapted_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutations(minProportion=0.1) over the majority-adapted store — pins
+    the adaptation rewrite (dropped majority entries + synthesized implicit
+    counts) against the same first-principles oracle as the unadapted run."""
+    from lapis_silo_spark.operators.mutations import mutations_aggregate
+
+    db = adapted_genomic_db(spark, sf_dir)
+    pipe = Pipeline.scan(db, "default")
+    out = mutations_aggregate(pipe, min_proportion=0.1)
+    return out.select(
+        "mutationFrom", "mutationTo", "position", "sequenceName",
+        F.round("proportion", 6).alias("proportion"),
+        F.col("coverage").cast("long").alias("coverage"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+@query(
+    "genomic_adapted_symbol_equals",
+    ORACLES["genomic_symbol_equals"],
+)
+def q_genomic_adapted_symbol_equals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """nucleotideEquals over the majority-adapted store — the flag-join
+    compile path resolving entry-less rows through the local baseline."""
+    from lapis_silo_spark.expressions import SymbolEquals
+
+    db = adapted_genomic_db(spark, sf_dir)
+    return (
+        Pipeline.scan(db, "default")
+        .filter(SymbolEquals("main", 9, "T"))
+        .map({"doc_id": F.col("primary_key").cast("long")})
+        .project(["doc_id"])
+        .df
+    )
+
+
 @query(
     "genomic_mutation_profile",
     f"""SELECT doc_id FROM {_SEQ_CTE}

@@ -125,21 +125,25 @@ class SymbolEquals(_SequencePredicate):
         )
         missing_sym = AA_MISSING if is_aa else NUC_MISSING
         ref_sym = store.ref_symbol(self.seq_name, self.position)
+        # the '.' wildcard means the PUBLISHED reference symbol; the storage
+        # baseline (what absence-of-entry stores) may differ after
+        # local-reference adaptation (sources/adapt.py)
+        local_sym = store.local_symbol(self.seq_name, self.position)
         searched = ref_sym if self.symbol == "." else self.symbol
 
         matched = expand_symbol(searched, ctx.mode.value, is_aa)
 
-        mut_set = sorted(matched - {ref_sym, missing_sym})
-        match_ref = ref_sym in matched
+        mut_set = sorted(matched - {local_sym, missing_sym})
+        match_default = local_sym in matched
         match_missing = missing_sym in matched
 
         has_seq = self._has_seq_flag(ctx)
         cond = F.lit(False)
         if mut_set:
             cond = cond | self._mutation_flag(ctx, mut_set)
-        if match_ref or match_missing:
+        if match_default or match_missing:
             covered = self._covered_flag(ctx)
-            if match_ref:
+            if match_default:
                 cond = cond | (covered & ~self._mutation_flag(ctx, None))
             if match_missing:
                 # uncovered position, interior missing — and explicit stored
@@ -173,18 +177,33 @@ class HasMutation(_SequencePredicate):
             else store.is_amino_acid(self.seq_name)
         )
         missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        # "mutation" means differs-from-PUBLISHED-reference; the storage
+        # baseline may differ after local-reference adaptation, in which
+        # case rows WITHOUT an explicit entry store local_sym and can
+        # themselves be mutations
         ref_sym = store.ref_symbol(self.seq_name, self.position)
+        local_sym = store.local_symbol(self.seq_name, self.position)
         alphabet = set(AA_SYMBOLS if is_aa else NUC_SYMBOLS)
         has_seq = self._has_seq_flag(ctx)
         if ctx.mode is AmbiguityMode.UPPER_BOUND:
             # anything but the reference could be a mutation — including
             # stored missing symbols and uncovered positions
-            mut_syms = sorted(alphabet - {ref_sym})
-            return has_seq & (
-                self._mutation_flag(ctx, mut_syms) | ~self._covered_flag(ctx)
+            matched = alphabet - {ref_sym}
+            cond = self._mutation_flag(
+                ctx, sorted(matched - {local_sym})
+            ) | ~self._covered_flag(ctx)
+            if local_sym in matched:
+                cond = cond | (
+                    self._covered_flag(ctx) & ~self._mutation_flag(ctx, None)
+                )
+            return has_seq & cond
+        matched = alphabet - ambiguity_symbols(ref_sym, is_aa)
+        cond = self._mutation_flag(ctx, sorted(matched - {local_sym}))
+        if local_sym in matched:
+            cond = cond | (
+                self._covered_flag(ctx) & ~self._mutation_flag(ctx, None)
             )
-        mut_syms = sorted(alphabet - ambiguity_symbols(ref_sym, is_aa))
-        return has_seq & self._mutation_flag(ctx, mut_syms)
+        return has_seq & cond
 
 
 class InsertionContains(Expression):
@@ -297,8 +316,10 @@ class MutationProfileAggregate(Expression):
             if sym == missing_sym:
                 continue  # profile-missing positions are skipped
             matched = expand_symbol(sym, AmbiguityMode.UPPER_BOUND.value, is_aa)
-            ref_sym = store.ref_symbol(self.seq_name, pos)
-            is_dref = ref_sym not in matched
+            # D_ref partitions by what an entry-less row STORES at pos — the
+            # local (possibly adapted) baseline, not the published reference
+            base_sym = store.local_symbol(self.seq_name, pos)
+            is_dref = base_sym not in matched
             if is_dref:
                 dref.append(pos)
             profile_rows.append(

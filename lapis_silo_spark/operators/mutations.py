@@ -73,6 +73,20 @@ def mutations_aggregate(
     grid = ref.select(
         "seq_name", "pos", "ref_symbol", missing_sym.alias("missing_sym")
     )
+    # storage baseline per position: after local-reference adaptation
+    # (sources/adapt.py) an entry-less row stores local_symbol, which can
+    # itself be a mutation vs the published reference
+    local = store.local_reference
+    if local is not None:
+        if sequence_names:
+            local = local.filter(F.col("seq_name").isin(list(sequence_names)))
+        grid = grid.join(
+            F.broadcast(local), on=["seq_name", "pos"], how="left"
+        ).withColumn(
+            "local_symbol", F.coalesce("local_symbol", "ref_symbol")
+        )
+    else:
+        grid = grid.withColumn("local_symbol", F.col("ref_symbol"))
 
     # interval deltas → per-position covered-row counts (prefix sum on grid)
     deltas = (
@@ -115,6 +129,7 @@ def mutations_aggregate(
             "seq_name",
             "pos",
             "ref_symbol",
+            "local_symbol",
             "missing_sym",
             (
                 F.col("in_range_count")
@@ -123,6 +138,41 @@ def mutations_aggregate(
             ).alias("coverage"),
         )
     )
+
+    if store.local_reference is not None:
+        # entry-less rows store local_symbol: at flipped positions
+        # (local != published ref) they count as mutated with that symbol.
+        # default_count = coverage − explicit non-missing entries.
+        expl_tot = (
+            mut_counts.join(
+                grid.select("seq_name", "pos", "missing_sym"),
+                on=["seq_name", "pos"],
+            )
+            .filter(F.col("symbol") != F.col("missing_sym"))
+            .groupBy("seq_name", "pos")
+            .agg(F.sum("count").alias("expl_tot"))
+        )
+        defaults = (
+            coverage_per_pos.filter(
+                F.col("local_symbol") != F.col("ref_symbol")
+            )
+            .join(expl_tot, on=["seq_name", "pos"], how="left")
+            .select(
+                "seq_name",
+                "pos",
+                F.col("local_symbol").alias("symbol"),
+                (
+                    F.col("coverage")
+                    - F.coalesce(F.col("expl_tot"), F.lit(0))
+                ).alias("count"),
+            )
+            .filter(F.col("count") > 0)
+        )
+        mut_counts = (
+            mut_counts.unionByName(defaults)
+            .groupBy("seq_name", "pos", "symbol")
+            .agg(F.sum("count").alias("count"))
+        )
 
     return (
         mut_counts.join(coverage_per_pos, on=["seq_name", "pos"], how="inner")

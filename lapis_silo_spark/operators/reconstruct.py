@@ -30,8 +30,10 @@ def with_sequence_column(pipeline: Pipeline, seq_name: str) -> Pipeline:
     is_aa = store.is_amino_acid(seq_name)
     missing_sym = "X" if is_aa else "N"
     length = store.ref_length(seq_name)
+    # the baseline an entry-less position stores is the LOCAL reference
+    # (== published unless the store was adapted, sources/adapt.py)
     ref_str = "".join(
-        store._ref_cache[seq_name][p] for p in range(1, length + 1)
+        store.local_symbol(seq_name, p) for p in range(1, length + 1)
     )
     pk = pipeline.pk
 

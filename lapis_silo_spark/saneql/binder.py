@@ -1125,7 +1125,8 @@ def _profile_from_sequence_id(binder: Binder, pipeline: Pipeline,
         pos = ref["pos"]
         covered = any(r["cov_start"] <= pos < r["cov_end"] for r in cov_rows)
         if covered and pos not in missing_positions:
-            symbols[pos] = ref["ref_symbol"]
+            # entry-less positions store the LOCAL baseline symbol
+            symbols[pos] = store.local_symbol(seq_name, pos)
     for mut in mut_rows:
         symbols[mut["pos"]] = mut["symbol"]
     missing_sym = "X" if amino_acid else "N"

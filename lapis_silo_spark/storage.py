@@ -102,7 +102,13 @@ def save_version(
             if sort_cols:
                 side_df = side_df.sortWithinPartitions(*sort_cols)
             side_df.write.mode("overwrite").parquet(os.path.join(base, side))
-        manifest["sequence_stores"][table] = True
+        if store.local_reference is not None:
+            store.local_reference.write.mode("overwrite").parquet(
+                os.path.join(base, "local_reference")
+            )
+        manifest["sequence_stores"][table] = {
+            "local_reference": store.local_reference is not None
+        }
 
     for col, closure in db.lineage_closures.items():
         base = os.path.join(vdir, "lineage", col)
@@ -160,17 +166,18 @@ def load_version(
     for name, meta in manifest["tables"].items():
         df = spark.read.parquet(os.path.join(vdir, "tables", name))
         db.register_table(name, df, primary_key=meta["primary_key"])
-    for table in manifest["sequence_stores"]:
+    for table, entry in manifest["sequence_stores"].items():
         base = os.path.join(vdir, "seq", table)
-        db.register_sequence_store(
-            table,
-            SequenceStore(
-                **{
-                    side: spark.read.parquet(os.path.join(base, side))
-                    for side in _SIDES
-                }
-            ),
-        )
+        sides = {
+            side: spark.read.parquet(os.path.join(base, side))
+            for side in _SIDES
+        }
+        # entry is True in pre-adaptation manifests, a dict afterwards
+        if isinstance(entry, dict) and entry.get("local_reference"):
+            sides["local_reference"] = spark.read.parquet(
+                os.path.join(base, "local_reference")
+            )
+        db.register_sequence_store(table, SequenceStore(**sides))
     for col, entry in manifest["lineages"].items():
         base = os.path.join(vdir, "lineage", col)
         closure = spark.read.parquet(os.path.join(base, "closure"))
@@ -218,22 +225,15 @@ def append_version(
 
     db.register_table(table, combined, primary_key=pk)
     if new_store is not None:
+        from lapis_silo_spark.sources.adapt import merge_stores
+
         old_store = db.sequence_stores.get(table)
         if old_store is None:
             db.register_sequence_store(table, new_store)
         else:
-            db.register_sequence_store(
-                table,
-                SequenceStore(
-                    mutations=old_store.mutations.unionByName(new_store.mutations),
-                    coverage=old_store.coverage.unionByName(new_store.coverage),
-                    missing=old_store.missing.unionByName(new_store.missing),
-                    insertions=old_store.insertions.unionByName(
-                        new_store.insertions
-                    ),
-                    reference=new_store.reference,  # reference genome is fixed
-                ),
-            )
+            # merge_stores rebases the fresh batch onto the old store's
+            # (possibly adapted) baseline before the union
+            db.register_sequence_store(table, merge_stores(old_store, new_store))
     return save_version(db, root)
 
 

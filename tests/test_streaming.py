@@ -110,6 +110,59 @@ def test_windowed_counts_static_and_streaming(spark, tmp_path):
     assert got == {(10, "u1", 1), (10, "u2", 1), (11, "u1", 1)}
 
 
+def test_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closure plus
+    event-time-timeout closure of quiet keys (watermark-driven)."""
+    from lapis_silo_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+
+    def run(emitted):
+        stream = spark.readStream.schema("user string, ts timestamp").json(
+            str(src)
+        )
+        q = (
+            streaming_sessionize(
+                stream, "user", "ts", gap_seconds=1800,
+                watermark_delay="10 minutes",
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        with open(src / name, "w") as fh:
+            for user, ts in rows:
+                fh.write(json.dumps({"user": user, "ts": ts}) + "\n")
+
+    # batch 1: u1 has two events 10 min apart (one session), then an event
+    # 2 h later — the first session closes IN batch; the 12:00 one stays open
+    write("b1.json", [
+        ("u1", "2024-01-01T10:00:00"),
+        ("u1", "2024-01-01T10:10:00"),
+        ("u1", "2024-01-01T12:00:00"),
+    ])
+    emitted: list = []
+    run(emitted)
+    got = {(r["key"], r["session_start"].hour, r["n_events"]) for r in emitted}
+    assert got == {("u1", 10, 2)}
+
+    # batch 2 pushes the watermark far past 12:00+gap via another key;
+    # batch 3 (any data) then fires u1's event-time timeout
+    write("b2.json", [("u2", "2024-01-01T20:00:00")])
+    emitted.clear()
+    run(emitted)
+    write("b3.json", [("u2", "2024-01-01T20:05:00")])
+    run(emitted)
+    got = {(r["key"], r["session_start"].hour, r["n_events"]) for r in emitted}
+    assert ("u1", 12, 1) in got
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen dedup across micro-batches."""
     from lapis_silo_spark.streaming.stateful import streaming_exact_dedup
