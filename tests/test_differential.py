@@ -136,3 +136,46 @@ def test_engine_matches_reference_evaluator(golden_db, evaluator_and_records,
     expected = ev.run(query, records)
     rows = [r.asDict() for r in execute_query(golden_db, query).collect()]
     assert _normalize(rows) == _normalize(expected), f"query: {query}"
+
+
+@pytest.fixture(scope="session")
+def adapted_golden_db(golden_db, spark):
+    """The exampleDataset with its storage baseline flipped to the
+    per-position majority symbol (sources/adapt.py) — every query answer
+    must be identical to the unadapted store's."""
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.sources.adapt import adapt_local_reference
+
+    store = adapt_local_reference(golden_db.sequence_store("default"))
+    store.mutations.persist()
+    db = Database(spark)
+    db.register_table(
+        "default", golden_db.table("default"), primary_key="primary_key"
+    )
+    db.register_sequence_store("default", store)
+    db.register_lineage(
+        "pango_lineage", golden_db.lineage_closures["pango_lineage"]
+    )
+    db.register_phylo_tree("usherTree", golden_db.phylo_nodes["usherTree"])
+    return db
+
+
+@pytest.mark.parametrize(
+    "seed",
+    range(int(__import__("os").environ.get("FUZZ_SEEDS_ADAPTED", "15"))),
+)
+def test_adapted_store_matches_reference_evaluator(
+    adapted_golden_db, evaluator_and_records, seed
+):
+    """Differential fuzz over the ADAPTED store: local-reference adaptation
+    is a pure storage-layout change, so the same seeded queries must agree
+    with the pure-Python evaluator row-for-row."""
+    ev, records = evaluator_and_records
+    rng = random.Random(47_000 + seed)
+    query = _gen_query(rng)
+    expected = ev.run(query, records)
+    rows = [
+        r.asDict()
+        for r in execute_query(adapted_golden_db, query).collect()
+    ]
+    assert _normalize(rows) == _normalize(expected), f"query: {query}"
