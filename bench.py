@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_bands",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_fast",
     # embedding near-dup: the benched headline is the LSH scale path; the
     # exact all-pairs variant stays registered as the small-sf oracle
     # verifier only (it is O(n²) + driver-collect by construction and now

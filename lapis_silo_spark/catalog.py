@@ -55,6 +55,11 @@ class SequenceStore:
     #: semantics (mutationFrom, hasMutation, the ``.`` wildcard) always stay
     #: anchored to the published ``reference``.
     local_reference: DataFrame | None = None
+    #: Optional ``(seq_name, pos, trigram, pk)`` inverted index over stored
+    #: insertions (``insertion_index.cpp`` analog, built by
+    #: ``sources.insertion_index``); ``InsertionContains`` uses it to
+    #: pre-filter regex candidates when present.
+    insertion_trigrams: DataFrame | None = None
     _ref_cache: dict[str, dict[int, str]] = field(default_factory=dict)
     _local_cache: dict[str, dict[int, str]] = field(default_factory=dict)
     _aa_names: set[str] | None = None

@@ -991,6 +991,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_lsh_pairs_fast")  # xxhash production path; recall vs
+# exact Jaccard pinned by tests/test_functions.py (both hash families)
+def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 fast path of minhash_lsh_pairs — no md5 hex round-trip
+    per shingle, so no cross-engine SQL oracle (rows-only in the gate); the
+    md5 variant above value-anchors the identical pipeline shape."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.minhash_lsh_pairs(
+        db.table("documents"), "doc_id", "text",
+        threshold=0.8, n_perms=64, n_bands=8, k=5,
+    )
+
+
 @query(
     "dedup_simhash_pairs",
     # md5-derived token hashes → DuckDB recomputes identical 63-bit

@@ -253,10 +253,32 @@ class InsertionContains(Expression):
 
     def compile(self, ctx: CompileContext) -> Column:
         store = _store(ctx)
-        keys = store.insertions.filter(
+        base = store.insertions.filter(
             (F.col("seq_name") == self.seq_name)
             & (F.col("pos") == F.lit(self.position))
-            & F.col("inserted").rlike(self._regex())
+        )
+        if store.insertion_trigrams is not None:
+            # posting-list intersection over the 3-mer inverted index
+            # (insertion_index.cpp): only rows containing EVERY required
+            # trigram reach the exact regex refine below
+            from lapis_silo_spark.sources.insertion_index import trigrams_of
+
+            required = trigrams_of(self.value)
+            if required:
+                cand = (
+                    store.insertion_trigrams.filter(
+                        (F.col("seq_name") == self.seq_name)
+                        & (F.col("pos") == F.lit(self.position))
+                        & F.col("trigram").isin(required)
+                    )
+                    .groupBy("pk")
+                    .agg(F.count_distinct("trigram").alias("_n"))
+                    .filter(F.col("_n") == len(required))
+                    .select("pk")
+                )
+                base = base.join(cand, on="pk", how="left_semi")
+        keys = base.filter(
+            F.col("inserted").rlike(self._regex())
         ).select(F.col("pk").alias(ctx.pk))
         return F.coalesce(F.col(ctx.new_flag(keys)), F.lit(False))
 

@@ -142,6 +142,7 @@ def rebase_mutations(
         insertions=store.insertions,
         reference=store.reference,
         local_reference=new_local,
+        insertion_trigrams=store.insertion_trigrams,
     )
 
 
@@ -232,6 +233,13 @@ def merge_stores(old: SequenceStore, new: SequenceStore) -> SequenceStore:
     absence-of-entry keeps one meaning across the merged table."""
     if old.local_reference is not None:
         new = rebase_mutations(new, old.local_reference)
+    trigrams = old.insertion_trigrams
+    if trigrams is not None:
+        from lapis_silo_spark.sources.insertion_index import (
+            build_insertion_trigram_index,
+        )
+
+        trigrams = trigrams.unionByName(build_insertion_trigram_index(new))
     return SequenceStore(
         mutations=old.mutations.unionByName(new.mutations),
         coverage=old.coverage.unionByName(new.coverage),
@@ -239,4 +247,5 @@ def merge_stores(old: SequenceStore, new: SequenceStore) -> SequenceStore:
         insertions=old.insertions.unionByName(new.insertions),
         reference=new.reference,  # reference genome is fixed
         local_reference=old.local_reference,
+        insertion_trigrams=trigrams,
     )

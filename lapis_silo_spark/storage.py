@@ -106,8 +106,15 @@ def save_version(
             store.local_reference.write.mode("overwrite").parquet(
                 os.path.join(base, "local_reference")
             )
+        if store.insertion_trigrams is not None:
+            store.insertion_trigrams.sortWithinPartitions(
+                "seq_name", "pos", "trigram"
+            ).write.mode("overwrite").parquet(
+                os.path.join(base, "insertion_trigrams")
+            )
         manifest["sequence_stores"][table] = {
-            "local_reference": store.local_reference is not None
+            "local_reference": store.local_reference is not None,
+            "insertion_trigrams": store.insertion_trigrams is not None,
         }
 
     for col, closure in db.lineage_closures.items():
@@ -173,10 +180,10 @@ def load_version(
             for side in _SIDES
         }
         # entry is True in pre-adaptation manifests, a dict afterwards
-        if isinstance(entry, dict) and entry.get("local_reference"):
-            sides["local_reference"] = spark.read.parquet(
-                os.path.join(base, "local_reference")
-            )
+        if isinstance(entry, dict):
+            for opt in ("local_reference", "insertion_trigrams"):
+                if entry.get(opt):
+                    sides[opt] = spark.read.parquet(os.path.join(base, opt))
         db.register_sequence_store(table, SequenceStore(**sides))
     for col, entry in manifest["lineages"].items():
         base = os.path.join(vdir, "lineage", col)
