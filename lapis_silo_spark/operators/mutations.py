@@ -143,6 +143,10 @@ def mutations_aggregate(
         # entry-less rows store local_symbol: at flipped positions
         # (local != published ref) they count as mutated with that symbol.
         # default_count = coverage − explicit non-missing entries.
+        # coverage_per_pos is referenced twice below (defaults + output
+        # join); persist the genome-length intermediate so the
+        # interval-delta shuffle runs once (tiny, LRU-evictable).
+        coverage_per_pos = coverage_per_pos.persist()
         expl_tot = (
             mut_counts.join(
                 grid.select("seq_name", "pos", "missing_sym"),

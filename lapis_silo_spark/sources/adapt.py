@@ -223,6 +223,12 @@ def adapt_local_reference(store: SequenceStore) -> SequenceStore:
             F.coalesce("local_symbol", "ref_symbol").alias("local_symbol"),
         )
     )
+    # The local reference is genome-length metadata (≤ ~30k rows/segment —
+    # driver-scale BY DEFINITION, same as the published reference). Cut the
+    # vote job out of its lineage: otherwise every downstream broadcast of
+    # the baseline re-runs the whole majority aggregation per query.
+    spark = store.reference.sparkSession
+    new_local = spark.createDataFrame(new_local.collect(), new_local.schema)
     return rebase_mutations(store, new_local)
 
 
