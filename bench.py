@@ -30,6 +30,7 @@ HEADLINE = [
     "text_token_stats",
     "text_repetition_signals",
     "text_quality_by_source",
+    "text_bm25_topk",
     "dedup_exact_groups",
     "dedup_minhash_bands",
     "dedup_minhash_lsh_pairs",

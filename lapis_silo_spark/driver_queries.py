@@ -1351,6 +1351,27 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdec.contaminated_docs(train_df, eval_df, "doc_id", "text", n=3)
 
 
+from lapis_silo_spark.functions.ranking import bm25_oracle_sql  # noqa: E402
+
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+@query(
+    "text_bm25_topk",
+    bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=20),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (functions.ranking) — one
+    codegen'd pass computing per-term frequencies, one scalar stats row
+    broadcast back, TakeOrderedAndProject for the cut. The oracle SQL is
+    GENERATED from the same parameters so formula/rounding can't drift."""
+    from lapis_silo_spark.functions.ranking import bm25_topk
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
 @query(
     "sample_stratified_hash",
     """SELECT lang, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept

@@ -143,6 +143,9 @@ def test_plan_sequence_flags_batched(example_db):
 _BNLJ_WHITELIST = {
     # brute force by definition: broadcast the query batch across the corpus
     "ann_brute_force_topk",
+    # ONE-row corpus-stats broadcast (N, avgdl, per-term df) cross-joined
+    # back onto the corpus — bounded by the query term count, not data size
+    "text_bm25_topk",
     # probe-list build: query batch × codebook cross (|q|×K rows, both small);
     # the corpus-side candidate join is an equi-join on the cell id
     "ann_ivf_topk",

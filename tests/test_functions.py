@@ -81,6 +81,31 @@ def test_minhash_lsh_recall_vs_exact(spark, hash_fn):
     assert found >= 0.8, f"LSH recall {found:.2f} over {len(truth)} pairs"
 
 
+def test_bm25_topk(spark):
+    from lapis_silo_spark.functions import ranking
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark joins data with hash joins"),
+            (2, "hash tables everywhere hash hash"),
+            (3, "completely unrelated words here"),
+            (4, "spark spark spark"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = ranking.bm25_topk(df, "doc_id", "text", ["hash", "spark"], k=3)
+    rows = out.collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == 3 and 3 not in ids  # no-term doc never ranks
+    # doc1 matches BOTH terms (1.76·idf) and beats the saturated
+    # single-term docs: doc4 (3×spark, short: 1.69·idf) then doc2
+    # (3×hash, longer: 1.54·idf) — k1 saturation + length norm at work
+    assert ids == [1, 4, 2]
+    assert all(r["bm25"] > 0 for r in rows)
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_simhash_identical_and_distant(docs):
     sigs = {
         r["doc_id"]: r["sig"]
