@@ -1351,6 +1351,41 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdec.contaminated_docs(train_df, eval_df, "doc_id", "text", n=3)
 
 
+@query(
+    "pack_sequences_chunks",
+    f"""WITH base AS (
+          SELECT doc_id AS id,
+                 CAST(length({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        packed AS (
+          SELECT id, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS tokens_before
+          FROM base)
+       SELECT id, shard,
+              CAST(floor(tokens_before / 2048.0) AS BIGINT) AS bin,
+              tokens_before % 2048 AS bin_offset,
+              n_tokens
+       FROM packed""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (functions.packing):
+    per-shard running token sum → context-window index + offset. One hash
+    shuffle + per-shard windows — no global sort barrier at scale. The
+    oracle shard key is doc_id%4 (SQL-reproducible stand-in for the
+    default xxhash sharding)."""
+    from lapis_silo_spark.functions.packing import pack_sequences
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return pack_sequences(
+        docs, "doc_id", "text", budget=2048, shards=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+
+
 from lapis_silo_spark.functions.ranking import bm25_oracle_sql  # noqa: E402
 
 _BM25_TERMS = ["hash", "join", "spark"]

@@ -106,6 +106,33 @@ def test_bm25_topk(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_pack_sequences(spark):
+    from lapis_silo_spark.functions import packing
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 60), (2, 50), (3, 30), (4, 80), (5, 10)]],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["shard"], r["bin"], r["bin_offset"], r["n_tokens"])
+        for r in packing.pack_sequences(
+            df, "doc_id", "text", budget=100, shards=1,
+            shard_col=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(0),
+        ).collect()
+    }
+    # one stream in id order: 60, 50, 30, 80, 10 tokens; budget 100
+    assert out[1] == (0, 0, 0, 60)     # starts bin 0, offset 0
+    assert out[2] == (0, 0, 60, 50)    # starts bin 0 @60, spans into bin 1
+    assert out[3] == (0, 1, 10, 30)    # tokens_before=110 -> bin 1 @10
+    assert out[4] == (0, 1, 40, 80)    # 140 -> bin 1 @40, spans into bin 2
+    assert out[5] == (0, 2, 20, 10)    # 220 -> bin 2 @20
+    # sharded run still covers every doc exactly once
+    packed = packing.pack_sequences(df, "doc_id", "text", budget=100,
+                                    shards=3)
+    assert sorted(r["id"] for r in packed.collect()) == [1, 2, 3, 4, 5]
+
+
 def test_simhash_identical_and_distant(docs):
     sigs = {
         r["doc_id"]: r["sig"]
