@@ -73,6 +73,103 @@ def streaming_exact_dedup(
     )
 
 
+_ND_OUTPUT = "id_a string, id_b string, jaccard double"
+_ND_STATE = "ids array<string>, sigs array<array<bigint>>"
+
+
+def streaming_minhash_pairs(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_perms: int = 32,
+    n_bands: int = 8,
+    k: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate pairs: the streaming twin of
+    ``functions.dedup.minhash_lsh_pairs``.
+
+    Each document's MinHash signature is computed as a per-row expression
+    (``minhash_signature`` — no aggregation, so the plan stays a single
+    stateful operator, which Structured Streaming requires), exploded into
+    band buckets, and compared against the bucket's remembered members:
+    a pair is emitted the moment the later document arrives, with the
+    signature-estimated Jaccard, when that estimate >= ``threshold``.
+
+    State per (band, bucket) is a capped member list (``max_bucket``
+    ids + signatures) — hot buckets degrade to first-N recall instead of
+    unbounded state, the same guardrail batch LSH applies to hot
+    shingles. A pair colliding in several bands is emitted once per
+    collision; downstream exact dedup (or the batch cluster collapse)
+    absorbs duplicates.
+    """
+    from lapis_silo_spark.functions.dedup import (
+        _band_hash,
+        minhash_signature,
+    )
+
+    rows_per_band = n_perms // n_bands
+
+    def _group(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sigs = state.get
+            ids = list(ids)
+            sigs = [list(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        for pdf in pdfs:
+            for row_id, sig in zip(pdf["id"], pdf["sig"]):
+                # plain Python ints: the state tuple is pickled across the
+                # JVM bridge, which rejects numpy scalars
+                sig = [int(v) for v in sig]
+                for other_id, other_sig in zip(ids, sigs):
+                    if other_id == row_id:
+                        continue
+                    eq = sum(1 for x, y in zip(sig, other_sig) if x == y)
+                    est = eq / float(n_perms)
+                    if est >= threshold:
+                        a, b = sorted((other_id, row_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(round(est, 6))
+                if len(ids) < max_bucket:
+                    ids.append(row_id)
+                    sigs.append(sig)
+        state.update((ids, sigs))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    banded = (
+        stream.select(
+            F.col(id_col).cast("string").alias("id"),
+            minhash_signature(text_col, n_perms=n_perms, k=k).alias("sig"),
+        )
+        # drop null text (null sig) and too-short-to-shingle text (sig of
+        # nulls) — the batch path drops both by producing no exploded rows
+        .filter(F.col("sig").getItem(0).isNotNull())
+        .select(
+            "id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select("id", "sig", "band", _band_hash(rows_per_band))
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        _group,
+        outputStructType=_ND_OUTPUT,
+        stateStructType=_ND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _SESS_OUTPUT = (
     "key string, session_start timestamp, session_end timestamp, "
     "n_events bigint"

@@ -163,6 +163,49 @@ def test_streaming_sessionize(spark, tmp_path):
     assert ("u1", 12, 1) in got
 
 
+def test_streaming_minhash_pairs(spark, tmp_path):
+    """Cross-batch NEAR-dup pairs: a later document pairs with a remembered
+    near-identical one even when they arrive in different micro-batches."""
+    from lapis_silo_spark.streaming.stateful import streaming_minhash_pairs
+
+    src = tmp_path / "nd"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run(emitted):
+        stream = spark.readStream.schema("doc_id string, text string").json(
+            str(src)
+        )
+        q = (
+            streaming_minhash_pairs(stream, "doc_id", "text", threshold=0.8)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "d1", "text": base}) + "\n")
+        fh.write(json.dumps({"doc_id": "d2",
+                             "text": "totally different content here"}) + "\n")
+        fh.write(json.dumps({"doc_id": "d3", "text": None}) + "\n")
+    emitted: list = []
+    run(emitted)
+    assert not [r for r in emitted if {r["id_a"], r["id_b"]} == {"d1", "d2"}]
+
+    # batch 2: an exact dup of d1 (identical signature -> every band
+    # collides; emitted once per colliding band)
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "d4", "text": base.upper()}) + "\n")
+    emitted.clear()
+    run(emitted)
+    pairs = {(r["id_a"], r["id_b"]) for r in emitted}
+    assert ("d1", "d4") in pairs
+    assert all(r["jaccard"] >= 0.8 for r in emitted)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen dedup across micro-batches."""
     from lapis_silo_spark.streaming.stateful import streaming_exact_dedup
