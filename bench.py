@@ -31,6 +31,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_quality_by_source",
     "text_bm25_topk",
+    "text_gram_novelty",
     "pack_sequences_chunks",
     "dedup_exact_groups",
     "dedup_minhash_bands",

@@ -1352,6 +1352,38 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gram_novelty",
+    f"""WITH toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents),
+        g AS (SELECT id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)])
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+        fs AS (SELECT gram, min(id) AS first_id FROM g GROUP BY gram),
+        pd AS (SELECT g.id, count(*) AS n_grams,
+                      CAST(sum((fs.first_id = g.id)::INT) AS BIGINT)
+                        AS novel_grams
+               FROM g JOIN fs USING (gram) GROUP BY g.id)
+       SELECT t.id,
+              CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+              coalesce(pd.novel_grams, 0) AS novel_grams,
+              round(coalesce(pd.novel_grams / pd.n_grams, 0), 6) AS novelty
+       FROM toks t LEFT JOIN pd ON pd.id = t.id""",
+)
+def q_text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty (functions.text.gram_novelty): fraction
+    of each document's distinct word 3-grams first seen in that document —
+    the dedup-aware sampling signal. Shuffle volume = distinct-gram count,
+    never pairwise."""
+    from lapis_silo_spark.functions.text import gram_novelty
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return gram_novelty(docs, "doc_id", "text", n=3)
+
+
+@query(
     "pack_sequences_chunks",
     f"""WITH base AS (
           SELECT doc_id AS id,

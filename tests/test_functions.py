@@ -106,6 +106,28 @@ def test_bm25_topk(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_gram_novelty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # all grams first here
+            (2, "alpha beta gamma delta"),        # exact repeat -> novelty 0
+            (3, "alpha beta gamma epsilon zeta"), # mixes old and new grams
+            (4, "xy"),                            # < 3 tokens -> no grams
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in text.gram_novelty(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 0, 0.0)
+    # doc3 grams: "alpha beta gamma" (seen in 1), "beta gamma epsilon",
+    # "gamma epsilon zeta" -> 2 of 3 novel
+    assert out[3] == (3, 2, pytest.approx(round(2 / 3, 6)))
+    assert out[4] == (0, 0, 0.0)
+
+
 def test_pack_sequences(spark):
     from lapis_silo_spark.functions import packing
 
