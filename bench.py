@@ -45,7 +45,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "ann_brute_force_topk",
     "ann_ivf_topk",
-    "multimodal_decode_stub",
+    "multimodal_decode",
     # the reference's own headline workload: mutation statistics and symbol
     # filters over the ingested sequence store (performance/
     # mutation_benchmark.cpp); first query pays the synthetic-store ingest

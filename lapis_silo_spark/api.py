@@ -86,9 +86,18 @@ class SiloDatabase:
 
         return execute_query(self.db, saneql)
 
-    def get_filtered_keys(self, table: str, filter_saneql: str) -> set:
+    def get_filtered_keys(
+        self, table: str, filter_saneql: str, max_rows: int = 5_000_000
+    ) -> set:
         """The raw filter layer (``Database::getFilteredBitmap``): the set of
-        primary keys surviving a bare filter expression."""
+        primary keys surviving a bare filter expression.
+
+        Inherently driver-bound (reference API semantics — the caller gets a
+        materialized key set); ``max_rows`` fails fast above the budget
+        instead of OOMing the driver. For larger selections keep the result
+        distributed: use :meth:`query_df` with the same filter and join
+        against the returned DataFrame.
+        """
         from lapis_silo_spark.operators.relational import Pipeline
         from lapis_silo_spark.saneql.binder import Binder
         from lapis_silo_spark.saneql.parser import parse
@@ -97,9 +106,16 @@ class SiloDatabase:
         pipeline = Pipeline.scan(self.db, table)
         expr = binder.to_filter(parse(filter_saneql), pipeline)
         pk = self.db.primary_key(table)
-        return {
-            row[pk] for row in pipeline.filter(expr).df.select(pk).collect()
-        }
+        rows = (
+            pipeline.filter(expr).df.select(pk).limit(max_rows + 1).collect()
+        )
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"filtered key set exceeds max_rows={max_rows}; use "
+                "query_df() to keep the selection distributed, or raise "
+                "max_rows if the driver has the memory for it"
+            )
+        return {row[pk] for row in rows}
 
     # -- mutation ----------------------------------------------------------
     def update_column(self, table: str, column: str, value,

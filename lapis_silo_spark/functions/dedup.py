@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lapis_silo_spark.cache import scoped_persist
 from lapis_silo_spark.functions.text import char_shingles, normalized, tokens
 
 # Prime > 2^32 for the universal-hash family; shingle hashes are 32-bit so
@@ -271,12 +272,12 @@ def minhash_lsh_pairs(
                              hash_fn=hash_fn or hash32_fast)
     # The band self-join references this subplan on BOTH sides; without a
     # materialized cache Spark computes the whole shingle-hash aggregation
-    # twice (the two join-side stages run concurrently, so a lazy persist
-    # still races). Signatures are n_perms longs/doc — tiny next to the text
-    # they summarize (the "store the sketch" half of any MinHash pipeline).
-    # The cache is never explicitly unpersisted (the result is lazy); Spark's
-    # storage memory is LRU-evictable, so repeated calls stay bounded.
-    sig = sig.persist()
+    # twice. Signatures are n_perms longs/doc — tiny next to the text they
+    # summarize (the "store the sketch" half of any MinHash pipeline). The
+    # cache lives exactly as long as the returned DataFrame: scoped_persist
+    # (applied just before return) unpersists it when the caller drops the
+    # result, so a long-lived server holds no net-new persisted RDDs between
+    # queries.
     bands = sig.select(
         "id",
         "sig",
@@ -312,11 +313,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     if not exact_verify:
-        return verified
+        return scoped_persist(sig, verified)
     shingled = _spread(
         df, F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     ).select("id", char_shingles("_t", k).alias("sh"))
-    return (
+    exact = (
         verified.drop("jaccard")
         .join(shingled.withColumnRenamed("id", "id_a")
               .withColumnRenamed("sh", "sh_a"), on="id_a")
@@ -330,6 +331,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return scoped_persist(sig, exact)
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -1,23 +1,32 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with the
 decode / feature-extract stages as Arrow-batched Pandas UDF plumbing.
 
-The container has no image/audio libraries, so the actual byte→pixels/samples
-decode is STUBBED (clearly marked below); everything Spark-side — schema,
-``mapInPandas`` batch shape, partitioning, metadata extraction — is real and
-tested. A deployment swaps ``_decode_image_stub`` for a real decoder (PIL,
-ffmpeg, ...) without touching any plan structure.
+The byte→pixels/samples decode is REAL for the uncompressed containers a
+pure-numpy parser can handle without any image/audio library:
+
+- BMP (Windows bitmap, ``BITMAPINFOHEADER``, uncompressed 24-bit BGR,
+  4-byte row stride padding, bottom-up or top-down row order),
+- PPM (binary ``P6``, maxval 255),
+- WAV (RIFF PCM, 8/16-bit, any channel count, chunk walking).
+
+Compressed containers (PNG/JPEG/WebM) still require external codecs and are
+reported as ``kind='unsupported'`` rather than faked. ``frame_sample_plan``
+keeps a stubbed frame count (video demux genuinely needs ffmpeg) — the
+explode/partitioning shape is the real one.
 
 Scale notes: binary columns ride in Parquet as BYTE_ARRAY; metadata-only
 queries never touch the bytes (column pruning), and the decode stage is a
 narrow mapInPandas (no shuffle) whose parallelism is the file-split count.
+The per-payload pixel/sample statistics are numpy reductions over the Arrow
+batch's buffers — no Python-per-pixel work.
 """
 
 from __future__ import annotations
 
-import os
-from hashlib import md5 as _md5
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -48,44 +57,141 @@ def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 _DECODED_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
+        T.StructField("kind", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_channels", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # per-channel pixel/sample means (raw units: 0-255 for images,
+        # amplitude for audio) — the feature-extract half of the stage
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
-
-def _REAL_DECODE() -> bool:
-    return bool(os.environ.get("SILO_SPARK_REAL_DECODE"))
+_UNSUPPORTED = ("unsupported", None, None, None, None)
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB decoder — deterministic fake standing in for a real image decoder.
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR
+    pixel order, rows padded to 4 bytes, bottom-up (or top-down when the
+    header height is negative)."""
+    if len(payload) < 54:
+        return _UNSUPPORTED
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:  # BITMAPCOREHEADER etc. not handled
+        return _UNSUPPORTED
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bit_count = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bit_count != 24 or compression != 0 or width <= 0 or height_raw == 0:
+        return _UNSUPPORTED
+    height = abs(height_raw)
+    stride = (width * 3 + 3) // 4 * 4
+    end = pixel_offset + stride * height
+    if end > len(payload):
+        return _UNSUPPORTED
+    rows = np.frombuffer(payload, np.uint8, stride * height, pixel_offset)
+    px = rows.reshape(height, stride)[:, : width * 3].reshape(
+        height, width, 3
+    )
+    if height_raw > 0:  # bottom-up storage -> flip to natural order
+        px = px[::-1]
+    means = px.astype(np.float64).mean(axis=(0, 1))  # B, G, R
+    return "image/bmp", width, height, 3, [
+        float(means[2]), float(means[1]), float(means[0])
+    ]
 
-    Raises ``NotImplementedError`` when real decoding is requested via env
-    flag; otherwise fabricates (width, height, channels, 4-dim feature) from
-    the byte content so the full pipeline shape is exercised deterministically.
-    """
-    if _REAL_DECODE():
-        raise NotImplementedError(
-            "real image decoding requires an image library not present in "
-            "this container; install one and replace _decode_image_stub"
-        )
-    digest = _md5(payload).digest()
-    width = 16 + digest[0] % 64
-    height = 16 + digest[1] % 64
-    channels = 1 + digest[2] % 3
-    feature = [b / 255.0 for b in digest[:4]]
-    return width, height, channels, feature
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (``P6``): ASCII header ``P6 <w> <h> <maxval>`` with
+    ``#`` comments, then w*h RGB triples."""
+    pos = 2  # past magic
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError:
+            return _UNSUPPORTED
+    if len(fields) < 3 or pos >= n:
+        return _UNSUPPORTED
+    width, height, maxval = fields
+    pos += 1  # single whitespace after maxval
+    if maxval != 255 or width <= 0 or height <= 0:
+        return _UNSUPPORTED
+    if pos + width * height * 3 > n:
+        return _UNSUPPORTED
+    px = np.frombuffer(payload, np.uint8, width * height * 3, pos).reshape(
+        height, width, 3
+    )
+    means = px.astype(np.float64).mean(axis=(0, 1))  # R, G, B
+    return "image/ppm", width, height, 3, [float(m) for m in means]
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE chunk walk: PCM (format 1) 8- or 16-bit, any channel
+    count. Reports width = frame count, height = 1, per-channel mean
+    amplitude (signed for 16-bit, unsigned-centered left raw for 8-bit)."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        return _UNSUPPORTED
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return _UNSUPPORTED
+    audio_fmt, channels, _rate, _byte_rate, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 1 or channels <= 0 or bits not in (8, 16):
+        return _UNSUPPORTED
+    dtype = np.int16 if bits == 16 else np.uint8
+    samples = np.frombuffer(data, dtype)
+    frames = len(samples) // channels
+    if frames == 0:
+        return "audio/wav", 0, 1, channels, [0.0] * channels
+    samples = samples[: frames * channels].reshape(frames, channels)
+    means = samples.astype(np.float64).mean(axis=0)
+    return "audio/wav", frames, 1, channels, [float(m) for m in means]
+
+
+def decode_payload(payload: bytes):
+    """Dispatch on magic bytes → ``(kind, width, height, n_channels,
+    feature)``; compressed/unknown containers return kind='unsupported'
+    with null dimensions (never fabricated values)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    return _UNSUPPORTED
 
 
 def decode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """Arrow-batched decode/feature-extract stage: ``mapInPandas`` over
-    (id, binary) batches → (id, width, height, n_channels, feature).
+    (id, binary) batches → (id, kind, width, height, n_channels, feature).
 
-    This is the real plumbing a production decode stage uses — only the
-    per-payload byte interpretation is stubbed (see _decode_image_stub).
+    Real pure-numpy decoding for BMP / PPM / WAV (see module docstring);
+    per-payload statistics are vectorized numpy reductions, the Python loop
+    is per-payload only (header parsing), never per-pixel.
     """
     selected = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(bin_col).alias("payload")
@@ -96,18 +202,54 @@ def decode_images(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             # column-wise iteration — iterrows() materializes a Series per
             # row and dominates the stage cost at scale
             decoded = [
-                _decode_image_stub(bytes(p) if p is not None else b"")
+                decode_payload(bytes(p) if p is not None else b"")
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({
                 "id": pdf["id"].to_numpy(),
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_channels": [d[2] for d in decoded],
-                "feature": [d[3] for d in decoded],
+                "kind": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+                "n_channels": [d[3] for d in decoded],
+                "feature": [d[4] for d in decoded],
             })
 
     return selected.mapInPandas(decode_batches, schema=_DECODED_SCHEMA)
+
+
+def bmp_payload(
+    width: int, height: int, rgb: tuple[int, int, int], top_down: bool = False
+) -> bytes:
+    """Well-formed uncompressed 24-bit BMP filled with one RGB color —
+    fixture generator for tests and the oracle-checked decode query (the
+    constant fill makes the decoded per-channel means SQL-predictable while
+    the decoder still exercises stride padding and row order)."""
+    r, g, b = rgb
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + img_size, 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    row = bytes((b, g, r)) * width + b"\x00" * (stride - width * 3)
+    return header + dib + row * height
+
+
+def wav_payload(
+    samples: list[int], channels: int = 1, rate: int = 8000
+) -> bytes:
+    """Well-formed 16-bit PCM RIFF/WAVE fixture (interleaved samples)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def frame_sample_plan(

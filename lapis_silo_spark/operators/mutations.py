@@ -30,6 +30,11 @@ from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
 from lapis_silo_spark.operators.relational import Pipeline
 
 
+# driver budget for materializing the adapted-store coverage grid; genome
+# grids are ~30k positions/segment, so this is ~60x headroom
+_MAX_GRID_ROWS = 2_000_000
+
+
 def _filtered_pks(pipeline: Pipeline) -> DataFrame:
     return pipeline.df.select(F.col(pipeline.pk).alias("pk")).dropDuplicates(["pk"])
 
@@ -144,9 +149,22 @@ def mutations_aggregate(
         # (local != published ref) they count as mutated with that symbol.
         # default_count = coverage − explicit non-missing entries.
         # coverage_per_pos is referenced twice below (defaults + output
-        # join); persist the genome-length intermediate so the
-        # interval-delta shuffle runs once (tiny, LRU-evictable).
-        coverage_per_pos = coverage_per_pos.persist()
+        # join). It is genome-length (the prefix-sum window above already
+        # assumes the grid is driver-scale), so materialize it once and
+        # rebuild as a LocalTableScan: the interval-delta shuffle runs
+        # exactly once, nothing stays persisted after the query (no cache
+        # registry growth in a long-lived server), and the accurate local
+        # size lets the final join broadcast it.
+        grid_rows = coverage_per_pos.collect()
+        if len(grid_rows) > _MAX_GRID_ROWS:
+            raise ValueError(
+                f"coverage grid has {len(grid_rows)} rows, above the "
+                f"driver materialization budget {_MAX_GRID_ROWS}; "
+                "adapted-store aggregation assumes a genome-length grid"
+            )
+        coverage_per_pos = pipeline.df.sparkSession.createDataFrame(
+            grid_rows, coverage_per_pos.schema
+        )
         expl_tot = (
             mut_counts.join(
                 grid.select("seq_name", "pos", "missing_sym"),

@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 
 from lapis_silo_spark.operators.relational import Pipeline
 
+# Driver budget for tree materializations. Both operators produce a single
+# output row from a driver-side walk (same asymptotics as the reference,
+# which is single-node anyway), so the collected set is bounded by the TREE
+# size, not the table size — but a mis-registered high-cardinality column
+# must fail fast with a clear message instead of OOMing the driver.
+MAX_DRIVER_TREE_NODES = 2_000_000
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    rows = df.limit(MAX_DRIVER_TREE_NODES + 1).collect()
+    if len(rows) > MAX_DRIVER_TREE_NODES:
+        raise ValueError(
+            f"{what} exceeds the driver materialization budget of "
+            f"{MAX_DRIVER_TREE_NODES} rows; phylo operators walk the tree "
+            "driver-side and require a broadcast-scale phylo_nodes table "
+            "(raise lapis_silo_spark.operators.phylo.MAX_DRIVER_TREE_NODES "
+            "only with matching driver memory)"
+        )
+    return rows
+
 
 def _node_sets(pipeline: Pipeline, column: str):
     """Collect, over the FILTERED rows:
@@ -38,7 +58,10 @@ def _node_sets(pipeline: Pipeline, column: str):
         pipeline.df.groupBy(F.col(column).alias("node"))
         .agg(F.count(F.lit(1)).alias("row_cnt"))
     )
-    joined = vals.join(nodes, on="node", how="left").collect()
+    joined = _bounded_collect(
+        vals.join(nodes, on="node", how="left"),
+        f"distinct value set of column {column!r}",
+    )
     present = [r for r in joined if r["node"] is not None and r["euler_in"] is not None]
     missing_names = sorted(
         r["node"] for r in joined if r["node"] is not None and r["euler_in"] is None
@@ -107,7 +130,7 @@ def phylo_subtree(
     _, present, missing_names, missing_rows = _node_sets(pipeline, column)
     selected = {r["node"] for r in present}
 
-    all_nodes = nodes_df.collect()
+    all_nodes = _bounded_collect(nodes_df, f"phylo tree for {column!r}")
     parent_of = {r["node"]: r["parent"] for r in all_nodes}
     depth_of = {r["node"]: r["depth"] for r in all_nodes}
     length_of = {r["node"]: r["branch_length"] for r in all_nodes}

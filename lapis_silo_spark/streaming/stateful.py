@@ -140,7 +140,10 @@ def streaming_minhash_pairs(
                         out_a.append(a)
                         out_b.append(b)
                         out_j.append(round(est, 6))
-                if len(ids) < max_bucket:
+                # membership check: a re-delivered id must not consume a
+                # second max_bucket slot (hot-bucket recall would degrade
+                # faster than the documented first-N guarantee)
+                if row_id not in ids and len(ids) < max_bucket:
                     ids.append(row_id)
                     sigs.append(sig)
         state.update((ids, sigs))
@@ -215,23 +218,32 @@ def streaming_sessionize(
                 }
             )
             return
-        ts_sorted = sorted(
-            t for pdf in pdfs for t in pdf["ts"].tolist() if t is not None
-        )
-        sessions: list[list] = []
+        # Merge the restored open session (a [start, end, n] span) and the
+        # batch events (point spans) in TIME order, not arrival order: an
+        # out-of-order event within the watermark may precede the open
+        # session's start, and must either pull the start back (if within
+        # gap) or form its own earlier session — not silently inflate the
+        # open one (a negative gap always passed the old `<= gap` check).
+        spans: list[list] = [
+            [t, t, 1]
+            for pdf in pdfs
+            for t in pdf["ts"].tolist()
+            if t is not None
+        ]
         if state.exists:
             start, end, n = state.get
-            sessions.append([pd.Timestamp(start), pd.Timestamp(end), n])
-        for t in ts_sorted:
+            spans.append([pd.Timestamp(start), pd.Timestamp(end), n])
+        spans.sort(key=lambda s: (s[0], s[1]))
+        sessions: list[list] = []
+        for start, end, n in spans:
             if (
                 sessions
-                and (t - sessions[-1][1]).total_seconds() <= gap_seconds
+                and (start - sessions[-1][1]).total_seconds() <= gap_seconds
             ):
-                if t > sessions[-1][1]:
-                    sessions[-1][1] = t
-                sessions[-1][2] += 1
+                sessions[-1][1] = max(sessions[-1][1], end)
+                sessions[-1][2] += n
             else:
-                sessions.append([t, t, 1])
+                sessions.append([start, end, n])
         if not sessions:
             return
         *closed, current = sessions

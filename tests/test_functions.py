@@ -310,16 +310,82 @@ def test_multimodal_metadata_magic(spark):
     assert rows[3]["n_bytes"] == 16
 
 
-def test_multimodal_decode_stub_deterministic(spark):
-    df = spark.createDataFrame(
-        [(1, b"aaa"), (2, b"bbb")], schema="id long, payload binary"
+def test_decode_bmp_real_pixels():
+    """Bottom-up AND top-down 24-bit BMPs, non-multiple-of-4 width (stride
+    padding must be skipped, not averaged in)."""
+    for top_down in (False, True):
+        payload = multimodal.bmp_payload(5, 3, (10, 200, 30), top_down=top_down)
+        kind, w, h, c, feat = multimodal.decode_payload(payload)
+        assert (kind, w, h, c) == ("image/bmp", 5, 3, 3)
+        assert feat == [10.0, 200.0, 30.0]
+
+
+def test_decode_bmp_mixed_pixels():
+    """Hand-built BMP with differing pixels: means are true averages."""
+    import struct as st
+
+    width, height = 2, 1
+    stride = 8  # 2*3 rounded up to 4
+    header = b"BM" + st.pack("<IHHI", 54 + stride, 0, 0, 54)
+    dib = st.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride,
+                  0, 0, 0, 0)
+    # pixels: BGR order -> (R=255,G=0,B=0) and (R=0,G=0,B=255) + 2 pad bytes
+    pixels = bytes([0, 0, 255]) + bytes([255, 0, 0]) + b"\xff\xff"
+    kind, w, h, c, feat = multimodal.decode_payload(header + dib + pixels)
+    assert (kind, w, h, c) == ("image/bmp", 2, 1, 3)
+    assert feat == [127.5, 0.0, 127.5]
+
+
+def test_decode_ppm_with_comment():
+    payload = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [0, 0, 0, 255, 255, 255, 100, 50, 0, 100, 50, 0]
     )
-    out1 = {r["id"]: (r["width"], r["height"]) for r in
+    kind, w, h, c, feat = multimodal.decode_payload(payload)
+    assert (kind, w, h, c) == ("image/ppm", 2, 2, 3)
+    assert feat == [113.75, 88.75, 63.75]
+
+
+def test_decode_wav_pcm16_stereo():
+    # interleaved L/R: left channel mean 100, right channel mean -50
+    payload = multimodal.wav_payload(
+        [100, -50, 100, -50, 100, -50], channels=2
+    )
+    kind, frames, h, c, feat = multimodal.decode_payload(payload)
+    assert (kind, frames, h, c) == ("audio/wav", 3, 1, 2)
+    assert feat == [100.0, -50.0]
+
+
+def test_decode_unsupported_not_fabricated(spark):
+    """Compressed/garbage payloads report kind='unsupported' with NULL
+    dimensions — never invented values — and truncated BMPs don't crash."""
+    truncated_bmp = multimodal.bmp_payload(4, 4, (1, 2, 3))[:40]
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n----"), (2, b"aaa"), (3, truncated_bmp),
+         (4, None)],
+        schema="id long, payload binary",
+    )
+    rows = {r["id"]: r for r in
             multimodal.decode_images(df, "id", "payload").collect()}
-    out2 = {r["id"]: (r["width"], r["height"]) for r in
+    assert all(rows[i]["kind"] == "unsupported" for i in rows)
+    assert all(rows[i]["width"] is None for i in rows)
+
+
+def test_decode_images_mixed_formats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.bmp_payload(6, 2, (9, 8, 7))),
+            (2, multimodal.wav_payload([1000] * 4)),
+            (3, b"not media"),
+        ],
+        schema="id long, payload binary",
+    )
+    rows = {r["id"]: r for r in
             multimodal.decode_images(df, "id", "payload").collect()}
-    assert out1 == out2
-    assert all(16 <= w < 80 and 16 <= h < 80 for w, h in out1.values())
+    assert rows[1]["kind"] == "image/bmp" and rows[1]["width"] == 6
+    assert rows[1]["feature"] == [9.0, 8.0, 7.0]
+    assert rows[2]["kind"] == "audio/wav" and rows[2]["width"] == 4
+    assert rows[2]["feature"] == [1000.0]
+    assert rows[3]["kind"] == "unsupported"
 
 
 def test_frame_sample_plan(spark):

@@ -269,26 +269,44 @@ def test_golden_values_survive_persistence(golden_db, tmp_path_factory):
         assert _normalize(rows) == _normalize(expected), name
 
 
-def test_golden_values_through_http(golden_db):
-    """A sample of golden queries POSTed to /query must return the expected
-    rows as NDJSON — value conformance through the full serving path
-    (parse → bind → execute → serialize → headers)."""
+@pytest.fixture(scope="session")
+def golden_client(golden_db):
     from lapis_silo_spark.server import create_app
 
     app = create_app(golden_db)
     app.testing = True
-    client = app.test_client()
-    sample = ["And", "GroupByDivision", "insertionsAction",
-              "MostRecentCommonAncestor_SimpleQuery", "secondSequence",
-              "symbolEquals/testSeqPos2SymbolMaybeC"]
-    for name in sample:
-        case = json.loads((E2E / "queries" / f"{name}.json").read_text())
-        resp = client.post("/query", data=case["query"])
-        assert resp.status_code == 200, (name, resp.get_data(as_text=True))
-        rows = [json.loads(line) for line in
-                resp.get_data(as_text=True).splitlines() if line]
-        expected = case.get("expectedQueryResult") or []
-        assert _normalize(rows) == _normalize(expected), name
+    return app.test_client()
+
+
+@pytest.mark.parametrize("case", _load_cases("queries"))
+def test_golden_query_through_http(golden_client, case):
+    """The FULL golden corpus POSTed to /query: expected rows must come back
+    as NDJSON with the reference's response headers — value conformance
+    through the complete serving path (parse → bind → execute → NDJSON sink
+    → headers), mirroring endToEndTests/test/query.test.js + common.js."""
+    resp = golden_client.post(
+        "/query", data=case["query"], headers={"X-Request-Id": "golden-run"}
+    )
+    assert resp.status_code == 200, resp.get_data(as_text=True)
+    assert resp.content_type.startswith("application/x-ndjson")
+    assert resp.headers["X-Request-Id"] == "golden-run"
+    assert len(resp.headers["data-version"]) > 0
+    json.loads(resp.headers["result-ordering"])  # always valid JSON
+    rows = [json.loads(line) for line in
+            resp.get_data(as_text=True).splitlines() if line]
+    expected = case.get("expectedQueryResult") or []
+    assert _normalize(rows) == _normalize(expected)
+
+
+@pytest.mark.parametrize("case", _load_cases("invalidQueries"))
+def test_golden_invalid_query_through_http(golden_client, case):
+    """Every invalid-query case must surface as a 400 with the reference's
+    error envelope through the HTTP path (error_request_handler.cpp)."""
+    resp = golden_client.post("/query", data=case["query"])
+    assert resp.status_code == 400, resp.get_data(as_text=True)
+    body = resp.get_json()
+    assert body["error"] == "Bad request"
+    assert len(body["message"]) > 0
 
 
 def test_golden_values_through_arrow_ipc(golden_db):

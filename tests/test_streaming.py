@@ -252,3 +252,115 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r["id"] for r in emitted} == {"d5"}
+
+
+def test_streaming_sessionize_out_of_order_event(spark, tmp_path):
+    """An out-of-order event arriving BEFORE the open session's start (but
+    within the watermark) must not silently inflate the open session: within
+    gap of the start it pulls the start back; more than gap before it forms
+    its own earlier session (ADVICE r2, stateful.py negative-gap merge)."""
+    from lapis_silo_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "sess_ooo"
+    src.mkdir()
+
+    def run(emitted):
+        stream = spark.readStream.schema("user string, ts timestamp").json(
+            str(src)
+        )
+        q = (
+            streaming_sessionize(
+                stream, "user", "ts", gap_seconds=1800,
+                watermark_delay="24 hours",
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        with open(src / name, "w") as fh:
+            for user, ts in rows:
+                fh.write(json.dumps({"user": user, "ts": ts}) + "\n")
+
+    # batch 1: open session [12:00, 12:00]
+    write("b1.json", [("u1", "2024-01-01T12:00:00")])
+    emitted: list = []
+    run(emitted)
+    assert emitted == []
+
+    # batch 2, out of order: 09:00 is >gap before the open session -> its own
+    # (already-closable) session; 11:45 is within gap of 12:00 -> pulls the
+    # open session's start back
+    write("b2.json", [
+        ("u1", "2024-01-01T09:00:00"),
+        ("u1", "2024-01-01T11:45:00"),
+    ])
+    emitted.clear()
+    run(emitted)
+    got = {
+        (r["key"], r["session_start"].hour, r["session_end"].hour,
+         r["n_events"]) for r in emitted
+    }
+    assert got == {("u1", 9, 9, 1)}
+
+    # push the watermark far ahead with another key, then fire the timeout:
+    # the open session must be [11:45, 12:00] with 2 events
+    write("b3.json", [("u2", "2024-01-03T00:00:00")])
+    emitted.clear()
+    run(emitted)
+    write("b4.json", [("u2", "2024-01-03T00:05:00")])
+    run(emitted)
+    sess = [
+        r for r in emitted
+        if r["key"] == "u1" and r["session_start"].hour == 11
+    ]
+    assert len(sess) == 1
+    assert sess[0]["session_start"].minute == 45
+    assert sess[0]["session_end"].hour == 12
+    assert sess[0]["n_events"] == 2
+
+
+def test_streaming_minhash_redelivery_keeps_bucket_slots(spark, tmp_path):
+    """A re-delivered document id must not consume a second max_bucket slot
+    (ADVICE r2): with max_bucket=2 and d1 delivered twice, later near-dups
+    d2 and d3 must still both be remembered and pair with each other."""
+    from lapis_silo_spark.streaming.stateful import streaming_minhash_pairs
+
+    src = tmp_path / "nd_redeliver"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run(emitted):
+        stream = spark.readStream.schema("doc_id string, text string").json(
+            str(src)
+        )
+        q = (
+            streaming_minhash_pairs(
+                stream, "doc_id", "text", threshold=0.8, max_bucket=2,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emitted: list = []
+    for name, doc_id, text in [
+        ("b1.json", "d1", base),
+        ("b2.json", "d1", base),          # re-delivery of d1
+        ("b3.json", "d2", base.upper()),  # same normalized signature
+        ("b4.json", "d3", base),
+    ]:
+        with open(src / name, "w") as fh:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        run(emitted)
+    pairs = {(r["id_a"], r["id_b"]) for r in emitted}
+    # buggy slot accounting left the bucket as [d1, d1]: d2 never stored,
+    # so (d2, d3) never paired
+    assert {("d1", "d2"), ("d1", "d3"), ("d2", "d3")} <= pairs

@@ -3,10 +3,16 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, comparing row count, column names, and an order-insensitive value
 multiset (stringified, column-sorted). Exit code 1 on any mismatch.
+
+``--out PATH`` additionally writes the full-registry results as JSON in the
+driver's CORRECTNESS schema (rows/schema/hash_match + row counts + err), so
+coverage beyond the driver's 50-row gate window is auditable from a committed
+artifact (CORRECTNESS_LOCAL_r<k>.json) without a judge re-run.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections import Counter
@@ -44,7 +50,14 @@ def normalize(val):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = sys.argv[1:] or None
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv or None
+    results: dict[str, dict] = {}
 
     from lapis_silo_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -73,9 +86,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL  {name}: spark error: {exc}")
+            results[name] = _entry(err=f"spark error: {exc}")
             continue
         if name not in oracles:
             print(f"ok    {name}: rows={len(srows)} (rows-only, no oracle)")
+            results[name] = _entry(spark_rows=len(srows), err="no_oracle")
             continue
         try:
             rel = con.execute(oracles[name])
@@ -84,19 +99,30 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL  {name}: duckdb error: {exc}")
+            results[name] = _entry(
+                spark_rows=len(srows), err=f"duckdb error: {exc}"
+            )
             continue
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         ocols = [ocols_raw[i] for i in order]
         orows = [tuple(normalize(r[i]) for i in order) for r in orows_raw]
-        if scols != ocols:
+        entry = _entry(
+            rows_match=len(srows) == len(orows),
+            schema_match=scols == ocols,
+            hash_match=Counter(srows) == Counter(orows),
+            spark_rows=len(srows),
+            oracle_rows=len(orows),
+        )
+        results[name] = entry
+        if not entry["schema_match"]:
             failures.append((name, f"columns {scols} != {ocols}"))
             print(f"FAIL  {name}: columns {scols} != {ocols}")
             continue
-        if len(srows) != len(orows):
+        if not entry["rows_match"]:
             failures.append((name, f"rowcount {len(srows)} != {len(orows)}"))
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             continue
-        if Counter(srows) != Counter(orows):
+        if not entry["hash_match"]:
             diff_s = list((Counter(srows) - Counter(orows)).items())[:3]
             diff_o = list((Counter(orows) - Counter(srows)).items())[:3]
             failures.append((name, "value mismatch"))
@@ -107,7 +133,30 @@ def main() -> int:
         print(f"ok    {name}: rows={len(srows)}")
 
     print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+            fh.write("\n")
+        print(f"wrote {out_path} ({len(results)} entries)")
     return 1 if failures else 0
+
+
+def _entry(
+    rows_match=None,
+    schema_match=None,
+    hash_match=None,
+    spark_rows=None,
+    oracle_rows=None,
+    err=None,
+) -> dict:
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
 
 
 if __name__ == "__main__":
