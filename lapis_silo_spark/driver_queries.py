@@ -33,6 +33,7 @@ from lapis_silo_spark.expressions import (
     NOf,
     NotEquals,
 )
+from lapis_silo_spark.functions.ranking import tfidf_oracle_sql
 from lapis_silo_spark.operators import Pipeline
 from lapis_silo_spark.operators.relational import MapExpr
 
@@ -2300,6 +2301,101 @@ def q_genomic_mutation_profile_agg(
         .map({"doc_id": F.col("primary_key").cast("long")})
         .project(["doc_id"])
         .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-data operators (registered past the gate window by design:
+# ADVICE r2 — new Spark-superset queries append strictly after slot 50; they
+# are value-checked by tools/check_correctness.py → CORRECTNESS_LOCAL_r<k>)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_duplicate_passages",
+    f"""WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 4
+                            THEN [array_to_string(t[i:i+3], ' ')
+                                  FOR i IN range(1, len(t) - 2)]
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+        per AS (SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY 1, 2)
+       SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(occ) AS BIGINT) AS n_occurrences
+       FROM per GROUP BY gram HAVING count(*) >= 2""",
+)
+def q_dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages: word 4-grams occurring in >= 2
+    distinct documents (functions.dedup.duplicate_passages — two-stage
+    keyed aggregation, shuffle bounded by distinct (gram, doc) pairs)."""
+    from lapis_silo_spark.functions.dedup import duplicate_passages
+
+    db = db_for(spark, sf_dir)
+    return duplicate_passages(
+        db.table("documents"), "doc_id", "text", n=4, min_docs=2
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    tfidf_oracle_sql("documents", "doc_id", "text", k=3),
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (functions.ranking.tfidf_top_terms —
+    one term-keyed window for document frequency, one scalar-row broadcast
+    for corpus size, one doc-keyed window for the top-k cut)."""
+    from lapis_silo_spark.functions.ranking import tfidf_top_terms
+
+    db = db_for(spark, sf_dir)
+    return (
+        tfidf_top_terms(db.table("documents"), "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+#: Dataset-mixture targets for the registered query: overweight src0,
+#: underweight src1, spread the remainder.  Mirrored literally in the oracle.
+_MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 0.1} | {
+    f"src{i}": 0.65 / 18 for i in range(2, 20)
+}
+
+
+@query(
+    "sample_dataset_mixture",
+    """WITH c AS (SELECT source AS s, count(*) AS n FROM documents
+                  GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        m AS (SELECT s, CAST(floor(least(CAST(1.0 AS DOUBLE),
+                 (CASE s WHEN 'src0' THEN CAST(0.25 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+                         ELSE CAST(0.65 AS DOUBLE) / 18 END
+                  * CAST(0.25 AS DOUBLE)) * tot.total / c.n)
+                 * 256 + 0.5) AS INT) AS mm
+              FROM c, tot),
+        th AS (SELECT s, CASE WHEN mm >= 256 THEN 'g'
+                              ELSE lpad(lower(to_hex(mm)), 2, '0') END AS thr
+               FROM m)
+       SELECT d.source, count(*) AS kept,
+              CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+       FROM documents d JOIN th ON th.s = d.source
+       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < th.thr
+       GROUP BY d.source""",
+)
+def q_sample_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling toward target per-source weights at a
+    quarter-corpus budget (functions.sampling.mixture_sample — one tiny
+    counts agg, then the same zero-shuffle md5-bucket CASE predicate as
+    stratified sampling)."""
+    from lapis_silo_spark.functions.sampling import mixture_sample
+
+    db = db_for(spark, sf_dir)
+    kept = mixture_sample(
+        db.table("documents"), "doc_id", "source", _MIXTURE_WEIGHTS, 0.25
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_chars").alias("chars_kept"),
     )
 
 

@@ -80,6 +80,45 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated word-``n``-gram passages across documents: every n-gram that
+    occurs in at least ``min_docs`` distinct documents, with its document and
+    occurrence counts — the passage-level twin of document-level dedup (the
+    "duplicated training data" signal of exact-substring dedup pipelines;
+    the reference engine has no text surface at all, SURVEY §2.5).
+
+    Returns ``(gram, n_docs, n_occurrences)``.
+
+    Scale shape: two-stage aggregation. Stage 1 groups by ``(gram, doc)`` —
+    map-side combine collapses within-document repeats before the shuffle, so
+    shuffle volume is bounded by distinct (gram, doc) pairs, never total gram
+    occurrences. Stage 2 re-keys by ``gram`` alone; its input is already one
+    row per (gram, doc). The explode stays in the same select as the
+    n-gram-building expression so the Generate remains inside whole-stage
+    codegen (see BENCH_NOTES on ``text_gram_novelty``).
+    """
+    from lapis_silo_spark.functions.text import word_ngrams
+
+    grams = _spread(
+        df, F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).select("id", F.explode(word_ngrams("_t", n)).alias("gram"))
+    per_doc = grams.groupBy("gram", "id").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # -- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -88,6 +88,86 @@ def bm25_topk(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the keyword signal a curation
+    pipeline uses for topical sampling and near-boilerplate detection.
+
+    Returns ``(id, term, tf, score)`` with sklearn-style smoothed idf
+    ``ln((1 + N) / (1 + df)) + 1`` and the score rounded to 6 decimals.
+    The cut at ``k`` orders by (unrounded score desc, term asc) so it is
+    deterministic across engines.
+
+    Scale shape: tokens explode once; term frequencies are a ``(id, term)``
+    hash aggregation (map-side combined); document frequency is a window
+    count over ``term`` — ONE shuffle keyed on the term, no join against a
+    materialized df table; the corpus size is a single scalar row broadcast
+    back via crossJoin (same device as :func:`bm25_topk`); the per-document
+    top-k is a window rank over ``id``. Every stage is keyed aggregation or
+    window — nothing pairwise, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term")
+    with_df = tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
+    n_row = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = with_df.crossJoin(F.broadcast(n_row)).withColumn(
+        "score",
+        F.col("tf")
+        * (
+            F.log(
+                (F.lit(1.0) + F.col("_n"))
+                / (F.lit(1.0) + F.col("_df"))
+            )
+            + F.lit(1.0)
+        ),
+    )
+    w_doc = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= k)
+        .select("id", "term", "tf", F.round("score", 6).alias("score"))
+    )
+
+
+def tfidf_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 3
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` — identical tokenization,
+    idf formula, rounding, and (score desc, term) tie-break."""
+    norm = (
+        f"regexp_split_to_array(lower(regexp_replace(trim({text_col}), "
+        f"'\\s+', ' ', 'g')), ' ')"
+    )
+    return f"""WITH toks AS (
+          SELECT {id_col} AS id, unnest({norm}) AS term FROM {table}),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfreq
+                FROM tf),
+        n AS (SELECT count(*) AS n FROM {table}),
+        scored AS (
+          SELECT id, term, tf,
+                 tf * (ln((1.0 + n.n) / (1.0 + dfreq)) + 1.0) AS score
+          FROM wdf, n),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY id ORDER BY score DESC, term) AS rn
+          FROM scored)
+       SELECT id AS {id_col}, term, CAST(tf AS BIGINT) AS tf,
+              round(score, 6) AS score
+       FROM ranked WHERE rn <= {k}"""
+
+
 def bm25_oracle_sql(
     table: str,
     id_col: str,

@@ -62,3 +62,61 @@ def stratified_hash_sample(
             s == value, F.lit(_threshold_hex(rate))
         ).otherwise(threshold)
     return bucket_prefix(key) < threshold
+
+
+def mixture_rates(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    budget_fraction: float,
+) -> dict[str, float]:
+    """Per-stratum keep rates that steer the sample toward a target MIXTURE.
+
+    Training-data pipelines rarely want a uniform sample — they want "this
+    much web, this much code, this much reference text". Given observed
+    per-stratum ``counts``, target ``weights`` (summing to 1), and an overall
+    ``budget_fraction`` of the corpus, the rate for stratum *s* is
+    ``min(1, w_s * budget * total / n_s)`` — over-represented strata are
+    down-sampled, under-represented ones keep everything (a rate cannot
+    exceed 1; the mixture is then as close to the target as the data allows).
+
+    Rates are quantized to the 256-bucket grid with ``floor(r*256 + 0.5)``
+    (explicit half-up — NOT Python's banker's ``round``) so a SQL oracle can
+    reproduce the quantization exactly with ``floor(r * 256 + 0.5)``.
+    """
+    import math
+
+    total = float(sum(counts.values()))
+    return {
+        s: math.floor(
+            min(1.0, weights.get(s, 0.0) * budget_fraction * total / n)
+            * 256
+            + 0.5
+        )
+        / 256.0
+        for s, n in counts.items()
+    }
+
+
+def mixture_sample(
+    df: "DataFrame",
+    key: str,
+    stratum: str,
+    weights: dict[str, float],
+    budget_fraction: float,
+) -> "DataFrame":
+    """Deterministic dataset-mixture sampling: keep a content-addressed
+    subset of ``df`` whose per-``stratum`` composition approaches ``weights``
+    at ``budget_fraction`` of the corpus.
+
+    One tiny counts aggregation (|strata| rows, collected), then the keep
+    predicate is the same zero-shuffle codegen'd CASE as
+    :func:`stratified_hash_sample` — the scan + filter pipeline is identical
+    at 500 rows and 500 billion."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_rates(counts, weights, budget_fraction)
+    return df.filter(stratified_hash_sample(key, stratum, rates))

@@ -151,6 +151,9 @@ _BNLJ_WHITELIST = {
     "ann_ivf_topk",
     # euler-interval containment against ONE broadcast ancestor row
     "genomic_phylo_descendant",
+    # ONE-row corpus-size broadcast (N) cross-joined onto the tf table —
+    # same scalar-stats device as text_bm25_topk
+    "text_tfidf_top_terms",
 }
 
 

@@ -9,8 +9,13 @@ import gc
 import pytest
 
 
-def _persistent_rdd_count(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of currently-persisted RDDs.  Tests compare id SETS, not counts:
+    a dropped DataFrame from an earlier test may be unpersisted by a GC that
+    runs between our before/after probes, so "no net-new persisted RDDs"
+    must tolerate OLD ids vanishing."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_scoped_persist_releases_on_result_drop(spark):
@@ -18,25 +23,25 @@ def test_scoped_persist_releases_on_result_drop(spark):
 
     df = spark.range(100)
     inter = spark.range(50)
-    before = _persistent_rdd_count(spark)
+    before = _persistent_rdd_ids(spark)
     result = scoped_persist(inter, df.join(inter, on="id"))
     assert result.count() == 50
-    assert _persistent_rdd_count(spark) == before + 1
+    assert len(_persistent_rdd_ids(spark) - before) == 1
     del result
     gc.collect()
-    assert _persistent_rdd_count(spark) == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_scoped_persist_explicit_release_is_idempotent(spark):
     from lapis_silo_spark.cache import scoped_persist
 
     inter = spark.range(10)
-    before = _persistent_rdd_count(spark)
+    before = _persistent_rdd_ids(spark)
     result = scoped_persist(inter, inter.selectExpr("id * 2 AS x"))
     assert result.count() == 10
     result._silo_cache_guard.release()
     result._silo_cache_guard.release()
-    assert _persistent_rdd_count(spark) == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_minhash_lsh_pairs_leaves_no_persisted_rdds(spark):
@@ -48,13 +53,13 @@ def test_minhash_lsh_pairs_leaves_no_persisted_rdds(spark):
         ("c", "completely different content in this one"),
     ]
     df = spark.createDataFrame(rows, "id string, text string")
-    before = _persistent_rdd_count(spark)
+    before = _persistent_rdd_ids(spark)
     pairs = minhash_lsh_pairs(df, "id", "text", threshold=0.9)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert ("a", "b") in got
     del pairs
     gc.collect()
-    assert _persistent_rdd_count(spark) == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_mutations_aggregate_adapted_leaves_no_persisted_rdds(spark):
@@ -77,12 +82,12 @@ def test_mutations_aggregate_adapted_leaves_no_persisted_rdds(spark):
     # baseline after they exist
     mutations_aggregate(Pipeline.scan(db, "default"), min_proportion=0.1).count()
     gc.collect()
-    before = _persistent_rdd_count(spark)
+    before = _persistent_rdd_ids(spark)
     out = mutations_aggregate(Pipeline.scan(db, "default"), min_proportion=0.1)
     assert out.count() > 0
     del out
     gc.collect()
-    assert _persistent_rdd_count(spark) == before
+    assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_phylo_driver_budget_fails_fast(spark, monkeypatch):

@@ -524,3 +524,81 @@ def test_repetition_fractions(spark):
     assert out[2][0] == pytest.approx(10 / 28)
     assert out[2][1] == 0.0
     assert out[3] == (0.0, 0.0)
+
+
+def test_duplicate_passages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta tail one"),
+            (2, "head alpha beta gamma delta"),
+            (3, "alpha beta gamma delta alpha beta gamma delta"),
+            (4, "nothing shared with anyone here"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["gram"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.duplicate_passages(
+            df, "doc_id", "text", n=4, min_docs=2
+        ).collect()
+    }
+    # "alpha beta gamma delta": docs 1, 2, 3 — doc 3 carries it twice
+    assert out["alpha beta gamma delta"] == (3, 4)
+    # single-doc grams (incl. doc 3's internal repeat-spanning grams) excluded
+    assert all(n_docs >= 2 for n_docs, _ in out.values())
+    assert "nothing shared with anyone" not in out
+
+
+def test_tfidf_top_terms(spark):
+    from lapis_silo_spark.functions.ranking import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common apple pear"),
+            (3, "common plum pear"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    # doc 1: 'zebra' (tf=3, df=1) far outscores 'common' (tf=2, df=3)
+    top1 = max(by_doc[1], key=lambda r: r["score"])
+    assert top1["term"] == "zebra" and top1["tf"] == 3
+    # df=3 == N → idf = ln(4/4)+1 = 1 exactly → score == tf
+    common = [r for r in by_doc[1] if r["term"] == "common"][0]
+    assert common["score"] == pytest.approx(2.0)
+
+
+def test_mixture_rates_quantized_and_capped(spark):
+    from lapis_silo_spark.functions.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    counts = {"a": 100, "b": 100, "c": 800}
+    # target 50/25/25 at half the corpus → a wants 250 of 100 rows (capped),
+    # b wants 125 of 100 (capped), c wants 125 of 800 → rate 0.15625
+    rates = mixture_rates(
+        counts, {"a": 0.5, "b": 0.25, "c": 0.25}, 0.5
+    )
+    assert rates["a"] == 1.0 and rates["b"] == 1.0
+    assert rates["c"] == 40 / 256  # 0.15625 * 256 = 40 exactly on the grid
+
+    rows = [(i, "a") for i in range(100)]
+    rows += [(i + 100, "b") for i in range(100)]
+    rows += [(i + 200, "c") for i in range(800)]
+    df = spark.createDataFrame(rows, schema="id long, src string")
+    kept = mixture_sample(df, "id", "src", {"a": 0.5, "b": 0.25, "c": 0.25}, 0.5)
+    got = {r["src"]: r["n"] for r in
+           kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["a"] == 100 and got["b"] == 100  # capped strata keep all
+    assert 80 <= got["c"] <= 170  # ~125 expected, md5-bucket variance
+    # deterministic: the same predicate keeps the same rows on a re-run
+    again = mixture_sample(df, "id", "src", {"a": 0.5, "b": 0.25, "c": 0.25}, 0.5)
+    assert sorted(r["id"] for r in kept.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
