@@ -2399,6 +2399,64 @@ def q_sample_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_parts() -> tuple[str, str]:
+    from lapis_silo_spark.functions.clustering import kmeans_oracle_ctes
+
+    return kmeans_oracle_ctes(
+        "embeddings", "vec_id", "embedding", k=10, iterations=4
+    )
+
+
+_KM_CTES, _KM_FINAL = _kmeans_oracle_parts()
+
+
+@query(
+    "cluster_kmeans_assign",
+    f"""WITH {_KM_CTES}
+       SELECT id AS vec_id, CAST(cluster AS INT) AS cluster
+       FROM {_KM_FINAL}""",
+)
+def q_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=10, 4 iterations, lowest-id seed) over
+    the embedding corpus (functions.clustering.kmeans_assign — broadcast
+    codebook + one matmul per Arrow batch for assignment; centroid update is
+    a k·dim-row aggregation, constant in the corpus size)."""
+    from lapis_silo_spark.functions.clustering import kmeans_assign
+
+    db = db_for(spark, sf_dir)
+    return kmeans_assign(
+        db.table("embeddings"), "vec_id", "embedding", k=10, iterations=4
+    ).withColumnRenamed("id", "vec_id")
+
+
+@query(
+    "semdedup_prune",
+    f"""WITH {_KM_CTES},
+        m AS (SELECT v.id, v.vec, a.cluster
+              FROM v JOIN {_KM_FINAL} a USING (id)),
+        pr AS (SELECT DISTINCT b.id
+               FROM m a JOIN m b
+                 ON a.cluster = b.cluster AND a.id < b.id
+               WHERE round(list_cosine_similarity(a.vec, b.vec), 6)
+                     >= CAST(0.4 AS DOUBLE))
+       SELECT m.id AS vec_id, CAST(m.cluster AS INT) AS cluster,
+              (pr.id IS NOT NULL) AS pruned
+       FROM m LEFT JOIN pr ON pr.id = m.id""",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters, then prune rows with
+    a lower-id same-cluster neighbor at cosine >= 0.4
+    (functions.clustering.semdedup — pair join keyed on the cluster id,
+    quadratic only within a cluster)."""
+    from lapis_silo_spark.functions.clustering import semdedup
+
+    db = db_for(spark, sf_dir)
+    return semdedup(
+        db.table("embeddings"), "vec_id", "embedding",
+        k=10, iterations=4, threshold=0.4,
+    ).withColumnRenamed("id", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

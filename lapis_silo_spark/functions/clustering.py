@@ -1,0 +1,230 @@
+"""Deterministic embedding clustering (Lloyd k-means) and SemDeDup-style
+semantic dedup over an ``array<float>`` column.
+
+A 100 TB curation pipeline clusters embeddings for two jobs: *semantic
+dedup* (SemDeDup: drop near-duplicate meanings, not just near-duplicate
+bytes) and *topical mixture control*. The reference engine has no embedding
+surface at all (SURVEY §2.5) — this is Spark-superset surface, built so the
+full loop is DuckDB-oracle-checkable.
+
+Determinism / oracle-parity design (the whole point of this file):
+- NO RNG anywhere. Initial centroids are the vectors of the ``k`` smallest
+  ids; Lloyd iterations are a fixed count, not convergence-tested.
+- Every cross-engine float hazard is shielded by snapping to a fixed grid:
+  centroids round to ``centroid_decimals`` before use, squared distances
+  round to ``distance_decimals`` before argmin, cosines round to 6 before
+  the threshold test. Aggregate summation ORDER differs between Spark
+  (partition-merge), numpy (pairwise/SIMD), and DuckDB (sequential) at the
+  ~1e-15 level; rounding re-synchronizes all three at every stage so drift
+  cannot accumulate into a different argmin/threshold decision.
+- Ties break identically: argmin takes the LOWEST cluster index (numpy
+  ``argmin`` first-hit ≡ SQL ``ORDER BY dist, cluster LIMIT 1``).
+
+Scale shape: per iteration, assignment is one numpy matmul per Arrow batch
+against a broadcast (k × dim) centroid matrix — no shuffle; the centroid
+update is one ``posexplode`` + ``(cluster, dim)`` hash aggregation whose
+output is k·dim rows (codebook-sized, CONSTANT in the row count) collected
+to the driver exactly like any broadcast-dimension build. Total cost:
+``iterations + 1`` passes over the data, zero pairwise work. The SemDeDup
+pair join is cluster-keyed — shuffle by cluster id, quadratic only within a
+cluster, which is why ``k`` must scale with corpus size (the paper uses
+k ≈ √N·c; pick k so expected cluster size stays bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _init_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, decimals: int
+):
+    """k × dim matrix from the vectors of the k smallest ids, rounded."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"kmeans_assign: need >= {k} rows, got {len(rows)}")
+    return np.round(np.array([r["vec"] for r in rows], dtype=np.float64),
+                    decimals)
+
+
+def _assign_col(centroids, distance_decimals: int):
+    """Column: argmin cluster index under the broadcast centroid matrix."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        diff = mat[:, None, :] - centroids[None, :, :]
+        dist = np.round((diff * diff).sum(axis=2), distance_decimals)
+        return pd.Series(np.argmin(dist, axis=1).astype("int32"))
+
+    return _assign
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iterations: int = 4,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns ``(id, cluster)``.
+
+    ``iterations`` centroid updates from the lowest-id seed, then one final
+    assignment under the resulting centroids. An emptied cluster keeps its
+    previous centroid (it can re-acquire points later).
+    """
+    import numpy as np
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    centroids = _init_centroids(df, id_col, vec_col, k, centroid_decimals)
+
+    for _ in range(iterations):
+        assigned = base.withColumn(
+            "cluster", _assign_col(centroids, distance_decimals)(F.col("vec"))
+        )
+        updates = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), centroid_decimals).alias("val"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in updates:
+            new_c[r["cluster"], r["dim"]] = r["val"]
+        centroids = np.round(new_c, centroid_decimals)
+
+    return base.select(
+        "id",
+        _assign_col(centroids, distance_decimals)(F.col("vec")).alias(
+            "cluster"
+        ),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iterations: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then within each cluster
+    prune every row that has a LOWER-id row with cosine >= ``threshold``.
+
+    Returns ``(id, cluster, pruned)`` for every input row. Greedy-by-id is
+    a deterministic, one-pass stand-in for the paper's keep-farthest-from-
+    centroid rule — same dedup set size, reproducible across engines. The
+    pair join is an equi-join on the cluster id: quadratic only within a
+    cluster, never across the corpus.
+    """
+    from lapis_silo_spark.functions.dedup import cosine
+
+    assign = kmeans_assign(df, id_col, vec_col, k, iterations)
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).join(
+        assign, on="id"
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pruned = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster") == F.col("b.cluster"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        base.join(pruned, on="id", how="left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+def kmeans_oracle_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iterations: int = 4,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`kmeans_assign` as a WITH-clause body.
+
+    Returns ``(ctes, final_assign_name)``; the caller wraps them in
+    ``WITH {ctes} SELECT ... FROM {final}``. Unrolls the fixed iteration
+    count; every rounding grid matches the Spark side exactly (see module
+    docstring), and ``ORDER BY dist, cluster`` reproduces numpy argmin's
+    first-hit tie-break.
+    """
+    cd, dd = centroid_decimals, distance_decimals
+    parts = [
+        f"v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec "
+        f"FROM {table})",
+        "ve AS (SELECT id, unnest(vec) AS val, "
+        "unnest(range(len(vec))) AS dim FROM v)",
+        f"init AS (SELECT id, row_number() OVER (ORDER BY id) - 1 "
+        f"AS cluster FROM v ORDER BY id LIMIT {k})",
+        f"c0 AS (SELECT init.cluster, ve.dim, round(ve.val, {cd}) AS val "
+        f"FROM init JOIN ve USING (id))",
+    ]
+    n_assign = iterations + 1  # a0..a{iterations}; the last is the output
+    for i in range(n_assign):
+        parts.append(
+            f"d{i} AS (SELECT ve.id, c.cluster, "
+            f"round(sum((ve.val - c.val) * (ve.val - c.val)), {dd}) AS dist "
+            f"FROM ve JOIN c{i} c USING (dim) GROUP BY ve.id, c.cluster)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, cluster FROM ("
+            f"SELECT id, cluster, row_number() OVER "
+            f"(PARTITION BY id ORDER BY dist, cluster) AS rn FROM d{i}) "
+            f"WHERE rn = 1)"
+        )
+        if i < iterations:
+            parts.append(
+                f"r{i + 1} AS (SELECT a.cluster, ve.dim, "
+                f"round(avg(ve.val), {cd}) AS val "
+                f"FROM a{i} a JOIN ve USING (id) GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"c{i + 1} AS (SELECT c.cluster, c.dim, "
+                f"coalesce(r.val, c.val) AS val FROM c{i} c "
+                f"LEFT JOIN r{i + 1} r "
+                f"ON r.cluster = c.cluster AND r.dim = c.dim)"
+            )
+    return ",\n        ".join(parts), f"a{iterations}"

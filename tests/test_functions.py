@@ -602,3 +602,43 @@ def test_mixture_rates_quantized_and_capped(spark):
     assert sorted(r["id"] for r in kept.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_kmeans_deterministic_separation(spark):
+    from lapis_silo_spark.functions.clustering import kmeans_assign, semdedup
+
+    # two tight groups far apart; ids interleaved so the lowest-id seed
+    # starts with one vector from each group
+    rows = [
+        (1, [10.0, 0.0, 0.0]),
+        (2, [0.0, 10.0, 0.0]),
+        (3, [10.1, 0.1, 0.0]),
+        (4, [0.1, 10.1, 0.0]),
+        (5, [9.9, -0.1, 0.0]),
+        (6, [-0.1, 9.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {r["id"]: r["cluster"]
+           for r in kmeans_assign(df, "id", "vec", k=2, iterations=2).collect()}
+    assert got[1] == got[3] == got[5]
+    assert got[2] == got[4] == got[6]
+    assert got[1] != got[2]
+    # deterministic: identical output on a re-run (no RNG anywhere)
+    again = {r["id"]: r["cluster"]
+             for r in kmeans_assign(df, "id", "vec", k=2, iterations=2).collect()}
+    assert got == again
+
+    out = {r["id"]: (r["cluster"], r["pruned"])
+           for r in semdedup(df, "id", "vec", k=2, iterations=2,
+                             threshold=0.99).collect()}
+    # within each tight group, the lowest id survives, the rest prune
+    assert out[1][1] is False and out[2][1] is False
+    assert out[3][1] and out[5][1] and out[4][1] and out[6][1]
+
+
+def test_kmeans_requires_k_rows(spark):
+    from lapis_silo_spark.functions.clustering import kmeans_assign
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="need >= 5 rows"):
+        kmeans_assign(df, "id", "vec", k=5)
