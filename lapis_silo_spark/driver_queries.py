@@ -2399,6 +2399,23 @@ def q_sample_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk")  # rows-only: codebook training is iterative numpy
+# Lloyd per subspace — not SQL-expressible; recall vs exact brute force is
+# pinned by tests/test_functions.py::test_pq_topk_recall
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 codes, ADC scan): the
+    memory-bound scale path — queries scan m-byte codes, not raw vectors
+    (functions.similarity.pq_topk)."""
+    from lapis_silo_spark.functions import similarity as fsim
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    return fsim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", k=10,
+    )
+
+
 def _kmeans_oracle_parts() -> tuple[str, str]:
     from lapis_silo_spark.functions.clustering import kmeans_oracle_ctes
 

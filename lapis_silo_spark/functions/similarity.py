@@ -416,3 +416,244 @@ def lsh_candidate_pairs(
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# -- product quantization ----------------------------------------------------
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    iterations: int = 10,
+):
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run a small deterministic Lloyd k-means
+    (``n_codes`` centroids) per subspace on the ``train_rows`` lowest-id
+    vectors.
+
+    Deterministic by construction — the sample is content-addressed (lowest
+    ids, not a random split) and the seeds are the sample's first distinct
+    ``n_codes`` subvectors — so encodings are reproducible run-to-run.
+    Driver-side numpy is the right venue: codebook training touches a
+    CONSTANT-size sample (this is how PQ is trained at billion-vector scale
+    too; the codebook is m·n_codes·sub_dim floats — KBs).
+
+    Returns a numpy array of shape (m, n_codes, dim // m).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+        .orderBy("id")
+        .limit(train_rows)
+        .collect()
+    )
+    mat = np.array([r["vec"] for r in sample], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        X = mat[:, j * sub:(j + 1) * sub]
+        # seed with the first n_codes DISTINCT subvectors (duplicate seeds
+        # would pin duplicate centroids forever)
+        seen: list = []
+        for row in X:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row)
+            if len(seen) == n_codes:
+                break
+        if len(seen) < n_codes:
+            raise ValueError(
+                f"pq: subspace {j} has only {len(seen)} distinct "
+                f"subvectors in the training sample; need {n_codes}"
+            )
+        C = np.array(seen)
+        for _ in range(iterations):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                if (a == c).any():
+                    C[c] = X[a == c].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks
+) -> DataFrame:
+    """Encode every vector as ``m`` uint8 codes (nearest centroid per
+    subspace): ``(id, codes array<int>)``. One matmul-free numpy distance
+    per subspace per Arrow batch; no shuffle — at 100 TB this runs once at
+    ingest and the codes column (m bytes/row vs 4·dim) is what queries
+    scan."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    m, n_codes, sub = codebooks.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            X = mat[:, j * sub:(j + 1) * sub]
+            d = ((X[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        _encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    refine: int | None = 50,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance
+    computation (ADC) with exact re-ranking: per query, a lookup table of
+    squared distances from the query's subvectors to every codebook
+    centroid; a coded row's approximate distance is the sum of ``m`` table
+    lookups. The top ``refine`` ADC candidates per query are then re-ranked
+    by EXACT squared L2 (the standard ADC+refine pipeline — quantization
+    decides who is considered, exact distance decides the order), cut to
+    ``k``. ``refine=None`` skips re-ranking and returns raw ADC order.
+
+    Output: ``(query_id, id, dist, rank)`` — ``dist`` is exact squared L2
+    when refining, else the ADC approximation; self-matches excluded, ties
+    broken by corpus id.
+
+    Scale shape: codebooks + per-query LUTs broadcast (m·n_codes doubles per
+    query); the corpus-side scan is one LUT gather per batch — no vector
+    arithmetic per row at query time, which is the entire point of PQ. Each
+    batch emits only its LOCAL top-``refine`` per query, so the ranking
+    window sees batches·queries·refine rows, never corpus·queries, and the
+    exact re-rank touches queries·refine vectors total. Codes are computed
+    inline here; a production pipeline persists :func:`pq_encode` output at
+    ingest and queries scan the m-byte codes column instead of raw vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_train_codebooks(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, train_rows=train_rows
+    )
+    coded = pq_encode(corpus, id_col, vec_col, books)
+
+    q_rows = (
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("qv"))
+        .orderBy("query_id")
+        .collect()
+    )
+    sub = books.shape[2]
+    q_ids = [r["query_id"] for r in q_rows]
+    luts = []  # per query: (m, n_codes) squared-distance table
+    for r in q_rows:
+        qv = np.array(r["qv"], dtype=np.float64)
+        lut = np.empty((m, n_codes))
+        for j in range(m):
+            qsub = qv[j * sub:(j + 1) * sub]
+            lut[j] = ((books[j] - qsub[None, :]) ** 2).sum(axis=1)
+        luts.append(lut)
+    luts = np.array(luts)  # (q, m, n_codes)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, luts))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", coded.schema["id"].dataType),
+        T.StructField("id", coded.schema["id"].dataType),
+        T.StructField("approx_dist", T.DoubleType()),
+    ])
+
+    width = k if refine is None else max(k, refine)
+
+    def score_batches(batches):
+        ids_q, tables = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            rows_out = {"query_id": [], "id": [], "approx_dist": []}
+            for qi in range(nq):
+                lut = tables[qi]
+                dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != ids_q[qi]  # exclude self-match
+                cand_ids, cand_d = ids[mask], dist[mask]
+                # batch-local prune: keep top-`width` by (dist, id)
+                order = np.lexsort((cand_ids, cand_d))[:width]
+                rows_out["query_id"].extend([ids_q[qi]] * len(order))
+                rows_out["id"].extend(cand_ids[order])
+                rows_out["approx_dist"].extend(np.round(cand_d[order], 6))
+            yield pd.DataFrame(rows_out)
+
+    scored = coded.mapInPandas(score_batches, schema=out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("id").asc()
+    )
+    cand = scored.withColumn("rank", F.row_number().over(w_adc)).filter(
+        F.col("rank") <= width
+    )
+    if refine is None:
+        return cand.filter(F.col("rank") <= k).select(
+            "query_id", "id",
+            F.col("approx_dist").alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    # exact re-rank: candidate vectors join back (queries·refine rows), the
+    # query vectors ride in as a broadcast dimension
+    from lapis_silo_spark.functions.dedup import dot, norm  # noqa: F401
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(r["query_id"], list(r["qv"])) for r in q_rows],
+            schema=T.StructType([
+                T.StructField("query_id", coded.schema["id"].dataType),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]),
+        )
+    )
+    sq_l2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        cand.select("query_id", "id")
+        .join(vecs, on="id")
+        .join(qdf, on="query_id")
+        .withColumn("dist", F.round(sq_l2, 6))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "dist",
+                F.col("rank").cast("int").alias("rank"))
+    )
