@@ -43,8 +43,14 @@ HEADLINE = [
     # refuses to run above EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
     "decontam_ngram_overlap",
+    "dedup_duplicate_passages",
+    "text_tfidf_top_terms",
+    "sample_dataset_mixture",
+    "cluster_kmeans_assign",
+    "semdedup_prune",
     "ann_brute_force_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "multimodal_decode",
     # the reference's own headline workload: mutation statistics and symbol
     # filters over the ingested sequence store (performance/

@@ -135,42 +135,51 @@ def semdedup(
 
     Returns ``(id, cluster, pruned)`` for every input row. Greedy-by-id is
     a deterministic, one-pass stand-in for the paper's keep-farthest-from-
-    centroid rule — same dedup set size, reproducible across engines. The
-    pair join is an equi-join on the cluster id: quadratic only within a
-    cluster, never across the corpus.
+    centroid rule — same dedup set size, reproducible across engines.
+
+    The within-cluster compare runs as ``applyInPandas`` over cluster
+    groups: ONE shuffle keyed on the cluster id, then one (n_c × n_c)
+    numpy matmul per cluster — the earlier pair-join formulation evaluated
+    interpreted higher-order-function cosines per pair and was the plan's
+    bottleneck at 10× scale. Quadratic work/memory is bounded by the
+    LARGEST cluster (n_c² doubles for the cosine matrix), which is the
+    standing SemDeDup contract: pick ``k`` ∝ corpus size so clusters stay
+    bounded.
     """
-    from lapis_silo_spark.functions.dedup import cosine
+    import numpy as np
+    import pandas as pd
 
     assign = kmeans_assign(df, id_col, vec_col, k, iterations)
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).join(
         assign, on="id"
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    pruned = (
-        a.join(
-            b,
-            on=[
-                F.col("a.cluster") == F.col("b.cluster"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .filter(
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
-            >= F.lit(threshold)
-        )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("_pruned", F.lit(True))
-    )
-    return (
-        base.join(pruned, on="id", how="left")
-        .select(
-            "id",
-            "cluster",
-            F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
-        )
+
+    out_schema = T.StructType([
+        T.StructField("id", base.schema["id"].dataType),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("pruned", T.BooleanType()),
+    ])
+
+    def prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        cos = np.round(V @ V.T / np.outer(nrm, nrm), 6)
+        hit = cos >= threshold
+        n = len(ids)
+        pruned = np.zeros(n, dtype=bool)
+        for i in range(1, n):
+            pruned[i] = hit[:i, i].any()
+        return pd.DataFrame({
+            "id": ids,
+            "cluster": pdf["cluster"].to_numpy()[order],
+            "pruned": pruned,
+        })
+
+    return base.groupBy("cluster").applyInPandas(
+        prune_cluster, schema=out_schema
     )
 
 

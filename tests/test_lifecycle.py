@@ -320,3 +320,36 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bkt_main")
     spark.sql("DROP TABLE IF EXISTS bkt_side")
     assert "Exchange" in plan2
+
+
+def test_partitioned_save_prunes_scan(example_db, spark, tmp_path):
+    """``table_partitions`` in save_version produces a layout whose scans
+    partition-prune on the partition column — the Spark analog of the
+    reference's sorted-date range pruning (date_between.cpp:75-78), checked
+    at the PLAN level so the 100 TB behavior is pinned, not assumed."""
+    root = str(tmp_path / "part_root")
+    save_version(example_db, root, table_partitions={"default": ["country"]})
+    db = load_version(spark, root)
+    out = db.table("default").filter(F.col("country") == "Germany")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the country predicate must appear as a partition filter, not a data one
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "country" in pf_line, plan
+    assert out.count() == 2
+
+
+def test_side_table_pos_filter_reaches_parquet(persisted, spark):
+    """Sequence side tables persist sorted by (seq_name, pos); a position
+    predicate must reach the Parquet scan as a pushed filter so row-group
+    min/max stats can skip chunks (the reference's chunk-skipping analog,
+    horizontal_coverage_index.h:33-35)."""
+    _, db = persisted
+    muts = db.sequence_store("default").mutations.filter(F.col("pos") == 3)
+    plan = muts._sc._jvm.PythonSQLUtils.explainString(
+        muts._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "pos" in pushed[0], plan

@@ -68,12 +68,25 @@ def build_10x(spark, sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "events.parquet")
     )
 
+    emb = db.table("embeddings")
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(int(k * n_vecs)))
+        for k in range(10)
+    ]
+    big_emb = copies[0]
+    for c in copies[1:]:
+        big_emb = big_emb.unionByName(c)
+    big_emb.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+
+def time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
     from lapis_silo_spark.driver_queries import QUERIES
 
     out: dict[str, float] = {}
-    for name in QUERY_NAMES:
+    for name in names or QUERY_NAMES:
         QUERIES[name](spark, sf_dir).collect()  # warm: codegen + store caches
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).collect()
@@ -82,22 +95,28 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    names = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        names = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     from lapis_silo_spark.session import get_spark
 
     spark = get_spark()
     tmp = tempfile.mkdtemp(prefix="sf10x_")
     try:
         build_10x(spark, sf_dir, tmp)
-        one = time_queries(spark, sf_dir)
-        ten = time_queries(spark, tmp)
+        one = time_queries(spark, sf_dir, names)
+        ten = time_queries(spark, tmp, names)
         report = {
             name: {
                 "x1_sec": one[name],
                 "x10_sec": ten[name],
                 "ratio": round(ten[name] / one[name], 2) if one[name] else None,
             }
-            for name in QUERY_NAMES
+            for name in (names or QUERY_NAMES)
         }
         print(json.dumps(report, indent=2))
     finally:
