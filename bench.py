@@ -45,7 +45,9 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",
+    "text_encode_token_ids",
     "sample_dataset_mixture",
+    "pipeline_curation_end_to_end",
     "cluster_kmeans_assign",
     "semdedup_prune",
     "ann_brute_force_topk",

@@ -2474,6 +2474,112 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+@query(
+    "text_vocab_build",
+    f"""WITH toks AS (SELECT unnest({_TOKENS_SQL}) AS term FROM documents),
+        tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+               HAVING count(*) >= 2)
+       SELECT term,
+              CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS INT)
+                AS term_id,
+              CAST(cnt AS BIGINT) AS count
+       FROM tc""",
+)
+def q_text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus, min_count=2
+    (functions.text.build_vocab — corpus-sized work is one term-keyed
+    hash aggregation; only the vocabulary-sized ranking is unpartitioned)."""
+    from lapis_silo_spark.functions.text import build_vocab
+
+    db = db_for(spark, sf_dir)
+    return build_vocab(db.table("documents"), "text", min_count=2)
+
+
+@query(
+    "text_encode_token_ids",
+    f"""WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        toks AS (SELECT doc_id, unnest(t) AS term,
+                        unnest(range(len(t))) AS pos FROM base),
+        tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+               HAVING count(*) >= 2),
+        v AS (SELECT term,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1
+                          AS INT) AS term_id
+              FROM tc),
+        j AS (SELECT toks.doc_id, toks.pos,
+                     coalesce(v.term_id, -1) AS tid,
+                     (v.term_id IS NULL)::INT AS oov
+              FROM toks LEFT JOIN v USING (term))
+       SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(oov) AS BIGINT) AS n_oov
+       FROM j GROUP BY doc_id""",
+)
+def q_text_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding of every document under the min_count=2 vocabulary,
+    OOV = -1 (functions.text.encode_token_ids — one vocab join, order
+    restored by sorting (pos, id) structs after the per-doc re-agg)."""
+    from lapis_silo_spark.functions.text import build_vocab, encode_token_ids
+
+    db = db_for(spark, sf_dir)
+    docs = db.table("documents")
+    vocab = build_vocab(docs, "text", min_count=2)
+    return encode_token_ids(docs, "doc_id", "text", vocab).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    f"""WITH norm AS (
+          SELECT doc_id, source, lang, n_chars,
+                 length({_TOKENS_SQL}) AS ntok,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS digest
+          FROM documents),
+        q AS (SELECT * FROM norm WHERE ntok >= 20),
+        canon AS (SELECT digest, min(doc_id) AS kid FROM q GROUP BY 1),
+        dd AS (SELECT q.* FROM q JOIN canon c
+               ON c.kid = q.doc_id AND c.digest = q.digest),
+        c AS (SELECT source AS s, count(*) AS n FROM dd GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        m AS (SELECT s, CAST(floor(least(CAST(1.0 AS DOUBLE),
+                 (CAST(1.0 AS DOUBLE) / 20 * CAST(0.5 AS DOUBLE))
+                 * tot.total / c.n) * 256 + 0.5) AS INT) AS mm
+              FROM c, tot),
+        th AS (SELECT s, CASE WHEN mm >= 256 THEN 'g'
+                              ELSE lpad(lower(to_hex(mm)), 2, '0') END AS thr
+               FROM m)
+       SELECT dd.source, dd.lang, count(*) AS kept,
+              CAST(sum(dd.n_chars) AS BIGINT) AS chars_kept,
+              CAST(sum(dd.ntok) AS BIGINT) AS toks_kept
+       FROM dd JOIN th ON th.s = dd.source
+       WHERE substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 2) < th.thr
+       GROUP BY dd.source, dd.lang""",
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training run actually executes:
+    quality gate (>= 20 tokens) → exact dedup (canonical per normalized
+    digest) → deterministic mixture sample (uniform source targets, half
+    budget) → per-(source, lang) yield accounting. Every stage is an
+    operator registered individually above; this row proves they COMPOSE —
+    one lazy plan, no materialization between stages."""
+    from lapis_silo_spark.functions.dedup import exact_dedup
+    from lapis_silo_spark.functions.sampling import mixture_sample
+    from lapis_silo_spark.functions.text import token_count, tokens
+
+    db = db_for(spark, sf_dir)
+    docs = db.table("documents").filter(token_count("text") >= 20)
+    deduped = exact_dedup(docs, "doc_id", "text")
+    weights = {f"src{i}": 1.0 / 20 for i in range(20)}
+    kept = mixture_sample(deduped, "doc_id", "source", weights, 0.5)
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum(F.size(tokens("text"))).alias("toks_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

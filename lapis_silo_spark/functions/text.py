@@ -286,3 +286,71 @@ def gram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def build_vocab(
+    docs, text_col: str, min_count: int = 1, max_size: int | None = None
+):
+    """Frequency-ranked token vocabulary: ``(term, term_id, count)`` with
+    ids dense from 0 in (count desc, term asc) order — the deterministic
+    tie-break every engine reproduces.
+
+    Scale note: the ranking window runs UNPARTITIONED, which is correct
+    here and wrong almost everywhere else — its input is the post-aggregation
+    distinct-term table (vocabulary-sized, bounded like a codebook), not the
+    corpus. The corpus-sized work (tokenize + count) is a map-side-combined
+    hash aggregation keyed on the term.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("term"))
+    out = counts.withColumn(
+        "term_id", (F.row_number().over(w) - 1).cast("int")
+    )
+    if max_size is not None:
+        out = out.filter(F.col("term_id") < max_size)
+    return out.select("term", "term_id", "count")
+
+
+def encode_token_ids(
+    docs,
+    id_col: str,
+    text_col: str,
+    vocab,
+    oov_id: int = -1,
+):
+    """Encode each document as its vocabulary token-id sequence:
+    ``(id, token_ids array<int>, n_tokens, n_oov)`` — the tokenize step a
+    training-data pipeline runs right before packing.
+
+    Scale shape: posexplode to (doc, pos, term), ONE equi-join against the
+    vocabulary on the term (broadcast when the vocab is small; Catalyst
+    decides), then a per-doc re-aggregation that restores token order by
+    sorting (pos, id) structs — order survives the shuffle without a
+    window. Out-of-vocabulary tokens encode as ``oov_id`` and are counted.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(vocab.select("term", "term_id"), on="term", how="left")
+    tid = F.coalesce(F.col("term_id"), F.lit(oov_id))
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("term_id").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )

@@ -691,3 +691,29 @@ def test_pq_encode_shapes_and_determinism(spark):
     again = {r["id"]: r["codes"] for r in
              similarity.pq_encode(emb, "vec_id", "embedding", books).collect()}
     assert rows == again
+
+
+def test_build_vocab_and_encode(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog bird"),
+            (3, "cat unique"),
+        ],
+        schema="doc_id long, text string",
+    )
+    vocab = {r["term"]: (r["term_id"], r["count"])
+             for r in text.build_vocab(df, "text", min_count=2).collect()}
+    # cat: 3, dog: 2 — ranked by count desc then term asc; singletons dropped
+    assert vocab == {"cat": (0, 3), "dog": (1, 2)}
+
+    enc = {r["id"]: (r["token_ids"], r["n_tokens"], r["n_oov"])
+           for r in text.encode_token_ids(
+               df, "doc_id", "text",
+               text.build_vocab(df, "text", min_count=2)).collect()}
+    assert enc[1] == ([0, 1, 0], 3, 0)
+    assert enc[2] == ([1, -1], 2, 1)   # bird is OOV
+    assert enc[3] == ([0, -1], 2, 1)   # unique is OOV
+
+    capped = text.build_vocab(df, "text", min_count=1, max_size=2).collect()
+    assert {r["term"] for r in capped} == {"cat", "dog"}
