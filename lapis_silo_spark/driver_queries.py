@@ -2580,6 +2580,95 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_exact",
+    """WITH nd AS (SELECT doc_id,
+                          md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                   'g'))) AS digest
+               FROM documents WHERE doc_id % 10 >= 8),
+        base AS (SELECT DISTINCT
+                        md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                 'g'))) AS digest
+                 FROM documents WHERE doc_id % 10 < 8),
+        canon AS (SELECT digest, min(doc_id) AS kid FROM nd GROUP BY 1)
+       SELECT nd.doc_id, nd.digest,
+              CASE WHEN base.digest IS NOT NULL THEN 'dup_of_base'
+                   WHEN nd.doc_id <> canon.kid THEN 'dup_in_batch'
+                   ELSE 'kept' END AS status
+       FROM nd
+       LEFT JOIN base ON base.digest = nd.digest
+       JOIN canon ON canon.digest = nd.digest""",
+)
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode exact dedup: the last fifth of the corpus arrives as a
+    new batch and is deduped against the first four fifths' digest table
+    (functions.dedup.incremental_exact_dedup — base contributes only its
+    digest column, O(distinct digests) of state)."""
+    from lapis_silo_spark.functions.dedup import (
+        exact_dedup_groups,
+        incremental_exact_dedup,
+    )
+
+    db = db_for(spark, sf_dir)
+    docs = db.table("documents")
+    base = exact_dedup_groups(
+        docs.filter(F.col("doc_id") % 10 < 8), "doc_id", "text"
+    ).select("digest")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    return incremental_exact_dedup(new, base, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    """SELECT doc_id AS id,
+              CAST(10 + doc_id % 16 AS INT) AS frames,
+              CAST(1 AS INT) AS channels,
+              CAST(doc_id % 500 + 1 AS DOUBLE) AS rms,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE)
+                AS zcr
+       FROM documents""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM feature extraction (RMS + zero-crossing rate) through the
+    mapInPandas stage: each doc gets a deterministic 16-bit WAV — even ids
+    a constant tone (zcr 0), odd ids an alternating-sign square wave
+    (zcr 1) — amplitude doc_id%500+1, so both features are exactly
+    predictable without parsing bytes (constant/alternating amplitude a ⇒
+    rms = a exactly in IEEE arithmetic)."""
+    import pandas as pd
+
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                a = i % 500 + 1
+                n = 10 + i % 16
+                if i % 2 == 0:
+                    samples = [a] * n
+                else:
+                    samples = [a if j % 2 == 0 else -a for j in range(n)]
+                payloads.append(fmm.wav_payload(samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    db = db_for(spark, sf_dir)
+    import pyspark.sql.types as Ty
+
+    payloads = db.table("documents").select("doc_id").mapInPandas(
+        synth,
+        schema=Ty.StructType([
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("payload", Ty.BinaryType()),
+        ]),
+    )
+    return fmm.audio_features(payloads, "doc_id", "payload")
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

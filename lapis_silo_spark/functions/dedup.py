@@ -119,6 +119,50 @@ def duplicate_passages(
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    base_digests: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact dedup of an INCOMING batch against an existing corpus — the
+    append-mode shape every production pipeline runs (the full-corpus
+    variant above is the backfill shape). ``base_digests`` is a one-column
+    ``(digest)`` table of the corpus' normalized-text md5s — exactly what
+    :func:`exact_dedup_groups` output (or a stored digest side table)
+    provides.
+
+    Returns every new row with a verdict:
+    ``(id, digest, status ∈ {kept, dup_of_base, dup_in_batch})`` —
+    ``dup_of_base`` wins when both apply, ``kept`` is the batch-canonical
+    (min id) of a digest unseen in the base.
+
+    Scale shape: one digest-keyed aggregation over the (small) batch and one
+    digest-keyed left join against the base digest table — the base's TEXT
+    is never read, only its digest column, which is the point: the corpus
+    contributes O(distinct digests) of state, not O(bytes).
+    """
+    digests = new_df.select(
+        F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("digest")
+    )
+    canon = digests.groupBy("digest").agg(F.min("id").alias("_kid"))
+    base = base_digests.select(F.col("digest")).distinct().withColumn(
+        "_in_base", F.lit(True)
+    )
+    return (
+        digests.join(canon, on="digest")
+        .join(base, on="digest", how="left")
+        .select(
+            "id",
+            "digest",
+            F.when(F.col("_in_base"), F.lit("dup_of_base"))
+            .when(F.col("id") != F.col("_kid"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 # -- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -252,6 +252,85 @@ def wav_payload(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frames", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+])
+
+
+def _wav_features(payload: bytes):
+    """Feature-extract a PCM WAV: overall RMS amplitude and channel-0
+    zero-crossing RATE (crossings / frame transitions) — the two cheapest
+    useful audio-curation signals (silence / clipping / tone detection).
+    Returns (frames, channels, rms, zcr) or None for non-PCM payloads."""
+    decoded = _decode_wav(payload) if payload[:4] == b"RIFF" else _UNSUPPORTED
+    if decoded[0] != "audio/wav":
+        return None
+    # re-walk for the raw samples (decode keeps only per-channel means)
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    _, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    dtype = np.int16 if bits == 16 else np.uint8
+    samples = np.frombuffer(data, dtype)
+    frames = len(samples) // channels
+    if frames == 0:
+        return 0, channels, 0.0, 0.0
+    x = samples[: frames * channels].reshape(frames, channels)
+    x = x.astype(np.float64)
+    if bits == 8:
+        x -= 128.0  # center unsigned PCM
+    rms = float(np.sqrt((x * x).mean()))
+    ch0 = x[:, 0]
+    if frames < 2:
+        zcr = 0.0
+    else:
+        zcr = float((np.signbit(ch0[1:]) != np.signbit(ch0[:-1])).mean())
+    return frames, channels, rms, zcr
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Per-payload audio features over a binary WAV column:
+    ``(id, frames, channels, rms, zcr)``; non-PCM payloads are dropped.
+
+    Same scale shape as :func:`decode_images` — narrow Arrow-batched
+    ``mapInPandas``, numpy reductions per payload, no shuffle."""
+    selected = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bin_col).alias("payload"),
+    )
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("id", "frames", "channels", "rms", "zcr")}
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                feats = _wav_features(bytes(p) if p is not None else b"")
+                if feats is None:
+                    continue
+                rows["id"].append(rid)
+                rows["frames"].append(feats[0])
+                rows["channels"].append(feats[1])
+                rows["rms"].append(feats[2])
+                rows["zcr"].append(feats[3])
+            yield pd.DataFrame(rows)
+
+    return selected.mapInPandas(feature_batches, schema=_AUDIO_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, bin_col: str, every_nth: int = 30
 ) -> DataFrame:

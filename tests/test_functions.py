@@ -717,3 +717,53 @@ def test_build_vocab_and_encode(spark):
 
     capped = text.build_vocab(df, "text", min_count=1, max_size=2).collect()
     assert {r["term"] for r in capped} == {"cat", "dog"}
+
+
+def test_incremental_exact_dedup(spark):
+    base_docs = spark.createDataFrame(
+        [(1, "shared corpus text"), (2, "base only text")],
+        schema="doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, "SHARED  corpus text"),   # dup of base after normalization
+            (11, "fresh new content"),     # kept
+            (12, "fresh new content"),     # dup within the batch
+            (13, "another fresh one"),     # kept
+        ],
+        schema="doc_id long, text string",
+    )
+    base = dedup.exact_dedup_groups(base_docs, "doc_id", "text").select("digest")
+    out = {r["id"]: r["status"]
+           for r in dedup.incremental_exact_dedup(
+               new_docs, base, "doc_id", "text").collect()}
+    assert out == {10: "dup_of_base", 11: "kept",
+                   12: "dup_in_batch", 13: "kept"}
+
+
+def test_audio_features_rms_zcr(spark):
+    import math
+
+    # square wave alternating +1000/-1000: rms = 1000, zcr = 1.0
+    square = multimodal.wav_payload([1000, -1000] * 50)
+    # constant signal: zcr = 0
+    flat = multimodal.wav_payload([500] * 100)
+    # stereo sine on ch0, silence ch1
+    sine = [int(10000 * math.sin(2 * math.pi * i / 20)) for i in range(100)]
+    stereo = multimodal.wav_payload(
+        [v for s in sine for v in (s, 0)], channels=2
+    )
+    df = spark.createDataFrame(
+        [(1, square), (2, flat), (3, stereo), (4, b"not audio")],
+        schema="id long, payload binary",
+    )
+    out = {r["id"]: r for r in
+           multimodal.audio_features(df, "id", "payload").collect()}
+    assert set(out) == {1, 2, 3}  # non-RIFF payload dropped, not faked
+    assert out[1]["frames"] == 100 and out[1]["channels"] == 1
+    assert out[1]["rms"] == pytest.approx(1000.0)
+    assert out[1]["zcr"] == pytest.approx(1.0)
+    assert out[2]["zcr"] == 0.0 and out[2]["rms"] == pytest.approx(500.0)
+    assert out[3]["channels"] == 2 and out[3]["frames"] == 100
+    # sine crosses zero twice per period: 100 frames / 20-sample period
+    assert out[3]["zcr"] == pytest.approx(2 * (100 // 20) / 99, abs=0.02)

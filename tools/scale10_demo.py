@@ -12,7 +12,14 @@ that db_for/genomic_db treat as just another scale factor. Ingest/build cost
 is excluded the same way round 2 excluded it: each query runs once to warm
 codegen + the store's side-table caches, and the SECOND run is reported.
 
-Usage: python tools/scale10_demo.py [sf_dir]  (default /root/testdata/sf0.1)
+Usage::
+
+    python tools/scale10_demo.py [sf_dir] [--queries a,b,c] [--factor N]
+
+Defaults: sf_dir=/root/testdata/sf0.1, the genomic core query list, N=10.
+``--factor 100`` replays the same protocol at 100x (set SPARK_DRIVER_MEMORY
+— local mode holds executors in the one driver JVM, and the 8g default is
+sized for the correctness gates, not a 100x sweep).
 """
 
 from __future__ import annotations
@@ -33,7 +40,7 @@ QUERY_NAMES = [
 ]
 
 
-def build_10x(spark, sf_dir: str, out_dir: str) -> None:
+def build_nx(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
     from pyspark.sql import functions as F
 
     from lapis_silo_spark.driver_queries import db_for
@@ -44,7 +51,7 @@ def build_10x(spark, sf_dir: str, out_dir: str) -> None:
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(int(k * n_docs)))
-        for k in range(10)
+        for k in range(factor)
     ]
     big_docs = copies[0]
     for c in copies[1:]:
@@ -59,7 +66,7 @@ def build_10x(spark, sf_dir: str, out_dir: str) -> None:
         events.withColumn(
             "user_id", F.col("user_id") + F.lit(int(k * n_users))
         ).withColumn("event_id", F.col("event_id") + F.lit(int(k * 10**12)))
-        for k in range(10)
+        for k in range(factor)
     ]
     big_events = copies[0]
     for c in copies[1:]:
@@ -72,7 +79,7 @@ def build_10x(spark, sf_dir: str, out_dir: str) -> None:
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     copies = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(int(k * n_vecs)))
-        for k in range(10)
+        for k in range(factor)
     ]
     big_emb = copies[0]
     for c in copies[1:]:
@@ -97,24 +104,29 @@ def time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
 def main() -> int:
     argv = sys.argv[1:]
     names = None
+    factor = 10
     if "--queries" in argv:
         i = argv.index("--queries")
         names = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     from lapis_silo_spark.session import get_spark
 
     spark = get_spark()
-    tmp = tempfile.mkdtemp(prefix="sf10x_")
+    tmp = tempfile.mkdtemp(prefix=f"sf{factor}x_")
     try:
-        build_10x(spark, sf_dir, tmp)
+        build_nx(spark, sf_dir, tmp, factor)
         one = time_queries(spark, sf_dir, names)
-        ten = time_queries(spark, tmp, names)
+        big = time_queries(spark, tmp, names)
         report = {
             name: {
                 "x1_sec": one[name],
-                "x10_sec": ten[name],
-                "ratio": round(ten[name] / one[name], 2) if one[name] else None,
+                f"x{factor}_sec": big[name],
+                "ratio": round(big[name] / one[name], 2) if one[name] else None,
             }
             for name in (names or QUERY_NAMES)
         }
