@@ -17,6 +17,8 @@ import time
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
     "events_daily_rollup",
     "map_at_isoweek",
     "filter_nof_threshold",
@@ -45,6 +47,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",
+    "text_unigram_perplexity",
     "text_encode_token_ids",
     "sample_dataset_mixture",
     "pipeline_curation_end_to_end",

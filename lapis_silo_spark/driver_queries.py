@@ -2669,6 +2669,172 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fmm.audio_features(payloads, "doc_id", "payload")
 
 
+@query(
+    "tpch_q5_local_supplier_volume",
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join tree with a cross-side equality
+    (customer and supplier must share a nation) and a selective
+    region/date slice — the canonical Catalyst join-reorder + broadcast
+    showcase: region/nation/supplier are broadcast dims, the date filter
+    pushes into the orders scan."""
+    db = db_for(spark, sf_dir)
+    joined = (
+        Pipeline.scan(db, "customer")
+        .join(
+            Pipeline.scan(db, "orders").where(
+                (F.col("o_orderdate")
+                 >= F.to_timestamp(F.lit("1996-01-01")))
+                & (F.col("o_orderdate")
+                   < F.to_timestamp(F.lit("1997-01-01")))
+            ),
+            on=[("c_custkey", "o_custkey")],
+        )
+        .join(Pipeline.scan(db, "lineitem"),
+              on=[("o_orderkey", "l_orderkey")])
+        .join(
+            Pipeline.scan(db, "supplier"),
+            on=[("l_suppkey", "s_suppkey"), ("c_nationkey", "s_nationkey")],
+        )
+        .join(Pipeline.scan(db, "nation"),
+              on=[("s_nationkey", "n_nationkey")])
+        .join(
+            Pipeline.scan(db, "region").filter(Equals("r_name", "ASIA")),
+            on=[("n_regionkey", "r_regionkey")],
+        )
+        .group_by(
+            {
+                "revenue": F.round(
+                    F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2
+                )
+            },
+            ["n_name"],
+        )
+        .order_by([("revenue", False), ("n_name", True)])
+    )
+    return joined.df
+
+
+@query(
+    "tpch_q18_large_orders",
+    """WITH big AS (SELECT l_orderkey FROM lineitem
+                    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+       SELECT c_name, c_custkey, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice,
+              round(sum(l_quantity), 2) AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+       GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 100""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-derived semi-join (orders whose total
+    quantity exceeds a threshold) feeding a 3-table rollup + top-k — the
+    HAVING subquery runs as a left-semi join against the pre-aggregated
+    key set, so the fact table is scanned twice but shuffled on the same
+    key both times."""
+    db = db_for(spark, sf_dir)
+    big = (
+        Pipeline.scan(db, "lineitem")
+        .group_by({"_q": F.sum("l_quantity")}, ["l_orderkey"])
+        .where(F.col("_q") > 300)
+        .project(["l_orderkey"])
+    )
+    joined = (
+        Pipeline.scan(db, "orders")
+        .join(big, on=[("o_orderkey", "l_orderkey")], how="leftSemi")
+        .join(Pipeline.scan(db, "customer"),
+              on=[("o_custkey", "c_custkey")])
+        .join(Pipeline.scan(db, "lineitem"),
+              on=[("o_orderkey", "l_orderkey")])
+        .group_by(
+            {"total_qty": F.round(F.sum("l_quantity"), 2)},
+            ["c_name", "c_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map({"o_totalprice": F.round(F.col("o_totalprice"), 2)})
+        .order_by([("o_totalprice", False), ("o_orderkey", True)])
+        .limit(100)
+    )
+    return joined.df
+
+
+@query(
+    "text_unigram_perplexity",
+    f"""WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+                      FROM documents),
+        wc AS (SELECT doc_id, term,
+                      count(*) OVER (PARTITION BY term) AS cnt FROM toks),
+        tot AS (SELECT count(*) AS total FROM toks)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(exp(-avg(ln(cnt / CAST(tot.total AS DOUBLE)))), 6)
+                AS ppl
+       FROM wc, tot GROUP BY doc_id""",
+)
+def q_text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM perplexity per document — the CCNet-style quality
+    proxy (functions.text.unigram_perplexity: term-keyed frequency window +
+    one scalar broadcast + per-doc re-agg)."""
+    from lapis_silo_spark.functions.text import unigram_perplexity
+
+    db = db_for(spark, sf_dir)
+    return unigram_perplexity(
+        db.table("documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "decontam_containment",
+    f"""WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)])
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+        per AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+        h AS (SELECT tr.doc_id, count(*) AS hits
+              FROM tr JOIN ev USING (gram) GROUP BY 1)
+       SELECT per.doc_id, per.n_grams,
+              CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              round(coalesce(h.hits, 0) / CAST(per.n_grams AS DOUBLE), 6)
+                AS containment
+       FROM per LEFT JOIN h ON h.doc_id = per.doc_id""",
+)
+def q_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set containment fraction per training doc (functions.decontam.
+    containment_scores — same broadcast eval-gram join as the hits query,
+    plus the per-doc normalization a filtering threshold needs)."""
+    from lapis_silo_spark.functions import decontam as fdec
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return fdec.containment_scores(
+        train_df, eval_df, "doc_id", "text", n=3
+    ).withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

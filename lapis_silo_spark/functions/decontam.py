@@ -54,3 +54,49 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("hits"))
     )
+
+
+def containment_scores(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-training-doc CONTAINMENT in the eval set: the fraction of the
+    doc's distinct word n-grams that appear anywhere in the eval corpus —
+    ``(id, n_grams, hits, containment)`` for every training doc with at
+    least one n-gram. :func:`contaminated_docs` answers "which docs leak";
+    the containment fraction answers "how badly" — the thresholded signal
+    decontamination pipelines actually filter on (a 40-gram doc sharing 39
+    is an eval copy; sharing 1 is a common phrase).
+
+    Same broadcast shape as :func:`contaminated_docs`, plus a left join so
+    zero-hit docs score 0.0 instead of disappearing.
+    """
+    grams = eval_ngram_table(eval_df, text_col, n)
+    train_grams = train_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    per_doc = train_grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        train_grams.join(F.broadcast(grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        per_doc.join(hits, on="id", how="left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

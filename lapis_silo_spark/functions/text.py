@@ -354,3 +354,45 @@ def encode_token_ids(
             ),
         )
     )
+
+
+def unigram_perplexity(docs, id_col: str, text_col: str):
+    """Per-document perplexity under the corpus' own unigram language model
+    (MLE, no smoothing — every scored token is in the model by
+    construction): ``ppl = exp(-mean(ln P(w)))``. The CCNet-style quality
+    proxy — boilerplate and keyword-stuffed documents score LOW (their
+    tokens are corpus-frequent), rare-token noise scores HIGH; both tails
+    are what a curation pipeline inspects. Returns
+    ``(id, n_tokens, ppl)`` with ppl rounded to 6 decimals.
+
+    Scale shape: one explode, one term-keyed window for the frequency
+    (shuffle keyed on the term), ONE scalar-row broadcast for the corpus
+    token total, and a per-doc re-aggregation — the same three-stage shape
+    as TF-IDF, nothing pairwise.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    w_term = Window.partitionBy("term")
+    with_cnt = toks.withColumn("_cnt", F.count(F.lit(1)).over(w_term))
+    total_row = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        with_cnt.crossJoin(F.broadcast(total_row))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -F.avg(
+                        F.log(
+                            F.col("_cnt")
+                            / F.col("_total").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )

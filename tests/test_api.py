@@ -154,6 +154,8 @@ _BNLJ_WHITELIST = {
     # ONE-row corpus-size broadcast (N) cross-joined onto the tf table —
     # same scalar-stats device as text_bm25_topk
     "text_tfidf_top_terms",
+    # ONE-row corpus-token-total broadcast — same device
+    "text_unigram_perplexity",
 }
 
 

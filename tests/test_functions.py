@@ -767,3 +767,44 @@ def test_audio_features_rms_zcr(spark):
     assert out[3]["channels"] == 2 and out[3]["frames"] == 100
     # sine crosses zero twice per period: 100 frames / 20-sample period
     assert out[3]["zcr"] == pytest.approx(2 * (100 // 20) / 99, abs=0.02)
+
+
+def test_unigram_perplexity(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b c")],
+        schema="doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_tokens"], r["ppl"])
+           for r in text.unigram_perplexity(df, "doc_id", "text").collect()}
+    # corpus: a×6, b×1, c×1, total 8. doc1: all 'a' (p=.75) → ppl = 4/3.
+    assert out[1] == (4, pytest.approx(round(8 / 6, 6)))
+    # doc2: mean(-ln) over [6/8, 6/8, 1/8, 1/8]
+    want = math.exp(-(2 * math.log(6 / 8) + 2 * math.log(1 / 8)) / 4)
+    assert out[2] == (4, pytest.approx(want, abs=1e-6))
+    assert out[2][1] > out[1][1]  # rare tokens → higher perplexity
+
+
+def test_containment_scores(spark):
+    from lapis_silo_spark.functions import decontam as fdec
+
+    eval_df = spark.createDataFrame(
+        [(100, "the exact eval passage here")],
+        schema="doc_id long, text string",
+    )
+    train_df = spark.createDataFrame(
+        [
+            (1, "the exact eval passage here"),       # full copy → 1.0
+            (2, "intro then the exact eval passage"), # partial overlap
+            (3, "nothing in common at all"),          # 0.0 — still a row
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_grams"], r["hits"], r["containment"])
+           for r in fdec.containment_scores(
+               train_df, eval_df, "doc_id", "text", n=3).collect()}
+    assert out[1] == (3, 3, 1.0)
+    # doc2 grams: 4 total; "the exact eval" + "exact eval passage" hit
+    assert out[2] == (4, 2, 0.5)
+    assert out[3] == (3, 0, 0.0)
