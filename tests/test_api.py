@@ -189,3 +189,21 @@ def test_plan_hygiene_sweep_all_queries(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_tpch_q5_plan_broadcasts_dims(spark):
+    """Q5's join tree must plan as broadcast hash joins (region/nation/
+    supplier/customer are dimension-sized) with the date slice pushed into
+    the orders scan — the shape that holds when lineitem is 100 TB."""
+    from lapis_silo_spark.driver_queries import QUERIES
+
+    df = QUERIES["tpch_q5_local_supplier_volume"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed, plan

@@ -364,3 +364,52 @@ def test_streaming_minhash_redelivery_keeps_bucket_slots(spark, tmp_path):
     # buggy slot accounting left the bucket as [d1, d1]: d2 never stored,
     # so (d2, d3) never paired
     assert {("d1", "d2"), ("d1", "d3"), ("d2", "d3")} <= pairs
+
+
+def test_streaming_curation_predicates(spark, tmp_path):
+    """The stateless curation stack (quality score, language id, hash
+    sampling, token stats) composes UNCHANGED onto a readStream — the same
+    Column expressions run per micro-batch with no stateful operator, which
+    is the contract that lets the batch-verified operators serve the
+    streaming ingest path too."""
+    import json as _json
+
+    from lapis_silo_spark.functions.sampling import hash_sample
+    from lapis_silo_spark.functions.text import lang_id, token_count
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": i,
+         "text": ("the and is " * 10) if i % 2 else "der und die " * 10}
+        for i in range(20)
+    ]
+    (src / "batch.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    curated = (
+        stream.withColumn("lang", lang_id("text"))
+        .withColumn("ntok", token_count("text"))
+        .filter(hash_sample("doc_id", 0.5))
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from curated_stream").collect()
+    assert 0 < len(got) < 20  # sampled subset
+    assert all(r["ntok"] == 30 for r in got)
+    langs = {r["doc_id"]: r["lang"] for r in got}
+    assert all(v == ("en" if k % 2 else "de") for k, v in langs.items())
+    # deterministic: the streaming sample equals the batch predicate's pick
+    batch = spark.createDataFrame([(r["doc_id"],) for r in rows],
+                                  "doc_id long")
+    want = {r["doc_id"] for r in
+            batch.filter(hash_sample("doc_id", 0.5)).collect()}
+    assert set(langs) == want
