@@ -2835,6 +2835,57 @@ def q_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "multimodal_resize",
+    """SELECT doc_id AS id,
+              CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+              CAST(11 + 3 * 8 * 6 AS INT) AS payload_len,
+              CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+              CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+              CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+       FROM documents""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the mapInPandas stage: constant-color BMPs
+    (width/height varying per doc, stride padding + bottom-up/top-down rows
+    exercised) resample to a fixed 8×6 PPM — nearest-neighbor on a constant
+    image preserves the exact channel means, and the re-encoded payload
+    length is header + 3wh, so everything but the bytes themselves is
+    value-oracled."""
+    import pandas as pd
+
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                payloads.append(
+                    fmm.bmp_payload(
+                        4 + i % 8, 2 + i % 4,
+                        (i % 256, (i * 7) % 256, (i * 13) % 256),
+                        top_down=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    db = db_for(spark, sf_dir)
+    import pyspark.sql.types as Ty
+
+    payloads = db.table("documents").select("doc_id").mapInPandas(
+        synth,
+        schema=Ty.StructType([
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("payload", Ty.BinaryType()),
+        ]),
+    )
+    return fmm.resize_images(payloads, "doc_id", "payload", 8, 6).drop(
+        "payload"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

@@ -70,41 +70,50 @@ _DECODED_SCHEMA = T.StructType(
 _UNSUPPORTED = ("unsupported", None, None, None, None)
 
 
-def _decode_bmp(payload: bytes):
-    """Uncompressed 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR
-    pixel order, rows padded to 4 bytes, bottom-up (or top-down when the
-    header height is negative)."""
+def _bmp_pixels(payload: bytes):
+    """Uncompressed 24-bit BMP → (height, width, 3) uint8 RGB array in
+    natural (top-down) row order, or None. BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR pixel order, rows padded to 4 bytes, bottom-up
+    (or top-down when the header height is negative)."""
     if len(payload) < 54:
-        return _UNSUPPORTED
+        return None
     pixel_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size = struct.unpack_from("<I", payload, 14)[0]
     if header_size < 40:  # BITMAPCOREHEADER etc. not handled
-        return _UNSUPPORTED
+        return None
     width, height_raw = struct.unpack_from("<ii", payload, 18)
     bit_count = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bit_count != 24 or compression != 0 or width <= 0 or height_raw == 0:
-        return _UNSUPPORTED
+        return None
     height = abs(height_raw)
     stride = (width * 3 + 3) // 4 * 4
     end = pixel_offset + stride * height
     if end > len(payload):
-        return _UNSUPPORTED
+        return None
     rows = np.frombuffer(payload, np.uint8, stride * height, pixel_offset)
     px = rows.reshape(height, stride)[:, : width * 3].reshape(
         height, width, 3
     )
     if height_raw > 0:  # bottom-up storage -> flip to natural order
         px = px[::-1]
-    means = px.astype(np.float64).mean(axis=(0, 1))  # B, G, R
-    return "image/bmp", width, height, 3, [
-        float(means[2]), float(means[1]), float(means[0])
+    return px[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_bmp(payload: bytes):
+    px = _bmp_pixels(payload)
+    if px is None:
+        return _UNSUPPORTED
+    means = px.astype(np.float64).mean(axis=(0, 1))  # R, G, B
+    return "image/bmp", px.shape[1], px.shape[0], 3, [
+        float(m) for m in means
     ]
 
 
-def _decode_ppm(payload: bytes):
-    """Binary PPM (``P6``): ASCII header ``P6 <w> <h> <maxval>`` with
-    ``#`` comments, then w*h RGB triples."""
+def _ppm_pixels(payload: bytes):
+    """Binary PPM (``P6``) → (height, width, 3) uint8 RGB array or None.
+    ASCII header ``P6 <w> <h> <maxval>`` with ``#`` comments, then w*h
+    RGB triples."""
     pos = 2  # past magic
     fields: list[int] = []
     n = len(payload)
@@ -121,20 +130,26 @@ def _decode_ppm(payload: bytes):
         try:
             fields.append(int(payload[start:pos]))
         except ValueError:
-            return _UNSUPPORTED
+            return None
     if len(fields) < 3 or pos >= n:
-        return _UNSUPPORTED
+        return None
     width, height, maxval = fields
     pos += 1  # single whitespace after maxval
     if maxval != 255 or width <= 0 or height <= 0:
-        return _UNSUPPORTED
+        return None
     if pos + width * height * 3 > n:
-        return _UNSUPPORTED
-    px = np.frombuffer(payload, np.uint8, width * height * 3, pos).reshape(
+        return None
+    return np.frombuffer(payload, np.uint8, width * height * 3, pos).reshape(
         height, width, 3
     )
+
+
+def _decode_ppm(payload: bytes):
+    px = _ppm_pixels(payload)
+    if px is None:
+        return _UNSUPPORTED
     means = px.astype(np.float64).mean(axis=(0, 1))  # R, G, B
-    return "image/ppm", width, height, 3, [float(m) for m in means]
+    return "image/ppm", px.shape[1], px.shape[0], 3, [float(m) for m in means]
 
 
 def _decode_wav(payload: bytes):
@@ -250,6 +265,81 @@ def wav_payload(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_RESIZED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("payload_len", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def _image_pixels(payload: bytes):
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[:2] == b"P6":
+        return _ppm_pixels(payload)
+    return None
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Resize every decodable image to ``width × height`` (nearest-neighbor
+    pixel-center sampling — the deterministic resample; no interpolation
+    arithmetic to diverge across platforms) and re-encode as binary PPM
+    (``P6``): ``(id, width, height, payload, payload_len, mean_r/g/b)``.
+    Non-image payloads are dropped, not faked.
+
+    The thumbnail/preprocess stage of a multimodal training pipeline: at
+    100 TB it is the same narrow Arrow-batched ``mapInPandas`` as decode —
+    no shuffle, parallelism = input splits, and the numpy fancy-index
+    resample touches each output pixel once.
+    """
+    selected = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bin_col).alias("payload"),
+    )
+    header = f"P6\n{width} {height}\n255\n".encode()
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "width", "height", "payload", "payload_len",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                px = _image_pixels(bytes(p) if p is not None else b"")
+                if px is None:
+                    continue
+                h, w = px.shape[:2]
+                rr = ((np.arange(height) + 0.5) * h / height).astype(int)
+                cc = ((np.arange(width) + 0.5) * w / width).astype(int)
+                out = px[rr][:, cc]
+                body = header + out.tobytes()
+                means = out.astype(np.float64).mean(axis=(0, 1))
+                rows["id"].append(rid)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["payload"].append(body)
+                rows["payload_len"].append(len(body))
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return selected.mapInPandas(resize_batches, schema=_RESIZED_SCHEMA)
 
 
 _AUDIO_SCHEMA = T.StructType([

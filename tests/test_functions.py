@@ -808,3 +808,36 @@ def test_containment_scores(spark):
     # doc2 grams: 4 total; "the exact eval" + "exact eval passage" hit
     assert out[2] == (4, 2, 0.5)
     assert out[3] == (3, 0, 0.0)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    # 4x2 gradient PPM: pixel (r,c) = (10*r+c, 0, 255-10*r-c)
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    for r in range(2):
+        for c in range(4):
+            px[r, c] = (10 * r + c, 0, 255 - 10 * r - c)
+    ppm = b"P6\n4 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, ppm), (2, b"not an image")], schema="id long, payload binary"
+    )
+    out = {r["id"]: r for r in
+           multimodal.resize_images(df, "id", "payload", 2, 2).collect()}
+    assert set(out) == {1}  # non-image dropped
+    row = out[1]
+    assert (row["width"], row["height"]) == (2, 2)
+    # nearest-neighbor centers: rows (0.5,1.5)*2/2 -> rows 0,1;
+    # cols (0.5,1.5)*4/2 -> cols 1,3
+    want = px[[0, 1]][:, [1, 3]]
+    assert row["payload_len"] == len(b"P6\n2 2\n255\n") + 12
+    got_px = np.frombuffer(bytes(row["payload"])[-12:], np.uint8).reshape(2, 2, 3)
+    assert (got_px == want).all()
+    assert row["mean_r"] == pytest.approx(want[:, :, 0].mean())
+    # round-trip: the resized payload decodes as a PPM with the new dims
+    again = multimodal.resize_images(
+        spark.createDataFrame([(9, bytes(row["payload"]))],
+                              "id long, payload binary"),
+        "id", "payload", 1, 1,
+    ).collect()
+    assert again[0]["width"] == 1 and again[0]["height"] == 1
