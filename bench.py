@@ -20,6 +20,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
     "events_daily_rollup",
+    "events_funnel_conversion",
     "map_at_isoweek",
     "filter_nof_threshold",
     "join_full",
@@ -50,6 +51,7 @@ HEADLINE = [
     "text_unigram_perplexity",
     "text_encode_token_ids",
     "sample_dataset_mixture",
+    "sketch_kmv_distinct",
     "pipeline_curation_end_to_end",
     "cluster_kmeans_assign",
     "semdedup_prune",

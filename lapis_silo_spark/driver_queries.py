@@ -2886,6 +2886,105 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_kmv_distinct",
+    """WITH d AS (SELECT DISTINCT source AS grp, text AS val
+                  FROM documents),
+        h AS (SELECT grp,
+                     ('0x' || substr(md5(val), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) AS h
+              FROM d),
+        kept AS (SELECT grp, h FROM (
+                   SELECT grp, h, row_number() OVER (
+                       PARTITION BY grp ORDER BY h) AS rn FROM h)
+                 WHERE rn <= 16)
+       SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_kept,
+              round(CASE WHEN count(*) < 16
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE 15.0 / max(h) END, 4) AS est_distinct
+       FROM kept GROUP BY grp""",
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source (functions.sketches.kmv_distinct
+    — k=16 smallest md5 hashes of the distinct texts; mergeable constant
+    state per group, estimator reproduced bit-for-bit by the oracle)."""
+    from lapis_silo_spark.functions.sketches import kmv_distinct
+
+    db = db_for(spark, sf_dir)
+    return kmv_distinct(db.table("documents"), "source", "text", k=16)
+
+
+@query(
+    "sample_topk_per_group",
+    """SELECT source, doc_id FROM (
+         SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT / CAST(4294967296 AS DOUBLE),
+                      doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 3""",
+)
+def q_sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source 3-row sample by md5 hash rank
+    (functions.sketches.hash_topk_per_group — the content-addressed
+    replacement for per-group reservoir sampling)."""
+    from lapis_silo_spark.functions.sketches import hash_topk_per_group
+
+    db = db_for(spark, sf_dir)
+    return hash_topk_per_group(
+        db.table("documents"), "source", "doc_id", k=3
+    ).select("source", "doc_id")
+
+
+@query(
+    "events_funnel_conversion",
+    """WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+          FROM events GROUP BY user_id)
+       SELECT count(*) AS n_users,
+              CAST(sum((t_view IS NOT NULL)::INT) AS BIGINT) AS saw,
+              CAST(sum((t_click > t_view)::INT) AS BIGINT) AS clicked_after,
+              CAST(sum((t_buy > t_click AND t_click > t_view)::INT)
+                   AS BIGINT) AS converted
+       FROM per_user""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream (view → click → purchase,
+    first-occurrence ordering per user): ONE user-keyed aggregation with
+    conditional mins — no self-joins, no per-step shuffles; the standard
+    product-analytics shape at any scale."""
+    db = db_for(spark, sf_dir)
+    ev = db.table("events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).alias("saw"),
+        F.sum((F.col("t_click") > F.col("t_view")).cast("int")).alias(
+            "clicked_after"
+        ),
+        F.sum(
+            (
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view"))
+            ).cast("int")
+        ).alias("converted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

@@ -1,0 +1,90 @@
+"""Deterministic distinct-count sketching (K-Minimum-Values).
+
+At 100 TB, exact ``count(distinct x)`` per group is a full shuffle of every
+distinct value; sketches trade a bounded error for constant per-group
+state. Spark ships HyperLogLog (``approx_count_distinct``), but its binary
+sketch is engine-specific — unverifiable against an independent oracle.
+KMV (Bar-Yossef et al.) with an md5-derived hash is just as mergeable and
+every engine computes it identically: keep the k smallest normalized hashes
+of the distinct elements; if fewer than k exist the count is exact, else
+estimate (k-1) / h_k where h_k is the k-th smallest.
+
+Scale shape: one distinct aggregation keyed on (group, element) — map-side
+combined — then a per-group top-k window over k rows/group. State per
+group is k doubles, the merge of two sketches is "union, keep k smallest"
+(standard KMV mergeability), and the estimator is reproducible bit-for-bit
+in any SQL engine — which is exactly what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^32 — the md5-prefix hash space; dividing by it lands in [0, 1).
+_HASH_SPACE = 4294967296.0
+
+
+def kmv_hash(col: str | Column) -> Column:
+    """Normalized deterministic hash in [0, 1): first 8 md5 hex chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str | Column,
+    k: int = 16,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate:
+    ``(group, n_kept, est_distinct)`` — exact when a group has < k distinct
+    values, else ``(k-1)/h_k`` rounded to 4 decimals."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), value.alias("val"))
+        .distinct()
+        .select("grp", kmv_hash(F.col("val")).alias("h"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        kept.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("_hk"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_kept",
+            F.round(
+                F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+                .otherwise(F.lit(float(k - 1)) / F.col("_hk")),
+                4,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def hash_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group sample: the ``k`` rows whose md5 key hashes
+    rank smallest within each group — the content-addressed replacement for
+    per-group reservoir sampling (re-runs, backfills, and engines all agree
+    on the winners). One window over the group key; ties broken by the key
+    itself."""
+    w = Window.partitionBy(group_col).orderBy(
+        kmv_hash(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

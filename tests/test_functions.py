@@ -841,3 +841,44 @@ def test_resize_images_nearest_neighbor(spark):
         "id", "payload", 1, 1,
     ).collect()
     assert again[0]["width"] == 1 and again[0]["height"] == 1
+
+
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    from lapis_silo_spark.functions.sketches import kmv_distinct
+
+    rows = [("big", f"v{i}") for i in range(1000)]
+    rows += [("small", f"s{i}") for i in range(5)]
+    rows += [("small", "s0")]  # duplicate — distinct is what's counted
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: (r["n_kept"], r["est_distinct"])
+           for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    # exact path below k
+    assert out["small"] == (5, 5.0)
+    # estimation path: KMV with k=64 has ~1/sqrt(62) ≈ 13% std error
+    n_kept, est = out["big"]
+    assert n_kept == 64
+    assert 600 <= est <= 1500, est
+    # deterministic across runs
+    again = {r["grp"]: r["est_distinct"]
+             for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert again["big"] == est
+
+
+def test_hash_topk_per_group(spark):
+    from lapis_silo_spark.functions.sketches import hash_topk_per_group
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(20)],
+        "grp string, key int",
+    )
+    out = hash_topk_per_group(df, "grp", "key", k=4).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["key"])
+    assert all(len(v) == 4 for v in by_grp.values())
+    again = hash_topk_per_group(df, "grp", "key", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # k=2 picks a subset of k=4 (hash ranks are nested)
+    small = hash_topk_per_group(df, "grp", "key", k=2).collect()
+    for r in small:
+        assert r["key"] in by_grp[r["grp"]]
