@@ -272,3 +272,69 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_KMV_OUTPUT = "grp string, n_kept int, est_distinct double"
+_KMV_STATE = "hashes array<double>"
+
+
+def _kmv_group(
+    key: Any,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    k: int,
+) -> Iterator[pd.DataFrame]:
+    kept: list = list(state.get[0]) if state.exists else []
+    seen = set(kept)
+    for pdf in pdfs:
+        for h in pdf["h"]:
+            h = float(h)
+            if h in seen:
+                continue
+            seen.add(h)
+            kept.append(h)
+    # keep the k smallest — THE KMV merge rule (union, truncate), which is
+    # what makes cross-batch state equal to a batch sketch of the union
+    kept = sorted(kept)[:k]
+    state.update((kept,))
+    if len(kept) < k:
+        est = float(len(kept))
+    else:
+        est = (k - 1) / kept[-1]
+    yield pd.DataFrame({
+        "grp": [key[0]],
+        "n_kept": [len(kept)],
+        "est_distinct": [round(est, 4)],
+    })
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Cross-batch KMV distinct-count per group: after every micro-batch,
+    emit ``(grp, n_kept, est_distinct)`` reflecting all rows seen so far.
+
+    State per group is the k smallest md5-derived hashes — constant size,
+    and because KMV's merge is "union, keep k smallest", the streaming
+    estimate after N batches is IDENTICAL to the batch
+    :func:`lapis_silo_spark.functions.sketches.kmv_distinct` over their
+    union (pinned by test). Pair with ``outputMode("update")``.
+    """
+    from functools import partial
+
+    from lapis_silo_spark.functions.sketches import kmv_hash
+
+    hashed = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        kmv_hash(value_col).alias("h"),
+    )
+    return hashed.groupBy("grp").applyInPandasWithState(
+        partial(_kmv_group, k=k),
+        outputStructType=_KMV_OUTPUT,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

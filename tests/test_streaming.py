@@ -413,3 +413,55 @@ def test_streaming_curation_predicates(spark, tmp_path):
     want = {r["doc_id"] for r in
             batch.filter(hash_sample("doc_id", 0.5)).collect()}
     assert set(langs) == want
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """The cross-batch KMV state (union, keep k smallest) must make the
+    streaming estimate after all batches IDENTICAL to the batch sketch over
+    the union — the mergeability contract, checked end-to-end across a
+    checkpointed restart."""
+    from lapis_silo_spark.functions.sketches import kmv_distinct
+    from lapis_silo_spark.streaming.stateful import streaming_kmv_distinct
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    rows = [{"grp": "a", "val": f"v{i}"} for i in range(300)]
+    rows += [{"grp": "b", "val": f"w{i % 4}"} for i in range(40)]
+
+    def run_batch() -> dict:
+        emitted: list = []
+        q = (
+            streaming_kmv_distinct(
+                spark.readStream.schema("grp string, val string").json(
+                    str(src)
+                ),
+                "grp", "val", k=16,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["grp"]: (r["n_kept"], r["est_distinct"]) for r in emitted}
+
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:200])
+    )
+    run_batch()
+    # second file overlaps the first — state dedupes re-seen hashes
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[150:])
+    )
+    got = run_batch()
+
+    batch_df = spark.createDataFrame(
+        [(r["grp"], r["val"]) for r in rows], "grp string, val string"
+    )
+    want = {
+        r["grp"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(batch_df, "grp", "val", k=16).collect()
+    }
+    assert got == want
+    assert got["b"] == (4, 4.0)  # below k → exact
