@@ -2985,6 +2985,120 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_counts",
+    """SELECT source, lang, count(*) AS cnt,
+              CAST(grouping(source, lang) AS INT) AS gid
+       FROM documents GROUP BY CUBE (source, lang)""",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang) with the grouping id — §2.5 superset (the
+    reference has a single grouping set only, aggregate_node.cpp:28-75);
+    Spark's cube is one pass with an Expand, not 4 scans."""
+    db = db_for(spark, sf_dir)
+    return (
+        db.table("documents")
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+@query(
+    "events_pivot_by_type",
+    """SELECT CAST(ts AS DATE) AS day,
+              CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                   AS BIGINT) AS views,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                   AS BIGINT) AS clicks,
+              CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS BIGINT) AS purchases
+       FROM events GROUP BY 1""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the event stream into per-day columns per type — §2.5 superset.
+    The pivot value list is EXPLICIT, so the plan is one hash aggregation
+    with conditional counts (no extra distinct-values job, schema stable at
+    any scale)."""
+    db = db_for(spark, sf_dir)
+    out = (
+        db.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .count()
+    )
+    return out.select(
+        "day",
+        F.coalesce(F.col("view"), F.lit(0)).alias("views"),
+        F.coalesce(F.col("click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.col("purchase"), F.lit(0)).alias("purchases"),
+    )
+
+
+@query(
+    "quality_quantile_filter_sampled",
+    f"""WITH t AS (
+          SELECT source, doc_id,
+                 length({_TOKENS_SQL}) AS ntok,
+                 length(list_filter({_TOKENS_SQL},
+                        t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS stop_hits,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+                 length(text) AS nchars,
+                 list_sum([length(x) FOR x IN {_TOKENS_SQL}]) AS charsum
+          FROM documents),
+        scored AS (
+          SELECT source, doc_id,
+                 least(ntok / 100.0, 1.0) * 0.25
+                 + least((stop_hits * 1.0 / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                 + (1.0 - least((punct * 1.0 / greatest(nchars, 1)) * 10.0, 1.0)) * 0.25
+                 + (CASE WHEN charsum * 1.0 / greatest(ntok, 1) BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END) * 0.25 AS q
+          FROM t),
+        cuts AS (SELECT source, quantile_cont(q, 0.25) AS cut
+                 FROM scored
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+                 GROUP BY source)
+        SELECT scored.source, count(*) AS kept, round(avg(q), 4) AS avg_q
+        FROM scored JOIN cuts ON scored.source = cuts.source
+        WHERE q >= cut GROUP BY scored.source""",
+)
+def q_quality_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of quantile quality filtering: the per-source
+    cutoffs come from a deterministic md5-bucket QUARTER-sample, so the
+    exact-percentile sort touches a bounded subset while the filter still
+    scans everything once. Because the sample is content-addressed, the
+    oracle replays the identical subset — the cutoffs (and therefore the
+    kept set) match bit-for-bit, which no rand()-sampled or
+    percentile_approx plan could promise."""
+    from lapis_silo_spark.functions import text as ftext
+    from lapis_silo_spark.functions.sampling import hash_sample
+
+    db = db_for(spark, sf_dir)
+    scored = (
+        Pipeline.scan(db, "documents")
+        .rebalance()
+        .df.select(
+            "source", "doc_id", ftext.quality_score("text").alias("q")
+        )
+    )
+    cuts = (
+        scored.filter(hash_sample("doc_id", 0.25))
+        .groupBy("source")
+        .agg(F.percentile("q", 0.25).alias("cut"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .filter(F.col("q") >= F.col("cut"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------
