@@ -21,6 +21,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "events_daily_rollup",
     "events_funnel_conversion",
+    "events_pivot_by_type",
     "map_at_isoweek",
     "filter_nof_threshold",
     "join_full",
@@ -52,6 +53,9 @@ HEADLINE = [
     "text_encode_token_ids",
     "sample_dataset_mixture",
     "sketch_kmv_distinct",
+    "sample_topk_per_group",
+    "quality_quantile_filter_sampled",
+    "dedup_incremental_exact",
     "pipeline_curation_end_to_end",
     "cluster_kmeans_assign",
     "semdedup_prune",
@@ -59,6 +63,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_audio_features",
     # the reference's own headline workload: mutation statistics and symbol
     # filters over the ingested sequence store (performance/
     # mutation_benchmark.cpp); first query pays the synthetic-store ingest
