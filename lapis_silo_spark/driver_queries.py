@@ -2889,7 +2889,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_kmv_distinct",
     """WITH d AS (SELECT DISTINCT source AS grp, text AS val
-                  FROM documents),
+                  FROM documents WHERE text IS NOT NULL),
         h AS (SELECT grp,
                      ('0x' || substr(md5(val), 1, 8))::BIGINT
                        / CAST(4294967296 AS DOUBLE) AS h

@@ -17,6 +17,11 @@ Determinism / oracle-parity design (the whole point of this file):
   (partition-merge), numpy (pairwise/SIMD), and DuckDB (sequential) at the
   ~1e-15 level; rounding re-synchronizes all three at every stage so drift
   cannot accumulate into a different argmin/threshold decision.
+- ONE rounding convention on all sides: half AWAY from zero
+  (``sign(x) * floor(|x| * 10^d + 0.5) / 10^d`` — :func:`_round_half_away`),
+  matching DuckDB ``round()`` and Spark ``F.round`` exactly. numpy
+  ``np.round`` is banker's (half-to-even) and would flip an argmin /
+  threshold decision for a value landing exactly on a .5 grid boundary.
 - Ties break identically: argmin takes the LOWEST cluster index (numpy
   ``argmin`` first-hit ≡ SQL ``ORDER BY dist, cluster LIMIT 1``).
 
@@ -38,6 +43,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _round_half_away(a, decimals: int):
+    """Round half AWAY from zero on a fixed decimal grid — the convention
+    DuckDB ``round()`` and Spark ``F.round`` share; ``np.round`` (banker's
+    half-to-even) would diverge at exact .5 boundaries."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def _init_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, decimals: int
 ):
@@ -53,8 +68,9 @@ def _init_centroids(
     )
     if len(rows) < k:
         raise ValueError(f"kmeans_assign: need >= {k} rows, got {len(rows)}")
-    return np.round(np.array([r["vec"] for r in rows], dtype=np.float64),
-                    decimals)
+    return _round_half_away(
+        np.array([r["vec"] for r in rows], dtype=np.float64), decimals
+    )
 
 
 def _assign_col(centroids, distance_decimals: int):
@@ -70,7 +86,7 @@ def _assign_col(centroids, distance_decimals: int):
             return pd.Series([], dtype="int32")
         mat = np.array(vecs.tolist(), dtype=np.float64)
         diff = mat[:, None, :] - centroids[None, :, :]
-        dist = np.round((diff * diff).sum(axis=2), distance_decimals)
+        dist = _round_half_away((diff * diff).sum(axis=2), distance_decimals)
         return pd.Series(np.argmin(dist, axis=1).astype("int32"))
 
     return _assign
@@ -112,7 +128,9 @@ def kmeans_assign(
         new_c = centroids.copy()
         for r in updates:
             new_c[r["cluster"], r["dim"]] = r["val"]
-        centroids = np.round(new_c, centroid_decimals)
+        # values already sit on the grid (F.round upstream); re-snap with the
+        # same half-away convention for safety
+        centroids = _round_half_away(new_c, centroid_decimals)
 
     return base.select(
         "id",
@@ -129,6 +147,7 @@ def semdedup(
     k: int = 10,
     iterations: int = 4,
     threshold: float = 0.4,
+    max_cluster_size: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then within each cluster
     prune every row that has a LOWER-id row with cosine >= ``threshold``.
@@ -144,7 +163,10 @@ def semdedup(
     bottleneck at 10× scale. Quadratic work/memory is bounded by the
     LARGEST cluster (n_c² doubles for the cosine matrix), which is the
     standing SemDeDup contract: pick ``k`` ∝ corpus size so clusters stay
-    bounded.
+    bounded. ``max_cluster_size`` enforces that contract mechanically — a
+    skewed cluster would otherwise OOM an executor silently; above the cap
+    the group raises with an error naming the contract (same discipline as
+    the exact-embedding and phylo collect guards).
     """
     import numpy as np
     import pandas as pd
@@ -162,11 +184,19 @@ def semdedup(
     ])
 
     def prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_cluster_size:
+            raise ValueError(
+                f"semdedup: cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_size={max_cluster_size}; "
+                "the within-cluster cosine matrix is quadratic in cluster "
+                "size. SemDeDup's contract is k ∝ corpus size — raise k so "
+                "clusters stay bounded (or raise max_cluster_size knowingly)."
+            )
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         V = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
         nrm = np.sqrt((V * V).sum(axis=1))
-        cos = np.round(V @ V.T / np.outer(nrm, nrm), 6)
+        cos = _round_half_away(V @ V.T / np.outer(nrm, nrm), 6)
         hit = cos >= threshold
         n = len(ids)
         pruned = np.zeros(n, dtype=bool)

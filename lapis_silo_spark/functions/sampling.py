@@ -82,9 +82,22 @@ def mixture_rates(
     Rates are quantized to the 256-bucket grid with ``floor(r*256 + 0.5)``
     (explicit half-up — NOT Python's banker's ``round``) so a SQL oracle can
     reproduce the quantization exactly with ``floor(r * 256 + 0.5)``.
+
+    A stratum present in ``counts`` but absent from ``weights`` gets rate 0
+    (dropped from the sample) — that is the intended contract for "not in the
+    mixture", but a misspelled weight key would silently erase a stratum, so
+    it warns.
     """
     import math
+    import warnings
 
+    missing = sorted(set(counts) - set(weights))
+    if missing:
+        warnings.warn(
+            "mixture_rates: strata present in data but absent from weights "
+            f"get rate 0.0 and are dropped from the sample: {missing}",
+            stacklevel=2,
+        )
     total = float(sum(counts.values()))
     return {
         s: math.floor(

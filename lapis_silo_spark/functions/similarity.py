@@ -600,12 +600,18 @@ def pq_topk(
                 lut = tables[qi]
                 dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
                 mask = ids != ids_q[qi]  # exclude self-match
-                cand_ids, cand_d = ids[mask], dist[mask]
+                # round BEFORE the batch-local prune so its (dist, id) key is
+                # identical to the global window's rounded ordering — pruning
+                # on unrounded values could drop a near-tie candidate the
+                # rounded global ordering would have kept, making the output
+                # depend on Arrow batch boundaries
+                cand_ids = ids[mask]
+                cand_d = np.round(dist[mask], 6)
                 # batch-local prune: keep top-`width` by (dist, id)
                 order = np.lexsort((cand_ids, cand_d))[:width]
                 rows_out["query_id"].extend([ids_q[qi]] * len(order))
                 rows_out["id"].extend(cand_ids[order])
-                rows_out["approx_dist"].extend(np.round(cand_d[order], 6))
+                rows_out["approx_dist"].extend(cand_d[order])
             yield pd.DataFrame(rows_out)
 
     scored = coded.mapInPandas(score_batches, schema=out_schema)
@@ -624,8 +630,6 @@ def pq_topk(
 
     # exact re-rank: candidate vectors join back (queries·refine rows), the
     # query vectors ride in as a broadcast dimension
-    from lapis_silo_spark.functions.dedup import dot, norm  # noqa: F401
-
     vecs = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

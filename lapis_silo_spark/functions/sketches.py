@@ -42,8 +42,13 @@ def kmv_distinct(
     ``(group, n_kept, est_distinct)`` — exact when a group has < k distinct
     values, else ``(k-1)/h_k`` rounded to 4 decimals."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    # NULL values must not reach the window: a NULL hash sorts FIRST in
+    # Spark's ascending window (consuming a kept slot, ignored by max) but
+    # LAST in DuckDB — filtering mirrors the oracle's `WHERE val IS NOT NULL`
+    # and matches count(distinct)'s own NULL-exclusion semantics.
     hashed = (
         df.select(F.col(group_col).alias("grp"), value.alias("val"))
+        .filter(F.col("val").isNotNull())
         .distinct()
         .select("grp", kmv_hash(F.col("val")).alias("h"))
     )

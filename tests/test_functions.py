@@ -882,3 +882,72 @@ def test_hash_topk_per_group(spark):
     small = hash_topk_per_group(df, "grp", "key", k=2).collect()
     for r in small:
         assert r["key"] in by_grp[r["grp"]]
+
+
+def test_round_half_away_matches_sql_convention():
+    """ADVICE r3: one rounding convention everywhere — half AWAY from zero
+    (DuckDB round(), Spark F.round), not numpy banker's half-to-even."""
+    import numpy as np
+
+    from lapis_silo_spark.functions.clustering import _round_half_away
+
+    # dyadic .5 boundaries where banker's and half-away disagree
+    assert _round_half_away(np.array([0.5]), 0)[0] == 1.0      # np.round → 0
+    assert _round_half_away(np.array([1.5]), 0)[0] == 2.0
+    assert _round_half_away(np.array([2.5]), 0)[0] == 3.0      # np.round → 2
+    assert _round_half_away(np.array([-0.5]), 0)[0] == -1.0
+    assert _round_half_away(np.array([-2.5]), 0)[0] == -3.0
+    # on-grid values pass through
+    v = np.array([0.123456, -9.875])
+    assert (_round_half_away(v, 6) == v).all()
+    # at a finer grid: 0.0009765625 = 1/1024; ×10^3 = 0.9765625 (no boundary),
+    # but 0.0625 = 1/16 at 1 decimal → 0.625 ... use an exact boundary:
+    # 0.25 at 1 decimal → 2.5 scaled → half-away 0.3 (np.round gives 0.2)
+    assert _round_half_away(np.array([0.25]), 1)[0] == 0.3
+    assert np.round(np.array([0.25]), 1)[0] == 0.2
+
+
+def test_semdedup_max_cluster_size_guard(spark):
+    """A skewed cluster must fail loudly (k ∝ N contract), not OOM."""
+    import pytest as _pytest
+
+    from lapis_silo_spark.functions.clustering import semdedup
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    with _pytest.raises(Exception, match="max_cluster_size"):
+        semdedup(df, "id", "vec", k=2, iterations=1,
+                 max_cluster_size=3).collect()
+    # generous cap: runs fine
+    out = semdedup(df, "id", "vec", k=2, iterations=1,
+                   max_cluster_size=100).collect()
+    assert len(out) == 12
+
+
+def test_mixture_rates_warns_on_missing_strata():
+    import warnings
+
+    from lapis_silo_spark.functions.sampling import mixture_rates
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rates = mixture_rates({"a": 10, "ghost": 5}, {"a": 1.0}, 0.5)
+    assert rates["ghost"] == 0.0
+    assert any("ghost" in str(x.message) for x in w)
+    # fully-covered strata: silent
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        mixture_rates({"a": 10}, {"a": 1.0}, 0.5)
+    assert not [x for x in w2 if "mixture_rates" in str(x.message)]
+
+
+def test_kmv_distinct_ignores_nulls(spark):
+    """ADVICE r3: NULL values must not consume kept slots (Spark sorts NULL
+    first ascending; DuckDB last) — they are filtered like count(distinct)."""
+    from lapis_silo_spark.functions.sketches import kmv_distinct
+
+    rows = [("g", f"v{i}") for i in range(5)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = kmv_distinct(df, "grp", "val", k=16).collect()
+    assert len(out) == 1
+    assert out[0]["n_kept"] == 5 and out[0]["est_distinct"] == 5.0
