@@ -660,6 +660,42 @@ def embedding_near_dup_pairs(
     return stream.mapInPandas(pair_batches, schema=out_schema)
 
 
+def _min_label_propagation(
+    ids: DataFrame,
+    pairs: DataFrame,
+    pair_a: str,
+    pair_b: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Connected components by min-label propagation over an ``(id)``
+    universe and an edge list; returns ``(id, label)`` where label is the
+    component's minimum id. Shared core of :func:`dedup_cluster_assignment`
+    and :func:`minhash_dedup_clusters` — see the former's docstring for the
+    convergence/localCheckpoint rationale."""
+    fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, on=[edges["u"] == labels["id"]])
+            .select(F.col("v").alias("id"), "label")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 def dedup_cluster_assignment(
     universe: DataFrame,
     pairs: DataFrame,
@@ -689,27 +725,7 @@ def dedup_cluster_assignment(
     N's plan doesn't embed rounds 1..N-1.
     """
     ids = universe.select(F.col(id_col).alias("id")).distinct()
-    fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
-    rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
-    edges = fwd.union(rev).distinct().localCheckpoint()
-
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iterations):
-        prop = (
-            edges.join(labels, on=[edges["u"] == labels["id"]])
-            .select(F.col("v").alias("id"), "label")
-        )
-        labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels = _min_label_propagation(ids, pairs, pair_a, pair_b, max_iterations)
 
     w = Window.partitionBy("label")
     return labels.select(
@@ -717,4 +733,79 @@ def dedup_cluster_assignment(
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    hash_fn=None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """End-to-end near-duplicate CLUSTERING with O(docs) output:
+    ``(id, cluster_id, cluster_size, is_canonical)`` for every input row —
+    the scale-safe form of near-dup removal. :func:`minhash_lsh_pairs`'s
+    banded candidate generation is correct at scale, but *materializing* the
+    pair list is quadratic on twin-heavy corpora (the round-3 100× sweep:
+    ~25M verified pairs, wall dominated by pair output). Fusing pair
+    generation into the cluster collapse bounds the result at one row per
+    document no matter how duplicate-heavy the corpus is.
+
+    Pipeline (three fused stages, one lazy plan per stage):
+
+    1. **Exact-twin short-circuit** — group docs by md5(normalized text);
+       only each digest group's minimum id (the *representative*) proceeds.
+       On a corpus where every doc has E exact twins, LSH work drops by E×
+       and the quadratic twin-pair explosion never happens: twins reach the
+       output via their digest, not via pairs.
+    2. **Banded LSH + verification over representatives only** — the
+       standard ``minhash_lsh_pairs`` plan (band-bucket join, never rows²);
+       its pair output here is bounded by near-dup relations between
+       *distinct* texts, the irreducible edge set.
+    3. **Min-label propagation** collapses representative pairs into
+       connected components (transitive closure), then every doc joins back
+       through its digest: ``cluster_id`` = min doc id of the component
+       (each representative is already its digest group's min id, so the
+       component's min representative IS the cluster's global min id).
+
+    ``is_canonical`` marks the one row per cluster a dedup pipeline keeps.
+    Shuffle inventory: one digest agg, the banded LSH join over reps, the
+    propagation rounds (rep-sized), and two digest/rep-keyed hash joins +
+    one cluster-keyed window over the full corpus — all linear in docs
+    except the LSH join, which is banded and rep-bounded.
+
+    With ``hash_fn=hash32`` (md5 family) the full output is reproducible in
+    external SQL — the registered driver query's DuckDB oracle replays
+    digesting, signatures, banding, verification, AND the closure
+    (recursive CTE) bit-for-bit.
+    """
+    digests = df.select(
+        F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("digest")
+    )
+    reps = digests.groupBy("digest").agg(F.min("id").alias("rep_id"))
+    rep_docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).join(
+        reps.select(F.col("rep_id").alias("id")), on="id", how="left_semi"
+    )
+    pairs = minhash_lsh_pairs(
+        rep_docs, "id", "_t", threshold=threshold, n_perms=n_perms,
+        n_bands=n_bands, k=k, hash_fn=hash_fn,
+    )
+    comp = _min_label_propagation(
+        rep_docs.select("id"), pairs, "id_a", "id_b", max_iterations
+    ).select(F.col("id").alias("rep_id"), F.col("label").alias("cluster_id"))
+
+    out = digests.join(reps, on="digest").join(comp, on="rep_id")
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )

@@ -108,6 +108,66 @@ def lsh_table_buckets(
     return _buckets(F.col(vec_col).cast("array<double>"))
 
 
+def lsh_query_probes(
+    vec_col: str, n_planes: int, n_tables: int, dim: int, n_flip: int
+) -> Column:
+    """Multi-probe bucket labels for the QUERY side: per table, the base
+    bucket plus ``n_flip`` single-bit perturbations flipping the planes with
+    the smallest projection magnitude (array<string>, entries ``"t:bits"``).
+
+    Standard multi-probe LSH (Lv et al., VLDB'07, single-bit perturbation
+    subset): a near neighbor that lands just across a low-margin hyperplane
+    is recovered by probing the adjacent bucket, buying recall WITHOUT extra
+    tables — corpus-side bucket count (and therefore shuffle volume and
+    index size) is unchanged; only the tiny query side fans out
+    ``1 + n_flip`` probes per table.
+
+    Determinism / oracle parity: margins round to 9 decimals (half away from
+    zero, the shared SQL convention) before ranking, ties break by plane
+    index ascending — so an external SQL engine reproduces the exact probe
+    set (see the ``ann_lsh_topk`` driver oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from lapis_silo_spark.functions.clustering import _round_half_away
+
+    total = n_planes * n_tables
+    planes = _plane_matrix(total, dim)
+    flips = min(n_flip, n_planes)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _probes(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        proj = mat @ planes.T  # rows × total
+        plane_idx = np.arange(n_planes)
+        out = []
+        for row in proj:
+            labels = []
+            for t in range(n_tables):
+                seg = row[t * n_planes:(t + 1) * n_planes]
+                bits = seg >= 0
+                base = "".join("1" if b else "0" for b in bits)
+                labels.append(f"{t}:{base}")
+                if flips:
+                    margins = _round_half_away(np.abs(seg), 9)
+                    order = np.lexsort((plane_idx, margins))
+                    for f in range(flips):
+                        fb = bits.copy()
+                        fb[order[f]] = not fb[order[f]]
+                        labels.append(
+                            f"{t}:" + "".join("1" if b else "0" for b in fb)
+                        )
+            out.append(labels)
+        return pd.Series(out)
+
+    return _probes(F.col(vec_col).cast("array<double>"))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -295,14 +355,24 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
-    n_tables: int = 4,
+    n_tables: int = 8,
+    n_flip: int = 3,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     ``n_tables`` hash tables (each table = its own plane set), exact cosine
-    re-rank within candidates.
+    re-rank within candidates. The query side additionally probes, per
+    table, the ``n_flip`` adjacent buckets across its lowest-margin
+    hyperplanes (multi-probe — see :func:`lsh_query_probes`), which is the
+    cheap recall lever: corpus-side shuffle volume stays n_tables × corpus
+    regardless of ``n_flip``.
 
-    Recall is tunable via (n_planes, n_tables); shuffle volume is
-    n_tables × corpus, never corpus × queries.
+    Recall is tunable via (n_planes, n_tables, n_flip); the round-4 default
+    (8 tables × 8 planes, 3 flips) measures recall@10 = 0.995 on a
+    clustered corpus (~15% scan fraction) and 0.465 on the
+    near-unstructured worst-case corpus (~13% scan) — against 0.745 / 0.125
+    for the round-3 no-probe default (tools/ann_recall_demo.py; BENCH_NOTES
+    ANN table). Shuffle volume is n_tables × corpus, never corpus ×
+    queries.
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -322,8 +392,9 @@ def lsh_bucket_topk(
     )
     q_buckets = q.select(
         "query_id", "qvec",
-        F.explode(lsh_table_buckets("qvec", n_planes, n_tables, dim)
-                  ).alias("bucket"),
+        F.explode(
+            lsh_query_probes("qvec", n_planes, n_tables, dim, n_flip)
+        ).alias("bucket"),
     )
     candidates = (
         c_buckets.join(q_buckets, on="bucket")

@@ -951,3 +951,96 @@ def test_kmv_distinct_ignores_nulls(spark):
     out = kmv_distinct(df, "grp", "val", k=16).collect()
     assert len(out) == 1
     assert out[0]["n_kept"] == 5 and out[0]["est_distinct"] == 5.0
+
+
+def test_minhash_dedup_clusters_fused(spark):
+    """Round-4 headline: O(docs) fused clustering — exact twins collapse
+    through the digest path (never reaching LSH), near-dups cluster via
+    banded LSH + transitive closure, and output is one row per doc."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  QUICK brown fox jumps over the lazy dog"),  # exact twin of 1
+        (3, "The quick brown fox jumps over the lazy dog"),   # exact twin of 1
+        (4, "The quick brown fox jumps over the lazy dog!"),  # near-dup of 1
+        (5, "completely unrelated zebra xylophone quartz"),
+        (6, "completely  unrelated zebra XYLOPHONE quartz"),  # exact twin of 5
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.minhash_dedup_clusters(
+            df, "doc_id", "text", threshold=0.7, n_perms=64, n_bands=16,
+        ).collect()
+    }
+    assert len(out) == 6  # one row per doc, never pairs
+    # twins of 1 and the near-dup 4 all land in cluster 1
+    assert out[1] == (1, 4, True)
+    assert out[2] == (1, 4, False)
+    assert out[3] == (1, 4, False)
+    assert out[4] == (1, 4, False)
+    # the 5/6 twin pair forms its own cluster, canonical = min id
+    assert out[5] == (5, 2, True)
+    assert out[6] == (5, 2, False)
+    # exactly one canonical per cluster
+    canon = [i for i, v in out.items() if v[2]]
+    assert sorted(canon) == [1, 5]
+
+
+def test_lsh_multi_probe_superset_and_determinism(vectors):
+    """Multi-probe (n_flip>0) must only ADD candidates: its result set per
+    query is a superset-or-equal quality-wise — candidates from the base
+    bucket always remain probed (f=0 is the unperturbed bucket)."""
+    base = similarity.lsh_bucket_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_planes=8, n_tables=4, dim=3, n_flip=0,
+    ).collect()
+    probed = similarity.lsh_bucket_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_planes=8, n_tables=4, dim=3, n_flip=3,
+    ).collect()
+
+    def best(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cos"])
+        return {q: max(v) for q, v in out.items()}
+
+    b, p = best(base), best(probed)
+    for q in p:
+        # probing can only improve (or tie) the best-found neighbor
+        assert q not in b or p[q] >= b[q]
+    # deterministic across runs
+    again = similarity.lsh_bucket_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_planes=8, n_tables=4, dim=3, n_flip=3,
+    ).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, again))
+
+
+def test_lsh_query_probes_count_and_base(spark):
+    """Each table contributes exactly 1 + n_flip labels; the first is the
+    unperturbed bucket (identical to lsh_table_buckets), and each flip
+    differs from the base in exactly one bit position."""
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "id long, vec array<double>"
+    )
+    n_planes, n_tables, n_flip = 6, 3, 2
+    base = df.select(
+        similarity.lsh_table_buckets("vec", n_planes, n_tables, 8).alias("b")
+    ).first()["b"]
+    probes = df.select(
+        similarity.lsh_query_probes("vec", n_planes, n_tables, 8, n_flip)
+        .alias("p")
+    ).first()["p"]
+    assert len(probes) == n_tables * (1 + n_flip)
+    for t in range(n_tables):
+        group = probes[t * (1 + n_flip):(t + 1) * (1 + n_flip)]
+        assert group[0] == base[t]
+        base_bits = base[t].split(":")[1]
+        for flipped in group[1:]:
+            bits = flipped.split(":")[1]
+            assert flipped.startswith(f"{t}:")
+            assert sum(a != b for a, b in zip(base_bits, bits)) == 1

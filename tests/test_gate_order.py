@@ -37,6 +37,7 @@ def test_gated_window_covers_survey_core():
         "pack_sequences_chunks",
         "sample_stratified_hash",
         "quality_quantile_filter",
+        "dedup_minhash_clusters",
     ):
         assert name in gated, name
 

@@ -1,12 +1,28 @@
-"""Recall@10 + wall time for every ANN method against exact ground truth.
+"""Recall@10 + wall time + scan fraction for every ANN method vs exact truth.
 
-The four registered methods trade accuracy for scan cost differently;
-this records the operating points on the bench corpus so the choice is
-data-driven, not vibes: brute force (exact, full scan), IVF (cell-probed
-cosine), hyperplane LSH (bucketed cosine), PQ+refine (coded scan + exact
-L2 re-rank of the candidate set).
+The four registered methods trade accuracy for scan cost differently; this
+records the operating points so the choice is data-driven, not vibes:
+brute force (exact, full scan), IVF (cell-probed cosine), hyperplane LSH
+with query-side multi-probe (bucketed cosine), PQ+refine (coded scan +
+exact L2 re-rank of the candidate set).
 
-Usage: python tools/ann_recall_demo.py [sf_dir]  (default /root/testdata/sf0.1)
+Two corpora, because recall targets are only meaningful on data with
+neighborhood structure:
+
+- the bench parquet corpus (near-unstructured — round-3 measured that even
+  ground-truth label centroids classify only 41%; the WORST case for
+  space-partitioning ANN), and
+- ``--clustered``: a deterministic mixture-of-Gaussians corpus (40 centers
+  on the unit sphere, per-cluster sigma 0.35/sqrt(dim)) with the same shape
+  as the parquet corpus — the case ANN methods exist for.
+
+Scan fraction = mean fraction of the corpus each query actually scores
+(candidates for LSH, probed-cell members for IVF, refine set for PQ's exact
+stage; the PQ coded pass touches every row but reads m bytes, not the
+vector). Computed by replaying the deterministic bucketing/assignment in
+numpy — bit-identical to the engine's md5-derived planes/centroids.
+
+Usage: python tools/ann_recall_demo.py [sf_dir] [--clustered]
 Prints one JSON line per method.
 """
 
@@ -21,10 +37,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_QUERIES = 20
 K = 10
+N_CENTERS = 40
+CLUSTER_SIGMA = 0.35
+
+
+def make_clustered(n: int, dim: int):
+    """Deterministic mixture-of-Gaussians: centers on the unit sphere,
+    points = center + N(0, sigma²/dim I). Seeded RNG — this is a
+    measurement corpus, not an oracle-gated operator."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((N_CENTERS, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, N_CENTERS, size=n)
+    pts = centers[labels] + rng.standard_normal((n, dim)) * (
+        CLUSTER_SIGMA / np.sqrt(dim)
+    )
+    return pts, labels
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    clustered = "--clustered" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -34,12 +70,25 @@ def main() -> int:
 
     spark = get_spark()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if clustered:
+        import tempfile
+
+        n = emb.count()
+        dim = len(emb.select("embedding").first()[0])
+        pts, _ = make_clustered(n, dim)
+        tmp = tempfile.mkdtemp(prefix="ann_clustered_")
+        spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        emb = spark.read.parquet(os.path.join(tmp, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)
     nrm = np.sqrt((V * V).sum(axis=1))
+    n_corpus = len(ids)
 
     def exact_top(metric: str, q: int) -> set:
         qv = V[ids == q][0]
@@ -62,29 +111,84 @@ def main() -> int:
             by_q.setdefault(r["query_id"], set()).add(r["id"])
         return by_q
 
+    # -- scan-fraction replicas (numpy twins of the deterministic engine
+    #    bucketing; planes/centroids are md5/lowest-id derived, so these are
+    #    bit-identical, not approximations) --------------------------------
+    def lsh_scan_frac(n_planes: int, n_tables: int, n_flip: int) -> float:
+        planes = fsim._plane_matrix(n_planes * n_tables, V.shape[1])
+        proj = V @ planes.T  # n × total
+        signs = proj >= 0
+        fracs = []
+        qmask = ids < N_QUERIES
+        for qi in np.nonzero(qmask)[0]:
+            cand = np.zeros(n_corpus, dtype=bool)
+            for t in range(n_tables):
+                seg = slice(t * n_planes, (t + 1) * n_planes)
+                qbits = signs[qi, seg]
+                probe_sets = [qbits]
+                if n_flip:
+                    margins = np.abs(proj[qi, seg])
+                    order = np.lexsort((np.arange(n_planes), margins))
+                    for f in range(min(n_flip, n_planes)):
+                        fb = qbits.copy()
+                        fb[order[f]] = ~fb[order[f]]
+                        probe_sets.append(fb)
+                for pb in probe_sets:
+                    cand |= (signs[:, seg] == pb[None, :]).all(axis=1)
+            cand[qi] = False
+            fracs.append(cand.sum() / n_corpus)
+        return round(float(np.mean(fracs)), 4)
+
+    def ivf_scan_frac(n_probe: int) -> float:
+        cent_mask = ids % 50 == 0
+        cids, cmat = ids[cent_mask], V[cent_mask]
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cos = np.round(V @ cmat.T / np.outer(nrm, cnorm), 6)
+        assign = cids[np.argmax(cos, axis=1)]
+        cell_sizes = {c: int((assign == c).sum()) for c in cids}
+        fracs = []
+        for qi in np.nonzero(ids < N_QUERIES)[0]:
+            qcos = np.round(V[qi] @ cmat.T / (nrm[qi] * cnorm), 6)
+            probed = cids[np.lexsort((cids, -qcos))[:n_probe]]
+            fracs.append(sum(cell_sizes[c] for c in probed) / n_corpus)
+        return round(float(np.mean(fracs)), 4)
+
     runs = [
-        ("brute_force", "cos", lambda: fsim.brute_force_topk(
+        ("brute_force", "cos", 1.0, lambda: fsim.brute_force_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             k=K)),
-        ("ivf_nprobe3", "cos", lambda: fsim.ivf_topk(
+        ("ivf_nprobe3", "cos", ivf_scan_frac(3), lambda: fsim.ivf_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             centroid_pred=F.col("vec_id") % 50 == 0, k=K, n_probe=3)),
-        ("lsh_8x12", "cos", lambda: fsim.lsh_bucket_topk(
+        ("ivf_nprobe10", "cos", ivf_scan_frac(10), lambda: fsim.ivf_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            centroid_pred=F.col("vec_id") % 50 == 0, k=K, n_probe=10)),
+        ("lsh_r3_default_4tx8p_noprobe", "cos", lsh_scan_frac(8, 4, 0),
+         lambda: fsim.lsh_bucket_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=K, n_planes=8, n_tables=4, n_flip=0)),
+        ("lsh_default_8tx8p_flip3", "cos", lsh_scan_frac(8, 8, 3),
+         lambda: fsim.lsh_bucket_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             k=K)),
-        ("pq_refine50", "l2", lambda: fsim.pq_topk(
+        ("pq_refine50", "l2", round(50 / n_corpus, 4), lambda: fsim.pq_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             k=K)),
+        ("pq_refine200", "l2", round(200 / n_corpus, 4), lambda: fsim.pq_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=K, refine=200)),
     ]
-    for name, metric, build in runs:
+    for name, metric, scan_frac, build in runs:
         build().count()  # warm
         t0 = time.monotonic()
         got = collect_topk(build())
         wall = round(time.monotonic() - t0, 3)
         print(json.dumps({
+            "corpus": "clustered" if clustered else "parquet",
             "method": name,
             "metric": metric,
             "recall_at_10": recall(got, metric),
+            "scan_fraction": scan_frac,
             "wall_sec": wall,
         }))
     return 0
