@@ -2968,6 +2968,57 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    """SELECT id, frame_index, n_frames, width, height,
+              CAST((id * 31 + frame_index * 17) % 256 AS DOUBLE) AS mean_y
+       FROM (
+         SELECT doc_id AS id,
+                unnest(range(0, 1 + doc_id % 7)) AS frame_index,
+                CAST(1 + doc_id % 7 AS INT) AS n_frames,
+                CAST(4 + (doc_id % 3) * 2 AS INT) AS width,
+                CAST(2 + (doc_id % 2) * 2 AS INT) AS height
+         FROM documents)
+       WHERE frame_index % 2 = 0""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the mapInPandas demux stage: each
+    doc gets a deterministic Y4M stream (1 + id%7 frames, C444 planes,
+    frame j filled with luma (id*31 + j*17) % 256), the engine walks the
+    FRAME markers and plane sizes for real, and every other frame is
+    sampled — DuckDB predicts frame counts, dimensions, AND per-frame mean
+    luma without touching bytes. Replaces the round-3 byte-length stub."""
+    import pandas as pd
+
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                lumas = [(i * 31 + j * 17) % 256 for j in range(1 + i % 7)]
+                payloads.append(
+                    fmm.y4m_payload(
+                        4 + (i % 3) * 2, 2 + (i % 2) * 2, lumas
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    db = db_for(spark, sf_dir)
+    import pyspark.sql.types as Ty
+
+    payloads = db.table("documents").select("doc_id").mapInPandas(
+        synth,
+        schema=Ty.StructType([
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("payload", Ty.BinaryType()),
+        ]),
+    )
+    return fmm.frame_sample_plan(payloads, "doc_id", "payload", every_nth=2)
+
+
+@query(
     "sketch_kmv_distinct",
     """WITH d AS (SELECT DISTINCT source AS grp, text AS val
                   FROM documents WHERE text IS NOT NULL),

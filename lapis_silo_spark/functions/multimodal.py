@@ -7,12 +7,13 @@ pure-numpy parser can handle without any image/audio library:
 - BMP (Windows bitmap, ``BITMAPINFOHEADER``, uncompressed 24-bit BGR,
   4-byte row stride padding, bottom-up or top-down row order),
 - PPM (binary ``P6``, maxval 255),
-- WAV (RIFF PCM, 8/16-bit, any channel count, chunk walking).
+- WAV (RIFF PCM, 8/16-bit, any channel count, chunk walking),
+- Y4M (YUV4MPEG2 uncompressed video: header tokens + ``FRAME``-delimited
+  planar YCbCr in 420/422/444/mono chroma — real frame demux for
+  ``frame_sample_plan``).
 
 Compressed containers (PNG/JPEG/WebM) still require external codecs and are
-reported as ``kind='unsupported'`` rather than faked. ``frame_sample_plan``
-keeps a stubbed frame count (video demux genuinely needs ffmpeg) — the
-explode/partitioning shape is the real one.
+reported as ``kind='unsupported'`` rather than faked.
 
 Scale notes: binary columns ride in Parquet as BYTE_ARRAY; metadata-only
 queries never touch the bytes (column pruning), and the decode stage is a
@@ -421,20 +422,135 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return selected.mapInPandas(feature_batches, schema=_AUDIO_SCHEMA)
 
 
+#: bytes per pixel-pair numerator/denominator for each Y4M colorspace tag:
+#: frame byte size = width * height * num // den
+_Y4M_CHROMA = {
+    "C420": (3, 2), "C420jpeg": (3, 2), "C420mpeg2": (3, 2),
+    "C420paldv": (3, 2), "C422": (2, 1), "C444": (3, 1), "Cmono": (1, 1),
+}
+
+
+def _y4m_frames(payload: bytes):
+    """Demux a YUV4MPEG2 (Y4M) stream — the uncompressed video container a
+    pure-numpy parser can walk without a codec (the same recipe as the
+    round-3 BMP/WAV decoders): parse the ``YUV4MPEG2 W.. H.. F.. C..``
+    header line, then per frame a ``FRAME[params]\\n`` marker followed by
+    exactly ``w*h*chroma`` bytes of planar YCbCr.
+
+    Returns ``(width, height, [mean luma per frame])`` with the mean taken
+    over each frame's Y plane, or None for malformed/non-Y4M payloads
+    (truncated frames are not partially counted — never fabricated)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    width = height = None
+    num, den = _Y4M_CHROMA["C420"]  # spec default when no C tag
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        try:
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+            elif tok[:1] == b"C":
+                chroma = _Y4M_CHROMA.get(tok.decode("ascii", "replace"))
+                if chroma is None:
+                    return None
+                num, den = chroma
+        except ValueError:
+            return None
+    if not width or not height or width <= 0 or height <= 0:
+        return None
+    fsize = width * height * num // den
+    y_size = width * height
+    means: list[float] = []
+    pos, n = nl + 1, len(payload)
+    while pos < n:
+        if payload[pos:pos + 5] != b"FRAME":
+            return None
+        pnl = payload.find(b"\n", pos + 5)
+        if pnl < 0 or pnl + 1 + fsize > n:
+            return None
+        start = pnl + 1
+        yplane = np.frombuffer(payload, np.uint8, y_size, start)
+        means.append(float(yplane.astype(np.float64).mean()))
+        pos = start + fsize
+    return width, height, means
+
+
+def y4m_payload(
+    width: int,
+    height: int,
+    lumas: list[int],
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """Well-formed Y4M fixture: one frame per entry in ``lumas``, each
+    filled with that constant luma (chroma planes neutral 128) — constant
+    fill makes per-frame mean luma SQL-predictable while the demuxer still
+    walks real FRAME markers and plane sizes."""
+    num, den = _Y4M_CHROMA[colorspace]
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"{colorspace}\n"
+    ).encode()
+    y_size = width * height
+    chroma_size = y_size * num // den - y_size
+    out = [header]
+    for y in lumas:
+        out.append(b"FRAME\n")
+        out.append(bytes([y]) * y_size + b"\x80" * chroma_size)
+    return b"".join(out)
+
+
+_FRAMES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_index", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_y", T.DoubleType()),
+])
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, bin_col: str, every_nth: int = 30
 ) -> DataFrame:
-    """Video frame-sampling *plan* shape: one output row per sampled frame
-    index. Frame count is stubbed as a deterministic function of byte length
-    (real: container demux); the explode/partitioning shape is the real one.
-    """
-    frames = F.sequence(
-        F.lit(0),
-        F.greatest((F.length(F.col(bin_col)) / 1000).cast("int"), F.lit(0)),
+    """Video frame sampling with a REAL demuxer: every ``every_nth``-th
+    frame of each Y4M payload becomes one output row
+    ``(id, frame_index, n_frames, width, height, mean_y)``. Non-Y4M or
+    malformed payloads are dropped, not faked (same contract as the image/
+    audio decoders).
+
+    Scale shape: narrow Arrow-batched ``mapInPandas`` — no shuffle,
+    parallelism = input splits; the per-frame work is one numpy mean over
+    the frame's Y plane, and only SAMPLED frames emit rows (the demux walk
+    itself is header arithmetic, it never copies frame bytes)."""
+    selected = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bin_col).alias("payload"),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(frames, lambda i: i % every_nth == 0)
-        ).alias("frame_index"),
-    )
+
+    def demux_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "frame_index", "n_frames", "width", "height", "mean_y",
+            )}
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                info = _y4m_frames(bytes(p) if p is not None else b"")
+                if info is None:
+                    continue
+                width, height, means = info
+                for j in range(0, len(means), every_nth):
+                    rows["id"].append(rid)
+                    rows["frame_index"].append(j)
+                    rows["n_frames"].append(len(means))
+                    rows["width"].append(width)
+                    rows["height"].append(height)
+                    rows["mean_y"].append(means[j])
+            yield pd.DataFrame(rows)
+
+    return selected.mapInPandas(demux_batches, schema=_FRAMES_SCHEMA)

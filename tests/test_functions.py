@@ -388,12 +388,45 @@ def test_decode_images_mixed_formats(spark):
     assert rows[3]["kind"] == "unsupported"
 
 
-def test_frame_sample_plan(spark):
+def test_frame_sample_plan_real_demux(spark):
+    """Round-4: the frame count comes from a REAL Y4M demux walk — one row
+    per sampled frame with the actual per-frame mean luma; non-video bytes
+    are dropped, not length-extrapolated."""
+    vid = multimodal.y4m_payload(4, 2, [10, 20, 30, 40, 50, 60, 70])
+    junk = bytes(65000)  # round-3 stub would have fabricated 3 frames here
     df = spark.createDataFrame(
-        [(1, bytes(65000))], schema="id long, payload binary"
+        [(1, vid), (2, junk)], schema="id long, payload binary"
     )
-    frames = multimodal.frame_sample_plan(df, "id", "payload", every_nth=30).collect()
-    assert [r["frame_index"] for r in frames] == [0, 30, 60]
+    frames = sorted(
+        multimodal.frame_sample_plan(df, "id", "payload", every_nth=3)
+        .collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["id"] for r in frames] == [1, 1, 1]
+    assert [r["frame_index"] for r in frames] == [0, 3, 6]
+    assert [r["mean_y"] for r in frames] == [10.0, 40.0, 70.0]
+    assert all(
+        (r["n_frames"], r["width"], r["height"]) == (7, 4, 2) for r in frames
+    )
+
+
+def test_y4m_demux_chroma_variants_and_malformed():
+    from lapis_silo_spark.functions.multimodal import _y4m_frames, y4m_payload
+
+    for cs in ("C420", "C422", "C444", "Cmono"):
+        w, h = (4, 2)
+        p = y4m_payload(w, h, [7, 200], colorspace=cs)
+        assert _y4m_frames(p) == (4, 2, [7.0, 200.0]), cs
+    # default chroma (no C tag) is 420 per spec
+    no_tag = b"YUV4MPEG2 W2 H2 F25:1\n" + b"FRAME\n" + bytes([9] * 6)
+    assert _y4m_frames(no_tag) == (2, 2, [9.0])
+    # malformed: truncated frame, bad marker, non-y4m
+    p = y4m_payload(4, 2, [1, 2])
+    assert _y4m_frames(p[:-1]) is None
+    assert _y4m_frames(b"YUV4MPEG2 W4 H2 C444\nFRAMX\n" + bytes(24)) is None
+    assert _y4m_frames(b"RIFF....") is None
+    # unknown chroma tag refuses rather than guessing a frame size
+    assert _y4m_frames(b"YUV4MPEG2 W4 H2 C411\nFRAME\n" + bytes(24)) is None
 
 
 # -- training-data hygiene: decontam / sampling / word n-grams ----------------
