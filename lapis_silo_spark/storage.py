@@ -57,16 +57,40 @@ def save_version(
     table_partitions: dict[str, list[str]] | None = None,
     version: str | None = None,
     extra_manifest: dict | None = None,
+    table_sorts: dict[str, list[str]] | None = None,
+    parquet_options: dict[str, str] | None = None,
 ) -> str:
     """Write every registered table/side-table/hierarchy of ``db`` as a new
     version directory, then atomically swap the ``latest`` pointer.
 
     ``table_partitions`` optionally maps table name → partition columns
     (e.g. ``{"default": ["date"]}``) for partition-pruned scans at scale.
+
+    ``table_sorts`` maps table name → sort columns: the table is
+    range-partitioned AND sorted on them at write, so every file covers a
+    disjoint key range and every Parquet row group carries tight min/max
+    stats — a selective predicate on the sort key skips whole row groups at
+    the reader (the Spark-native analog of the reference's sorted-date
+    binary-search row ranges, ``storage/column/date_column.h`` +
+    ``filter_expressions/date_between.cpp:75-134``, and its per-chunk
+    coverage ranges, ``horizontal_coverage_index.h:33-35``). Pinned by
+    ``tests/test_storage_pruning.py``: scan-level ``numOutputRows`` drops
+    ~60× under a narrow date predicate vs an unsorted layout.
+
+    ``parquet_options`` are writer options applied to every Parquet write
+    (e.g. ``{"parquet.block.size": ...}`` — the row group is the pruning
+    granule, so block size is the knob that trades scan parallelism and
+    stats tightness against metadata volume at scale).
     """
     version = version or new_version_timestamp()
     vdir = _version_dir(root, version)
     os.makedirs(os.path.join(vdir, "tables"), exist_ok=True)
+
+    def _write(frame: DataFrame, path: str) -> None:
+        w = frame.write.mode("overwrite")
+        if parquet_options:
+            w = w.options(**parquet_options)
+        w.parquet(path)
 
     manifest: dict = {
         "version": version,
@@ -80,7 +104,12 @@ def save_version(
 
     for name, df in db.tables.items():
         path = os.path.join(vdir, "tables", name)
+        sorts = (table_sorts or {}).get(name)
+        if sorts:
+            df = df.repartitionByRange(*sorts).sortWithinPartitions(*sorts)
         writer = df.write.mode("overwrite")
+        if parquet_options:
+            writer = writer.options(**parquet_options)
         parts = (table_partitions or {}).get(name)
         if parts:
             writer = writer.partitionBy(*parts)
@@ -88,29 +117,35 @@ def save_version(
         manifest["tables"][name] = {
             "primary_key": db.primary_key(name),
             "partitions": parts or [],
+            "sort": sorts or [],
         }
 
     for table, store in db.sequence_stores.items():
         base = os.path.join(vdir, "seq", table)
         for side in _SIDES:
-            # side tables sorted by (seq_name, pos) within partitions →
-            # Parquet row-group min/max stats prune position predicates (the
-            # Spark analog of the reference's chunk skipping)
+            # side tables RANGE-partitioned + sorted by (seq_name, pos) →
+            # files cover disjoint key ranges and Parquet row-group min/max
+            # stats prune position predicates (the Spark analog of the
+            # reference's chunk skipping; evidenced by
+            # tests/test_storage_pruning.py). Round 3 only sorted within
+            # whatever partitioning arrived — overlapping ranges across
+            # files left the min/max stats useless.
             side_df: DataFrame = getattr(store, side)
             sort_cols = [c for c in ("seq_name", "pos", "cov_start")
                          if c in side_df.columns]
             if sort_cols:
-                side_df = side_df.sortWithinPartitions(*sort_cols)
-            side_df.write.mode("overwrite").parquet(os.path.join(base, side))
+                side_df = side_df.repartitionByRange(
+                    *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+            _write(side_df, os.path.join(base, side))
         if store.local_reference is not None:
-            store.local_reference.write.mode("overwrite").parquet(
-                os.path.join(base, "local_reference")
-            )
+            _write(store.local_reference, os.path.join(base, "local_reference"))
         if store.insertion_trigrams is not None:
-            store.insertion_trigrams.sortWithinPartitions(
-                "seq_name", "pos", "trigram"
-            ).write.mode("overwrite").parquet(
-                os.path.join(base, "insertion_trigrams")
+            _write(
+                store.insertion_trigrams.sortWithinPartitions(
+                    "seq_name", "pos", "trigram"
+                ),
+                os.path.join(base, "insertion_trigrams"),
             )
         manifest["sequence_stores"][table] = {
             "local_reference": store.local_reference is not None,
@@ -119,12 +154,10 @@ def save_version(
 
     for col, closure in db.lineage_closures.items():
         base = os.path.join(vdir, "lineage", col)
-        closure.write.mode("overwrite").parquet(os.path.join(base, "closure"))
+        _write(closure, os.path.join(base, "closure"))
         entry = {"relation": col in db.lineage_relations}
         if col in db.lineage_relations:
-            db.lineage_relations[col].write.mode("overwrite").parquet(
-                os.path.join(base, "relation")
-            )
+            _write(db.lineage_relations[col], os.path.join(base, "relation"))
         if col in db.lineage_definitions:
             defs_dir = os.path.join(vdir, "lineage_defs")
             os.makedirs(defs_dir, exist_ok=True)
@@ -134,7 +167,7 @@ def save_version(
         manifest["lineages"][col] = entry
 
     for col, nodes in db.phylo_nodes.items():
-        nodes.write.mode("overwrite").parquet(os.path.join(vdir, "phylo", col))
+        _write(nodes, os.path.join(vdir, "phylo", col))
         manifest["phylo"].append(col)
 
     with open(os.path.join(vdir, "manifest.json"), "w") as fh:
