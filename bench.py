@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_minhash_bands",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_fast",
+    # round-4 headline: fused O(docs) near-dup clustering (exact-twin
+    # digest short-circuit + banded LSH over representatives + min-label
+    # collapse) — the scale-safe replacement for materialized pair lists
+    "dedup_minhash_clusters",
     # embedding near-dup: the benched headline is the LSH scale path; the
     # exact all-pairs variant stays registered as the small-sf oracle
     # verifier only (it is O(n²) + driver-collect by construction and now
@@ -65,6 +69,8 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "ann_lsh_topk",
     # the reference's own headline workload: mutation statistics and symbol
     # filters over the ingested sequence store (performance/
     # mutation_benchmark.cpp); first query pays the synthetic-store ingest

@@ -118,7 +118,13 @@ def cmd_api(args) -> int:
     from lapis_silo_spark.session import get_spark
     from lapis_silo_spark.storage import load_version
 
-    spark = get_spark()
+    # FAIR job scheduling for the serving path: concurrent /query requests
+    # share one SparkSession, and FIFO lets one heavy aggregate head-of-line
+    # block cheap lookups — measured in tools/serving_soak.py (light-query
+    # p95 at concurrency 8: 1422 ms FIFO vs 361 ms FAIR at sf0.1); the
+    # reference gets the same isolation from its Poco worker pool
+    # (query_handler.cpp:38).
+    spark = get_spark(extra_conf={"spark.scheduler.mode": "FAIR"})
     db = load_version(spark, args.root)
     serve(db, host=args.host, port=args.port)
     return 0

@@ -1,0 +1,105 @@
+"""The evobench-style replay harness (tools/replay.py): per-query result
+checksums over the serving path, compared against a stored good log —
+the reference's layer-4 regression net (benchmarking/README.md:40-60).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from replay import (  # noqa: E402
+    compare,
+    read_log,
+    replay,
+    result_checksum,
+    write_log,
+)
+
+
+def test_checksum_is_order_insensitive_but_value_sensitive():
+    a = result_checksum(200, '{"x": 1}\n{"x": 2}\n')
+    b = result_checksum(200, '{"x": 2}\n{"x": 1}\n')
+    c = result_checksum(200, '{"x": 2}\n{"x": 3}\n')
+    d = result_checksum(500, '{"x": 1}\n{"x": 2}\n')
+    assert a == b  # row order never fails the gate
+    assert a != c  # values do
+    assert a != d  # so does status
+
+
+def test_doctored_result_fails_compare():
+    rows = [
+        {"name": "q1", "status": 200, "checksum": "aaa"},
+        {"name": "q2", "status": 200, "checksum": "bbb"},
+    ]
+    good = [dict(r) for r in rows]
+    assert compare(rows, good, []) == []
+    # a regression that changes q2's result must be flagged...
+    good[1]["checksum"] = "doctored"
+    problems = compare(rows, good, [])
+    assert len(problems) == 1 and "q2" in problems[0]
+    # ...unless the ignore regex covers it (reference's escape hatch)
+    assert compare(rows, good, ["^q2$"]) == []
+    # a status flip is flagged even when checksums are regenerated
+    good2 = [dict(r) for r in rows]
+    good2[0]["status"] = 400
+    assert any("status" in p for p in compare(rows, good2, []))
+
+
+def test_replay_over_serving_path_round_trips(example_db, tmp_path):
+    """Replay real queries through POST /query twice: identical checksums;
+    then doctor the stored log and assert the compare gate trips."""
+    flask = pytest.importorskip("flask")  # noqa: F841
+
+    from lapis_silo_spark.server import create_app
+
+    app = create_app(example_db)
+    app.testing = True
+    client = app.test_client()
+
+    def post(query: str):
+        resp = client.post("/query", data=query)
+        return resp.status_code, resp.get_data(as_text=True)
+
+    cases = [
+        {"name": "count_by_country",
+         "query": "default.groupBy({country}, {count := count()})"},
+        {"name": "details",
+         "query": "default.project({primary_key, country})"},
+        {"name": "invalid", "query": "default.nonsense()"},
+    ]
+    rows1 = replay(post, cases, repeat=2)
+    rows2 = replay(post, cases, repeat=1, concurrency=2)
+    assert [r["checksum"] for r in rows1] == [r["checksum"] for r in rows2]
+    assert {r["name"]: r["status"] for r in rows1}["invalid"] == 400
+
+    log = tmp_path / "good.csv"
+    write_log(log, rows1)
+    assert compare(rows2, read_log(log), []) == []
+    # doctor one stored checksum → the gate must fail
+    doctored = read_log(log)
+    doctored[0]["checksum"] = "0" * 32
+    assert any("count_by_country" in p
+               for p in compare(rows2, doctored, []))
+
+
+def test_committed_good_log_covers_golden_corpus():
+    """The committed good log must cover the full reference e2e corpus, all
+    served with HTTP 200 (invalid queries live in invalidQueries/, not
+    here)."""
+    good = Path(__file__).resolve().parent.parent / "tools" / "replay_good_log.csv"
+    corpus = Path("/root/reference/endToEndTests/test/queries")
+    if not corpus.exists():
+        pytest.skip("reference corpus not available")
+    rows = read_log(good)
+    names = {r["name"] for r in rows}
+    expected = {
+        str(p.relative_to(corpus))[:-len(".json")]
+        for p in corpus.glob("**/*.json")
+    }
+    assert names == expected
+    assert all(r["status"] == "200" for r in rows)
