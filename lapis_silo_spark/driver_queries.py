@@ -2751,6 +2751,69 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_minhash",
+    # append-mode NEAR-dup under the md5 hash family: DuckDB recomputes the
+    # batch and base band states, the (band, band_hash) collision joins,
+    # and the estimated-Jaccard verification — greedy lower-id semantics
+    f"""WITH h AS (
+          SELECT doc_id AS id,
+                 [('0x' || substr(md5(s), 1, 8))::BIGINT
+                  FOR s IN {_SHINGLES_SQL}] AS hs
+          FROM documents),
+         sig AS (
+           SELECT id,
+                  [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311)
+                             % 4294967311 FOR h IN hs])
+                   FOR i IN range(0, 64)] AS sig
+           FROM h),
+         bands AS (
+           SELECT id, sig, unnest(range(0, 8)) AS band,
+                  md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
+           FROM sig),
+         base AS (SELECT * FROM bands WHERE id % 10 < 8),
+         batch AS (SELECT * FROM bands WHERE id % 10 >= 8),
+         base_hit AS (
+           SELECT DISTINCT n.id FROM batch n
+           JOIN base b ON n.band = b.band AND n.band_hash = b.band_hash
+           WHERE len(list_filter([n.sig[i + 1] = b.sig[i + 1]
+                                  FOR i IN range(0, 64)], x -> x)) / 64.0
+                 >= 0.8),
+         batch_hit AS (
+           SELECT DISTINCT a.id FROM batch a
+           JOIN batch b ON a.band = b.band AND a.band_hash = b.band_hash
+                       AND b.id < a.id
+           WHERE len(list_filter([a.sig[i + 1] = b.sig[i + 1]
+                                  FOR i IN range(0, 64)], x -> x)) / 64.0
+                 >= 0.8)
+       SELECT id,
+              CASE WHEN id IN (SELECT id FROM base_hit) THEN 'dup_of_base'
+                   WHEN id IN (SELECT id FROM batch_hit) THEN 'dup_in_batch'
+                   ELSE 'kept' END AS status
+       FROM (SELECT DISTINCT id FROM batch)""",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode NEAR-duplicate dedup: the last fifth of the corpus
+    arrives as a new batch and is classified against the first four
+    fifths' stored band state (functions.dedup.incremental_minhash_dedup —
+    the base contributes bands + signatures only, its text is never
+    re-read; candidate shuffle is n_bands × batch plus colliding base
+    rows, never base × batch)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    docs = db.table("documents")
+    state = fdedup.minhash_band_state(
+        docs.filter(F.col("doc_id") % 10 < 8), "doc_id", "text",
+        n_perms=64, n_bands=8, k=5, hash_fn=fdedup.hash32,
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    return fdedup.incremental_minhash_dedup(
+        new, state, "doc_id", "text",
+        threshold=0.8, n_perms=64, n_bands=8, k=5, hash_fn=fdedup.hash32,
+    )
+
+
+@query(
     "tpch_q5_local_supplier_volume",
     """SELECT n_name,
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3016,6 +3079,71 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
     )
     return fmm.frame_sample_plan(payloads, "doc_id", "payload", every_nth=2)
+
+
+@query(
+    "multimodal_video_pipeline",
+    # video → image composition, fully value-oracled: resized 3×3 PPM of
+    # every sampled frame; header "P6\n3 3\n255\n" is 11 bytes + 27 pixels,
+    # and nearest-neighbor resampling of a constant-luma frame preserves
+    # the exact channel means
+    """SELECT id * 1000 + frame_index AS fid,
+              CAST(3 AS INT) AS width, CAST(3 AS INT) AS height,
+              CAST(11 + 27 AS INT) AS payload_len,
+              CAST((id * 31 + frame_index * 17) % 256 AS DOUBLE) AS mean_r,
+              CAST((id * 31 + frame_index * 17) % 256 AS DOUBLE) AS mean_g,
+              CAST((id * 31 + frame_index * 17) % 256 AS DOUBLE) AS mean_b
+       FROM (
+         SELECT doc_id AS id,
+                unnest(range(0, 1 + doc_id % 7)) AS frame_index
+         FROM documents)
+       WHERE frame_index % 2 = 0""",
+)
+def q_multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed video curation pipeline as ONE lazy plan: Y4M demux →
+    sampled-frame PPM re-encode (functions.multimodal.extract_frames) →
+    nearest-neighbor thumbnail resize (resize_images). The extracted
+    payloads are real images — the resize stage parses them with the same
+    P6 decoder as any other image column, which is what makes video a
+    first-class citizen of the image pipeline rather than a separate
+    code path."""
+    import pandas as pd
+
+    from lapis_silo_spark.functions import multimodal as fmm
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                lumas = [(i * 31 + j * 17) % 256 for j in range(1 + i % 7)]
+                payloads.append(
+                    fmm.y4m_payload(
+                        4 + (i % 3) * 2, 2 + (i % 2) * 2, lumas
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    db = db_for(spark, sf_dir)
+    import pyspark.sql.types as Ty
+
+    payloads = db.table("documents").select("doc_id").mapInPandas(
+        synth,
+        schema=Ty.StructType([
+            Ty.StructField("doc_id", Ty.LongType()),
+            Ty.StructField("payload", Ty.BinaryType()),
+        ]),
+    )
+    frames = fmm.extract_frames(payloads, "doc_id", "payload", every_nth=2)
+    keyed = frames.select(
+        (F.col("id") * 1000 + F.col("frame_index")).alias("fid"), "payload"
+    )
+    return (
+        fmm.resize_images(keyed, "fid", "payload", 3, 3)
+        .drop("payload")
+        .withColumnRenamed("id", "fid")
+    )
 
 
 @query(

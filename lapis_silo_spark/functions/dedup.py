@@ -660,6 +660,113 @@ def embedding_near_dup_pairs(
     return stream.mapInPandas(pair_batches, schema=out_schema)
 
 
+def minhash_band_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """The persisted per-corpus LSH state an append-mode pipeline stores:
+    ``(id, band, band_hash, sig)`` — band hashes for candidate generation,
+    the signature for estimated-Jaccard verification. n_bands rows of
+    (2 longs + hash + n_perms-long array) per doc; the corpus TEXT is never
+    needed again (the same O(state)-not-O(bytes) contract as
+    :func:`incremental_exact_dedup`'s digest table)."""
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_perms, k,
+                             hash_fn=hash_fn or hash32_fast)
+    return sig.select(
+        "id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select("id", "sig", "band", _band_hash(rows_per_band))
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    base_state: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """NEAR-duplicate dedup of an incoming batch against an existing corpus
+    — the append-mode twin of :func:`incremental_exact_dedup` for the fuzzy
+    case (``base_state`` = a stored :func:`minhash_band_state` table; the
+    base text is never re-read).
+
+    Returns every new row with a verdict
+    ``(id, status ∈ {kept, dup_of_base, dup_in_batch})``:
+    ``dup_of_base`` when a band collision with the base verifies at
+    ``threshold`` (and it wins when both apply), ``dup_in_batch`` when a
+    LOWER-id row of the same batch verifies (greedy one-pass semantics —
+    direct similarity, not transitive closure; the backfill-shape
+    :func:`minhash_dedup_clusters` is where full components belong).
+
+    Scale shape: the new batch's bands join the base state on
+    ``(band, band_hash)`` — shuffle bounded by n_bands × batch plus the
+    colliding base rows, never base × batch; the within-batch join is the
+    standard banded self-join over the (small) batch.
+    """
+    new_state = minhash_band_state(
+        new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(n_perms))
+
+    def verified_hits(a: DataFrame, b: DataFrame, id_order) -> DataFrame:
+        cand = (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    id_order,
+                ],
+            )
+            .select(
+                F.col("a.id").alias("nid"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+        )
+        return (
+            cand.withColumn("_j", est)
+            .filter(F.col("_j") >= F.lit(threshold))
+            .select("nid")
+            .distinct()
+        )
+
+    base_hits = verified_hits(
+        new_state, base_state, F.lit(True)
+    ).withColumn("_base", F.lit(True))
+    batch_hits = verified_hits(
+        new_state, new_state, F.col("b.id") < F.col("a.id")
+    ).withColumn("_batch", F.lit(True))
+
+    ids = new_state.select("id").distinct()
+    return (
+        ids.join(base_hits.withColumnRenamed("nid", "id"), "id", "left")
+        .join(batch_hits.withColumnRenamed("nid", "id"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_base"), F.lit("dup_of_base"))
+            .when(F.col("_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def _min_label_propagation(
     ids: DataFrame,
     pairs: DataFrame,

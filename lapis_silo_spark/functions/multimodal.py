@@ -554,3 +554,94 @@ def frame_sample_plan(
             yield pd.DataFrame(rows)
 
     return selected.mapInPandas(demux_batches, schema=_FRAMES_SCHEMA)
+
+
+_EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_index", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("payload_len", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def extract_frames(
+    df: DataFrame, id_col: str, bin_col: str, every_nth: int = 30
+) -> DataFrame:
+    """Video → image composition stage: demux each Y4M payload, take every
+    ``every_nth``-th frame, and re-encode its LUMA plane as a binary PPM
+    (``P6``, R=G=B=Y — explicit luma replication, not a YCbCr→RGB color
+    conversion, which would drag float matrix arithmetic into an otherwise
+    integer-exact pipeline). The emitted payloads are real images: they
+    feed :func:`decode_images` / :func:`resize_images` unchanged, which is
+    the point — frame-sample → thumbnail → feature-extract as three
+    composable Arrow-batched stages.
+
+    Output: ``(id, frame_index, n_frames, width, height, payload,
+    payload_len, mean_r, mean_g, mean_b)`` — the channel means are computed
+    by RE-PARSING the emitted PPM through the image decoder (round-trip
+    proof that every payload is well-formed; a malformed emission fails the
+    value oracle, same device as :func:`resize_images`).
+
+    Scale shape: narrow ``mapInPandas``, no shuffle; per sampled frame one
+    numpy take + one tobytes — unsampled frames are never copied.
+    """
+    selected = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bin_col).alias("payload"),
+    )
+
+    def extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "frame_index", "n_frames", "width", "height",
+                "payload", "payload_len", "mean_r", "mean_g", "mean_b",
+            )}
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                info = _y4m_frames(payload)
+                if info is None:
+                    continue
+                width, height, means = info
+                # re-walk for raw Y planes (the demux info keeps only means)
+                nl = payload.find(b"\n")
+                num, den = _Y4M_CHROMA["C420"]
+                for tok in payload[9:nl].split(b" "):
+                    if tok[:1] == b"C":
+                        num, den = _Y4M_CHROMA[tok.decode("ascii")]
+                fsize = width * height * num // den
+                y_size = width * height
+                header = f"P6\n{width} {height}\n255\n".encode()
+                pos = nl + 1
+                for j in range(len(means)):
+                    pnl = payload.find(b"\n", pos + 5)
+                    start = pnl + 1
+                    if j % every_nth == 0:
+                        yplane = np.frombuffer(
+                            payload, np.uint8, y_size, start
+                        )
+                        rgb = np.repeat(yplane, 3)  # R=G=B=Y
+                        ppm = header + rgb.tobytes()
+                        px = _ppm_pixels(ppm)  # round-trip proof
+                        m = px.astype(np.float64).mean(axis=(0, 1))
+                        rows["id"].append(rid)
+                        rows["frame_index"].append(j)
+                        rows["n_frames"].append(len(means))
+                        rows["width"].append(width)
+                        rows["height"].append(height)
+                        rows["payload"].append(ppm)
+                        rows["payload_len"].append(len(ppm))
+                        rows["mean_r"].append(float(m[0]))
+                        rows["mean_g"].append(float(m[1]))
+                        rows["mean_b"].append(float(m[2]))
+                    pos = start + fsize
+            yield pd.DataFrame(rows)
+
+    return selected.mapInPandas(extract_batches, schema=_EXTRACTED_SCHEMA)

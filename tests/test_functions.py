@@ -1077,3 +1077,59 @@ def test_lsh_query_probes_count_and_base(spark):
             bits = flipped.split(":")[1]
             assert flipped.startswith(f"{t}:")
             assert sum(a != b for a, b in zip(base_bits, bits)) == 1
+
+
+def test_extract_frames_emits_real_ppms_that_compose(spark):
+    """extract_frames output payloads are genuine P6 images: they flow
+    through decode_images and resize_images unchanged (video → image
+    composition), and the channel means round-trip the constant luma."""
+    vid = multimodal.y4m_payload(4, 2, [10, 20, 30, 40, 50])
+    df = spark.createDataFrame([(7, vid)], "id long, payload binary")
+    frames = multimodal.extract_frames(df, "id", "payload", every_nth=2)
+    got = sorted(frames.collect(), key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    assert [(r["mean_r"], r["mean_g"], r["mean_b"]) for r in got] == [
+        (10.0, 10.0, 10.0), (30.0, 30.0, 30.0), (50.0, 50.0, 50.0)
+    ]
+    assert all(r["payload_len"] == 11 + 3 * 4 * 2 for r in got)
+
+    # composition: the emitted payloads decode as image/ppm...
+    keyed = frames.select(
+        (F.col("id") * 10 + F.col("frame_index")).alias("fid"), "payload"
+    )
+    decoded = {r["id"]: (r["kind"], r["feature"][0])
+               for r in multimodal.decode_images(
+                   keyed, "fid", "payload").collect()}
+    assert decoded == {70: ("image/ppm", 10.0), 72: ("image/ppm", 30.0),
+                       74: ("image/ppm", 50.0)}
+    # ...and resize to thumbnails with preserved means
+    resized = {r["id"]: r["mean_r"]
+               for r in multimodal.resize_images(
+                   keyed, "fid", "payload", 3, 3).collect()}
+    assert resized == {70: 10.0, 72: 30.0, 74: 50.0}
+
+
+def test_incremental_minhash_dedup(spark):
+    """Append-mode near-dup: base state is bands-only (text never re-read);
+    new rows classify as dup_of_base / dup_in_batch / kept with greedy
+    lower-id semantics; dup_of_base wins when both apply."""
+    base = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated zebra xylophone quartz")],
+        "doc_id long, text string",
+    )
+    state = dedup.minhash_band_state(base, "doc_id", "text",
+                                     n_perms=64, n_bands=16)
+    new = spark.createDataFrame(
+        [(10, "the  QUICK brown fox jumps over the lazy dog"),  # ~ base 1
+         (11, "totally fresh content about spark executors"),
+         (12, "totally fresh content about spark executors!"),  # ~ new 11
+         (13, "The quick brown fox jumps over the lazy dog")],  # ~ base 1
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["status"]
+           for r in dedup.incremental_minhash_dedup(
+               new, state, "doc_id", "text",
+               threshold=0.7, n_perms=64, n_bands=16).collect()}
+    assert out == {10: "dup_of_base", 11: "kept",
+                   12: "dup_in_batch", 13: "dup_of_base"}
