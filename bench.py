@@ -60,7 +60,9 @@ HEADLINE = [
     "sample_topk_per_group",
     "quality_quantile_filter_sampled",
     "dedup_incremental_exact",
+    "dedup_incremental_minhash",
     "pipeline_curation_end_to_end",
+    "pipeline_curation_near_dup",
     "cluster_kmeans_assign",
     "semdedup_prune",
     "ann_brute_force_topk",

@@ -2662,6 +2662,100 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curation_near_dup",
+    # the flagship pipeline with NEAR-dup clustering in the dedup seat:
+    # quality gate → fused minhash clusters (digest short-circuit + banded
+    # LSH over representatives + recursive-CTE closure; keep = canonical)
+    # → deterministic mixture sample → yield accounting, all one lazy plan
+    f"""WITH RECURSIVE
+         q AS (SELECT doc_id, source, lang, n_chars,
+                      length({_TOKENS_SQL}) AS ntok,
+                      md5({_NORM_SQL}) AS digest
+               FROM documents WHERE length({_TOKENS_SQL}) >= 20),
+         rep AS (SELECT digest, min(doc_id) AS rep_id FROM q
+                 GROUP BY digest),
+         h AS (
+           SELECT doc_id AS id,
+                  [('0x' || substr(md5(s), 1, 8))::BIGINT
+                   FOR s IN {_SHINGLES_SQL}] AS hs
+           FROM documents JOIN rep ON documents.doc_id = rep.rep_id),
+         sig AS (
+           SELECT id,
+                  [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311)
+                             % 4294967311 FOR h IN hs])
+                   FOR i IN range(0, 64)] AS sig
+           FROM h),
+         bands AS (
+           SELECT id, sig, unnest(range(0, 8)) AS band,
+                  md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
+           FROM sig),
+         p AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.id < b.id
+           WHERE len(list_filter([a.sig[i + 1] = b.sig[i + 1]
+                                  FOR i IN range(0, 64)], x -> x)) / 64.0
+                 >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM p
+                   UNION SELECT id_b AS u, id_a AS v FROM p),
+         walk(node, root) AS (
+           SELECT rep_id, rep_id FROM rep
+           UNION
+           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node),
+         comp AS (SELECT node AS rep_id, min(root) AS cluster_id
+                  FROM walk GROUP BY node),
+         keep AS (SELECT rep_id AS doc_id FROM comp
+                  WHERE rep_id = cluster_id),
+         dd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         c AS (SELECT source AS s, count(*) AS n FROM dd GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+         m AS (SELECT s, CAST(floor(least(CAST(1.0 AS DOUBLE),
+                  (CAST(1.0 AS DOUBLE) / 20 * CAST(0.5 AS DOUBLE))
+                  * tot.total / c.n) * 256 + 0.5) AS INT) AS mm
+               FROM c, tot),
+         th AS (SELECT s, CASE WHEN mm >= 256 THEN 'g'
+                               ELSE lpad(lower(to_hex(mm)), 2, '0') END
+                  AS thr
+                FROM m)
+       SELECT dd.source, dd.lang, count(*) AS kept,
+              CAST(sum(dd.n_chars) AS BIGINT) AS chars_kept,
+              CAST(sum(dd.ntok) AS BIGINT) AS toks_kept
+       FROM dd JOIN th ON th.s = dd.source
+       WHERE substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 2) < th.thr
+       GROUP BY dd.source, dd.lang""",
+)
+def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the round-4 fused near-dup clustering in
+    the dedup seat: quality gate (>= 20 tokens) → minhash_dedup_clusters
+    keep-canonical (exact twins AND near-dups collapse; O(docs) output) →
+    deterministic mixture sample → per-(source, lang) yield accounting.
+    One lazy plan end to end; the oracle replays digesting, signatures,
+    banding, verification, the recursive closure, AND the sampling grid."""
+    from lapis_silo_spark.functions import dedup as fdedup
+    from lapis_silo_spark.functions.sampling import mixture_sample
+    from lapis_silo_spark.functions.text import token_count, tokens
+
+    db = db_for(spark, sf_dir)
+    docs = db.table("documents").filter(token_count("text") >= 20)
+    clusters = fdedup.minhash_dedup_clusters(
+        docs, "doc_id", "text", threshold=0.8, n_perms=64, n_bands=8, k=5,
+        hash_fn=fdedup.hash32,
+    )
+    keep = clusters.filter(F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    weights = {f"src{i}": 1.0 / 20 for i in range(20)}
+    kept = mixture_sample(deduped, "doc_id", "source", weights, 0.5)
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum(F.size(tokens("text"))).alias("toks_kept"),
+    )
+
+
+@query(
     "dedup_incremental_exact",
     """WITH nd AS (SELECT doc_id,
                           md5(lower(regexp_replace(trim(text), '\\s+', ' ',
