@@ -51,6 +51,7 @@ HEADLINE = [
     # refuses to run above EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
     "decontam_ngram_overlap",
+    "decontam_bloom_overlap",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",
     "text_unigram_perplexity",

@@ -1480,6 +1480,66 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_bloom_overlap",
+    # deterministic Bloom filter (32 words × 63 bits, 4 md5-derived
+    # positions): DuckDB rebuilds the IDENTICAL filter — false positives
+    # included — so exact maybe-hit counts are value-checkable
+    f"""WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN [array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)]
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+            ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+            hashes AS (SELECT unnest(range(4)) AS i),
+            evpos AS (
+              SELECT ('0x' || substr(md5(gram || ':' || i), 1, 8))::BIGINT
+                       % 2016 AS p
+              FROM ev CROSS JOIN hashes),
+            bloom AS (
+              SELECT p // 63 AS word,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                       AS bits
+              FROM evpos GROUP BY 1),
+            tr AS (SELECT DISTINCT doc_id AS id, gram FROM grams
+                   WHERE doc_id % 10 <> 0),
+            trpos AS (
+              SELECT id, gram,
+                     ('0x' || substr(md5(gram || ':' || i), 1, 8))::BIGINT
+                       % 2016 AS p
+              FROM tr CROSS JOIN hashes),
+            chk AS (
+              SELECT id, gram,
+                     min(coalesce(
+                       (b.bits & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)))
+                         = (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)),
+                       false)) AS maybe
+              FROM trpos LEFT JOIN bloom b ON b.word = p // 63
+              GROUP BY id, gram)
+       SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(maybe::INT) AS BIGINT) AS maybe_hits
+       FROM chk GROUP BY id""",
+)
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketched decontamination pre-filter
+    (functions.decontam.contaminated_docs_bloom): the eval gram set
+    collapses to a 32-row filter that broadcasts in KBs no matter how
+    large the eval corpus — the membership-probe scale path when the
+    exact gram table outgrows a broadcast. No false negatives; the
+    deterministic md5 positions make the false-positive inflation itself
+    oracle-checkable."""
+    from lapis_silo_spark.functions.decontam import contaminated_docs_bloom
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return contaminated_docs_bloom(train_df, eval_df, "doc_id", "text", n=3)
+
+
+@query(
     "text_gram_novelty",
     f"""WITH toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents),
         g AS (SELECT id,

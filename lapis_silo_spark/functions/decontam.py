@@ -56,6 +56,45 @@ def contaminated_docs(
     )
 
 
+def contaminated_docs_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_words: int = 32,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-sketched decontamination — the scale path for when the eval
+    GRAM TABLE itself outgrows a broadcast (cross-corpus decontam, many
+    eval suites): the eval grams collapse into a ``n_words``-row Bloom
+    filter (:func:`lapis_silo_spark.functions.sketches.bloom_build`), and
+    every training doc reports how many of its distinct grams the filter
+    admits: ``(id, n_grams, maybe_hits)``.
+
+    No false negatives — every truly contaminated gram counts; false
+    positives inflate ``maybe_hits`` at the filter's rate (size the filter
+    accordingly), so this is the cheap PRE-filter whose flagged docs flow
+    into the exact :func:`contaminated_docs` join. Deterministic md5
+    positions make the inflation itself reproducible — the value oracle
+    checks exact counts, false positives included.
+    """
+    from lapis_silo_spark.functions.sketches import bloom_build, bloom_probe
+
+    bloom = bloom_build(
+        eval_ngram_table(eval_df, text_col, n), "gram", n_words, n_hashes
+    )
+    train_grams = train_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    probed = bloom_probe(train_grams, "id", "gram", bloom, n_words, n_hashes)
+    return probed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("maybe_member").cast("long")).alias("maybe_hits"),
+    )
+
+
 def containment_scores(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -1,4 +1,5 @@
-"""Deterministic distinct-count sketching (K-Minimum-Values).
+"""Deterministic mergeable sketches: K-Minimum-Values distinct counting
+and an engine-portable Bloom filter.
 
 At 100 TB, exact ``count(distinct x)`` per group is a full shuffle of every
 distinct value; sketches trade a bounded error for constant per-group
@@ -71,6 +72,113 @@ def kmv_distinct(
                 4,
             ).alias("est_distinct"),
         )
+    )
+
+
+#: bits used per 64-bit word — the sign bit stays clear so every mask and
+#: every OR-accumulated word remains a positive BIGINT in both engines
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_position(value: Column, i: int, n_bits: int) -> Column:
+    """The ``i``-th md5-derived bit position of a value in [0, n_bits)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(value, F.lit(f":{i}"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % F.lit(n_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str | Column,
+    n_words: int = 32,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a deterministic Bloom filter over the distinct values of a
+    column: ``(word, bits)`` — at most ``n_words`` rows of one positive
+    BIGINT each (``n_words × 63`` bits total).
+
+    Spark ships a Bloom filter (``bloom_filter_agg``) but its binary sketch
+    is engine-specific; this one is pure integer algebra on md5-derived
+    positions, so an external SQL engine rebuilds the IDENTICAL filter —
+    false positives included — which is what makes the probe results
+    value-oracle-able (same argument as KMV vs HyperLogLog above).
+
+    Scale shape: one distinct pass, ``n_hashes`` positions per value, one
+    ``bit_or`` aggregation whose output is bounded by ``n_words`` ROWS no
+    matter how many values went in — the mergeable constant-size state that
+    lets a membership probe avoid shipping the member set itself (blooms
+    from corpus shards merge by OR-ing words).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n_bits = n_words * BLOOM_BITS_PER_WORD
+    vals = df.select(value.alias("val")).filter(
+        F.col("val").isNotNull()
+    ).distinct()
+    positions = vals.select(
+        F.explode(
+            F.array(*[_bloom_position(F.col("val"), i, n_bits)
+                      for i in range(n_hashes)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    id_col: str | Column,
+    value_col: str | Column,
+    bloom: DataFrame,
+    n_words: int = 32,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe every ``(id, value)`` row against a :func:`bloom_build` filter:
+    ``(id, val, maybe_member)`` — true iff ALL ``n_hashes`` bits are set
+    (no false negatives; false-positive rate set by the build parameters).
+
+    The filter joins in as a BROADCAST of ≤ ``n_words`` rows — membership
+    testing against an arbitrarily large build set costs one map-side join
+    per probe row, never a shuffle against the member set. That is the
+    bloom's scale contract vs :mod:`decontam`'s exact broadcast of the gram
+    table itself: the sketch stays KBs when the eval set outgrows a
+    broadcast.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n_bits = n_words * BLOOM_BITS_PER_WORD
+    probes = df.select(idc.alias("id"), value.alias("val")).select(
+        "id", "val",
+        F.explode(
+            F.array(*[_bloom_position(F.col("val"), i, n_bits)
+                      for i in range(n_hashes)])
+        ).alias("pos"),
+    ).select(
+        "id", "val",
+        (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    checked = probes.join(F.broadcast(bloom), on="word", how="left").select(
+        "id", "val",
+        F.coalesce(
+            F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+            F.lit(False),
+        ).alias("_hit"),
+    )
+    return checked.groupBy("id", "val").agg(
+        F.min("_hit").alias("maybe_member")
     )
 
 

@@ -1133,3 +1133,59 @@ def test_incremental_minhash_dedup(spark):
                threshold=0.7, n_perms=64, n_bands=16).collect()}
     assert out == {10: "dup_of_base", 11: "kept",
                    12: "dup_in_batch", 13: "dup_of_base"}
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from lapis_silo_spark.functions.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "val string"
+    )
+    bloom = bloom_build(members, "val", n_words=32, n_hashes=4)
+    words = bloom.collect()
+    assert len(words) <= 32
+    assert all(r["bits"] > 0 for r in words)  # sign bit never set
+
+    probes = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(200)]
+        + [(1000 + i, f"absent-{i}") for i in range(200)],
+        "id long, val string",
+    )
+    out = {r["id"]: r["maybe_member"]
+           for r in bloom_probe(probes, "id", "val", bloom, 32, 4).collect()}
+    # Bloom contract: NO false negatives
+    assert all(out[i] for i in range(200))
+    # false positives exist but are bounded at this fill rate
+    fp = sum(1 for i in range(200) if out[1000 + i])
+    assert fp < 100, fp
+    # deterministic: identical filter on a re-build
+    again = {(r["word"], r["bits"]) for r in
+             bloom_build(members, "val", n_words=32, n_hashes=4).collect()}
+    assert again == {(r["word"], r["bits"]) for r in words}
+
+
+def test_contaminated_docs_bloom_superset_of_exact(spark):
+    """Bloom pre-filter admits every exact hit (no false negatives) and
+    maybe_hits >= exact hits per doc."""
+    from lapis_silo_spark.functions.decontam import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma zeta eta"),
+         (3, "one two three four five"),
+         (10, "alpha beta gamma delta john")],   # eval doc
+        "doc_id long, text string",
+    )
+    train = docs.filter(F.col("doc_id") < 10)
+    ev = docs.filter(F.col("doc_id") >= 10)
+    exact = {r["doc_id"]: r["hits"]
+             for r in contaminated_docs(train, ev).collect()}
+    bloom = {r["id"]: r["maybe_hits"]
+             for r in contaminated_docs_bloom(train, ev).collect()}
+    assert set(bloom) == {1, 2, 3}  # every doc with grams reports
+    for did, hits in exact.items():
+        assert bloom[did] >= hits
+    assert bloom[1] >= 2  # "alpha beta gamma", "beta gamma delta" leak
