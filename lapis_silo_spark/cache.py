@@ -42,7 +42,12 @@ def scoped_persist(
 
     Returns ``result`` with the guard attached (also reachable for explicit
     release via ``result._silo_cache_guard.release()``).
+
+    An already-persisted ``intermediate`` (e.g. the propagation loop's final
+    label table) is adopted as-is — re-persisting would only log a
+    CacheManager warning; the guard still unpersists it on release.
     """
-    intermediate.persist(storage_level)
+    if not intermediate.is_cached:
+        intermediate.persist(storage_level)
     result._silo_cache_guard = _CacheGuard(intermediate)
     return result

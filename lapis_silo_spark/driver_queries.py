@@ -2792,11 +2792,15 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic mixture sample → per-(source, lang) yield accounting.
     One lazy plan end to end; the oracle replays digesting, signatures,
     banding, verification, the recursive closure, AND the sampling grid."""
+    from lapis_silo_spark.cache import scoped_persist
     from lapis_silo_spark.functions import dedup as fdedup
     from lapis_silo_spark.functions.sampling import mixture_sample
     from lapis_silo_spark.functions.text import token_count, tokens
 
     db = db_for(spark, sf_dir)
+    # the quality-gated scan feeds THREE plan branches (digesting, the
+    # representative semi-join, and the final sample/accounting) — persist
+    # it for the result's lifetime so tokenization runs once per row
     docs = db.table("documents").filter(token_count("text") >= 20)
     clusters = fdedup.minhash_dedup_clusters(
         docs, "doc_id", "text", threshold=0.8, n_perms=64, n_bands=8, k=5,
@@ -2808,11 +2812,13 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = docs.join(keep, "doc_id", "left_semi")
     weights = {f"src{i}": 1.0 / 20 for i in range(20)}
     kept = mixture_sample(deduped, "doc_id", "source", weights, 0.5)
-    return kept.groupBy("source", "lang").agg(
+    out = kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("kept"),
         F.sum("n_chars").alias("chars_kept"),
         F.sum(F.size(tokens("text"))).alias("toks_kept"),
     )
+    out._silo_clusters = clusters  # keep the clusters' scoped cache alive
+    return scoped_persist(docs, out)
 
 
 @query(

@@ -776,30 +776,48 @@ def _min_label_propagation(
 ) -> DataFrame:
     """Connected components by min-label propagation over an ``(id)``
     universe and an edge list; returns ``(id, label)`` where label is the
-    component's minimum id. Shared core of :func:`dedup_cluster_assignment`
-    and :func:`minhash_dedup_clusters` — see the former's docstring for the
-    convergence/localCheckpoint rationale."""
+    component's minimum id — PERSISTED, so the caller must tie it to the
+    result's lifetime (``scoped_persist``). Shared core of
+    :func:`dedup_cluster_assignment` and :func:`minhash_dedup_clusters` —
+    see the former's docstring for the convergence rationale.
+
+    Cache discipline: each round persists its label table and the
+    superseded round is unpersisted EXPLICITLY once the new one is
+    materialized (round N only ever reads round N-1's cache). The earlier
+    ``localCheckpoint`` formulation leaked its checkpoint RDDs for the
+    application lifetime — PySpark never reclaims them even after the
+    DataFrame is garbage-collected (measured: a bare
+    ``range(100).localCheckpoint()`` survives every GC) — which is a real
+    storage-accumulation bug for a long-lived server running one
+    propagation loop per dedup query. Plan depth now grows with the round
+    count instead of being truncated; components of near-duplicates are
+    shallow and the loop is capped, so analysis stays cheap, and each
+    round's AGGREGATION reads the previous cache, never the full lineage.
+    """
     fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
     rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
-    edges = fwd.union(rev).distinct().localCheckpoint()
+    edges = fwd.union(rev).distinct().persist()
 
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = ids.select("id", F.col("id").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
         prop = (
             edges.join(labels, on=[edges["u"] == labels["id"]])
             .select(F.col("v").alias("id"), "label")
         )
-        labels = (
+        new_labels = (
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .persist()
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    edges.unpersist()
     return labels
 
 
@@ -828,18 +846,22 @@ def dedup_cluster_assignment(
     same propagation). Convergence detection exploits monotonicity: labels
     only ever DECREASE, so the label sum is strictly decreasing until the
     fixpoint — one cheap global aggregate per round instead of a
-    change-detection join. ``localCheckpoint`` truncates lineage so round
-    N's plan doesn't embed rounds 1..N-1.
+    change-detection join. Per-round caches are explicitly released; the
+    final label table's cache is scoped to the returned DataFrame's
+    lifetime (see :func:`_min_label_propagation`).
     """
     ids = universe.select(F.col(id_col).alias("id")).distinct()
     labels = _min_label_propagation(ids, pairs, pair_a, pair_b, max_iterations)
 
     w = Window.partitionBy("label")
-    return labels.select(
-        F.col("id"),
-        F.col("label").alias("cluster_id"),
-        F.count("*").over(w).alias("cluster_size"),
-        (F.col("id") == F.col("label")).alias("is_canonical"),
+    return scoped_persist(
+        labels,
+        labels.select(
+            F.col("id"),
+            F.col("label").alias("cluster_id"),
+            F.count("*").over(w).alias("cluster_size"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        ),
     )
 
 
@@ -904,15 +926,21 @@ def minhash_dedup_clusters(
         rep_docs, "id", "_t", threshold=threshold, n_perms=n_perms,
         n_bands=n_bands, k=k, hash_fn=hash_fn,
     )
-    comp = _min_label_propagation(
+    labels = _min_label_propagation(
         rep_docs.select("id"), pairs, "id_a", "id_b", max_iterations
-    ).select(F.col("id").alias("rep_id"), F.col("label").alias("cluster_id"))
+    )
+    comp = labels.select(
+        F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
+    )
 
     out = digests.join(reps, on="digest").join(comp, on="rep_id")
     w = Window.partitionBy("cluster_id")
-    return out.select(
-        "id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    return scoped_persist(
+        labels,
+        out.select(
+            "id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        ),
     )

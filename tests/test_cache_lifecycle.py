@@ -117,3 +117,28 @@ def test_get_filtered_keys_budget_fails_fast(spark, example_db):
                                max_rows=1)
     keys = silo.get_filtered_keys("default", "isNotNull(primary_key)")
     assert len(keys) == 4
+
+
+def test_minhash_dedup_clusters_leaves_no_persisted_rdds(spark):
+    """The fused cluster operator persists the signature sketch (via
+    minhash_lsh_pairs), per-round propagation label tables (released
+    explicitly as rounds supersede each other), and the final labels
+    (scoped to the result); after the result is consumed and dropped, no
+    net-new persisted RDDs survive. The round-4 localCheckpoint
+    formulation failed this test — PySpark never reclaims checkpoint RDDs
+    even after the DataFrame is garbage-collected."""
+    from lapis_silo_spark.functions.dedup import minhash_dedup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = _persistent_rdd_ids(spark)
+    clusters = minhash_dedup_clusters(df, "doc_id", "text", threshold=0.9)
+    out = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert out[1] == out[2] == 1 and out[3] == 3
+    del clusters
+    gc.collect()
+    assert _persistent_rdd_ids(spark) - before == set()
