@@ -746,8 +746,11 @@ def incremental_minhash_dedup(
             .distinct()
         )
 
+    # base and batch ids are disjoint in the append contract; the guard
+    # defends against an id landing in both (e.g. a re-delivered batch
+    # whose bands were already committed) self-matching at est = 1.0
     base_hits = verified_hits(
-        new_state, base_state, F.lit(True)
+        new_state, base_state, F.col("a.id") != F.col("b.id")
     ).withColumn("_base", F.lit(True))
     batch_hits = verified_hits(
         new_state, new_state, F.col("b.id") < F.col("a.id")

@@ -116,6 +116,73 @@ def windowed_counts(
     )
 
 
+def near_dup_classify_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int = 0,
+    threshold: float = 0.8,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """The production append-mode NEAR-dup loop, one micro-batch at a time
+    (pair with ``foreachBatch``): classify the batch against the persisted
+    band state (``functions.dedup.incremental_minhash_dedup``), then append
+    the KEPT documents' bands+signatures to the state so later batches
+    dedup against them. Returns the batch's ``(id, status)`` verdicts.
+
+    State layout: ``<state_dir>/bands/batch=<id>/`` Parquet — only kept
+    (distinct-content-canonical) docs contribute, so state grows with
+    distinct content, not stream volume, and each batch's directory is
+    written with overwrite so an at-least-once re-delivery of the same
+    ``batch_id`` is IDEMPOTENT (same device as ``stream_ingest_files``'s
+    manifest check). The cross-batch alternative
+    (``stateful.streaming_minhash_pairs``) emits pairs from in-operator
+    state; this helper is the per-document *status* form, which needs the
+    union of a doc's band buckets and therefore lives in foreachBatch
+    rather than a single keyed stateful operator.
+    """
+    import os
+
+    from lapis_silo_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_state,
+    )
+
+    bands_root = os.path.join(state_dir, "bands")
+    try:
+        base_state = spark.read.parquet(bands_root)
+    except Exception:  # first batch: empty state with the right schema
+        base_state = minhash_band_state(
+            batch_df.limit(0), id_col, text_col, n_perms, n_bands, k, hash_fn
+        )
+    lazy = incremental_minhash_dedup(
+        batch_df, base_state, id_col, text_col,
+        threshold=threshold, n_perms=n_perms, n_bands=n_bands, k=k,
+        hash_fn=hash_fn,
+    )
+    # MATERIALIZE the verdicts before touching the state dir: the lazy plan
+    # reads bands_root, and appending this batch's bands first would make a
+    # re-execution see the batch as part of its own base. A micro-batch is
+    # bounded by definition, so pinning it as a local DataFrame is the
+    # simple correct device.
+    statuses = spark.createDataFrame(lazy.collect(), schema=lazy.schema)
+    kept = statuses.filter(F.col("status") == "kept").select("id")
+    kept_docs = batch_df.join(
+        kept.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    minhash_band_state(
+        kept_docs, id_col, text_col, n_perms, n_bands, k, hash_fn
+    ).write.mode("overwrite").parquet(
+        os.path.join(bands_root, f"batch={batch_id}")
+    )
+    return statuses
+
+
 def query_latest(spark: SparkSession, root: str, saneql: str) -> DataFrame:
     """Convenience: run a SaneQL query against the current latest version
     (what a serving layer does between version swaps)."""
@@ -128,6 +195,7 @@ __all__ = [
     "stream_append",
     "stream_ingest_files",
     "windowed_counts",
+    "near_dup_classify_batch",
     "query_latest",
     "Database",
 ]

@@ -465,3 +465,49 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got["b"] == (4, 4.0)  # below k → exact
+
+
+def test_near_dup_classify_batches(spark, tmp_path):
+    """The foreachBatch append-mode near-dup loop: batch 2 docs dedup
+    against batch 1's KEPT state; duplicates never pollute the state; a
+    re-delivered batch id overwrites its own state dir (idempotent)."""
+    from lapis_silo_spark.streaming.ingest import near_dup_classify_batch
+
+    state = str(tmp_path / "nd_state")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog!"),  # ~ of 1
+         (3, "completely unrelated zebra xylophone quartz")],
+        "doc_id long, text string",
+    )
+    s1 = {r["id"]: r["status"]
+          for r in near_dup_classify_batch(
+              spark, state, b1, "doc_id", "text", batch_id=0,
+              threshold=0.7, n_perms=64, n_bands=16).collect()}
+    assert s1 == {1: "kept", 2: "dup_in_batch", 3: "kept"}
+
+    b2 = spark.createDataFrame(
+        [(10, "the QUICK brown fox jumps over the lazy dog"),  # ~ of kept 1
+         (11, "fresh thoughts about distributed shuffles"),
+         (12, "completely unrelated zebra xylophone quartz")],  # = kept 3
+        "doc_id long, text string",
+    )
+    s2 = {r["id"]: r["status"]
+          for r in near_dup_classify_batch(
+              spark, state, b2, "doc_id", "text", batch_id=1,
+              threshold=0.7, n_perms=64, n_bands=16).collect()}
+    assert s2 == {10: "dup_of_base", 11: "kept", 12: "dup_of_base"}
+
+    # re-delivery of batch 1 (same id): overwrite, not double-append —
+    # and the already-committed copies of its own docs must not flip kept
+    # verdicts (the a.id != b.id guard)
+    s2_again = {r["id"]: r["status"]
+                for r in near_dup_classify_batch(
+                    spark, state, b2, "doc_id", "text", batch_id=1,
+                    threshold=0.7, n_perms=64, n_bands=16).collect()}
+    assert s2_again == s2
+
+    # state contains only kept docs' bands: 1, 3 from b1; 11 from b2
+    ids = {r["id"] for r in
+           spark.read.parquet(state + "/bands").select("id").collect()}
+    assert ids == {1, 3, 11}
