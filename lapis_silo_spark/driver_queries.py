@@ -1201,10 +1201,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fdedup.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.4
     )
-    return fdedup.dedup_cluster_assignment(emb, pairs, "vec_id").select(
+    assignment = fdedup.dedup_cluster_assignment(emb, pairs, "vec_id")
+    out = assignment.select(
         F.col("id").alias("vec_id"), "cluster_id", "cluster_size",
         "is_canonical",
     )
+    # derived plans read the assignment's checkpoint leaf — keep the guarded
+    # source alive for the derived result's lifetime
+    out._silo_guard_src = assignment
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -778,50 +778,70 @@ def _min_label_propagation(
     max_iterations: int,
 ) -> DataFrame:
     """Connected components by min-label propagation over an ``(id)``
-    universe and an edge list; returns ``(id, label)`` where label is the
-    component's minimum id — PERSISTED, so the caller must tie it to the
-    result's lifetime (``scoped_persist``). Shared core of
+    universe and an edge list; returns ``(labels, guard)`` where labels is
+    ``(id, label)`` (label = the component's minimum id) backed by a
+    checkpoint whose storage the caller must tie to its result's lifetime
+    (``cache.scoped_rdd_release``). Shared core of
     :func:`dedup_cluster_assignment` and :func:`minhash_dedup_clusters` —
     see the former's docstring for the convergence rationale.
 
-    Cache discipline: each round persists its label table and the
-    superseded round is unpersisted EXPLICITLY once the new one is
-    materialized (round N only ever reads round N-1's cache). The earlier
-    ``localCheckpoint`` formulation leaked its checkpoint RDDs for the
-    application lifetime — PySpark never reclaims them even after the
-    DataFrame is garbage-collected (measured: a bare
-    ``range(100).localCheckpoint()`` survives every GC) — which is a real
-    storage-accumulation bug for a long-lived server running one
-    propagation loop per dedup query. Plan depth now grows with the round
-    count instead of being truncated; components of near-duplicates are
-    shallow and the loop is capped, so analysis stays cheap, and each
-    round's AGGREGATION reads the previous cache, never the full lineage.
+    Two resource disciplines, both load-bearing (each was a measured bug):
+
+    - **Lineage must truncate** (``checkpoint_tracked``): each round
+      references the previous round TWICE (union + join), so without a
+      checkpoint leaf the logical plan doubles per round — exponential
+      analysis memory that OOMs an 8 GB driver around 20 rounds.
+    - **Checkpoint storage must release deterministically**: PySpark never
+      reclaims localCheckpoint RDDs, so superseded rounds unpersist as the
+      loop advances and the final checkpoint is scoped to the result.
+
+    Scale shape: propagation runs ONLY over nodes with at least one edge —
+    a node with no near-duplicates keeps its own label by construction, so
+    the per-round join/aggregate is O(nodes-in-pairs), not O(universe)
+    (near-dups are sparse at corpus scale); the untouched remainder unions
+    back in before the final checkpoint.
     """
+    from lapis_silo_spark.cache import checkpoint_tracked
+
     fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
     rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
-    edges = fwd.union(rev).distinct().persist()
+    edges, edges_guard = checkpoint_tracked(fwd.union(rev).distinct())
 
-    labels = ids.select("id", F.col("id").alias("label")).persist()
+    touched = edges.select(F.col("u").alias("id")).distinct()
+    # the universe feeds the propagation seed AND the untouched anti-join;
+    # its lineage can be expensive (digest agg + doc semi-join in the fused
+    # cluster path) — cache it for the function's duration
+    ids = ids.persist()
+    labels, labels_guard = checkpoint_tracked(
+        ids.join(touched, "id", "left_semi")
+        .select("id", F.col("id").alias("label"))
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
         prop = (
             edges.join(labels, on=[edges["u"] == labels["id"]])
             .select(F.col("v").alias("id"), "label")
         )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
+        new_labels, new_guard = checkpoint_tracked(
+            labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        labels_guard.release()
+        labels, labels_guard = new_labels, new_guard
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
-    return labels
+
+    untouched = ids.join(touched, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    # checkpoint the UNION so the returned plan is one leaf — everything it
+    # was built from (rounds, edges, the universe cache) can then release
+    final, final_guard = checkpoint_tracked(labels.union(untouched))
+    labels_guard.release()
+    edges_guard.release()
+    ids.unpersist()
+    return final, final_guard
 
 
 def dedup_cluster_assignment(
@@ -849,22 +869,26 @@ def dedup_cluster_assignment(
     same propagation). Convergence detection exploits monotonicity: labels
     only ever DECREASE, so the label sum is strictly decreasing until the
     fixpoint — one cheap global aggregate per round instead of a
-    change-detection join. Per-round caches are explicitly released; the
-    final label table's cache is scoped to the returned DataFrame's
-    lifetime (see :func:`_min_label_propagation`).
+    change-detection join. Per-round checkpoints are explicitly released;
+    the final one is scoped to the returned DataFrame's lifetime (see
+    :func:`_min_label_propagation`).
     """
+    from lapis_silo_spark.cache import scoped_rdd_release
+
     ids = universe.select(F.col(id_col).alias("id")).distinct()
-    labels = _min_label_propagation(ids, pairs, pair_a, pair_b, max_iterations)
+    labels, guard = _min_label_propagation(
+        ids, pairs, pair_a, pair_b, max_iterations
+    )
 
     w = Window.partitionBy("label")
-    return scoped_persist(
-        labels,
+    return scoped_rdd_release(
         labels.select(
             F.col("id"),
             F.col("label").alias("cluster_id"),
             F.count("*").over(w).alias("cluster_size"),
             (F.col("id") == F.col("label")).alias("is_canonical"),
         ),
+        guard,
     )
 
 
@@ -929,7 +953,9 @@ def minhash_dedup_clusters(
         rep_docs, "id", "_t", threshold=threshold, n_perms=n_perms,
         n_bands=n_bands, k=k, hash_fn=hash_fn,
     )
-    labels = _min_label_propagation(
+    from lapis_silo_spark.cache import scoped_rdd_release
+
+    labels, guard = _min_label_propagation(
         rep_docs.select("id"), pairs, "id_a", "id_b", max_iterations
     )
     comp = labels.select(
@@ -938,12 +964,12 @@ def minhash_dedup_clusters(
 
     out = digests.join(reps, on="digest").join(comp, on="rep_id")
     w = Window.partitionBy("cluster_id")
-    return scoped_persist(
-        labels,
+    return scoped_rdd_release(
         out.select(
             "id",
             "cluster_id",
             F.count(F.lit(1)).over(w).alias("cluster_size"),
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         ),
+        guard,
     )
