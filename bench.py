@@ -153,11 +153,18 @@ def main() -> None:
             oracle_timings: dict[str, float] = {}
             truncated = False
             # cheap oracles first so a tight budget still yields broad
-            # coverage; the expensive ones (DuckDB's serialized minhash)
-            # run last
+            # coverage; the expensive ones — anything recomputing minhash
+            # signatures (DuckDB serializes the per-shingle list math) or
+            # walking a recursive closure — run last
+            def oracle_cost(name: str) -> int:
+                sql = ORACLES[name]
+                return (
+                    ("list_min([((2*i + 1)" in sql)
+                    + ("RECURSIVE" in sql)
+                )
+
             ordered = sorted(
-                (n for n in HEADLINE if n in ORACLES),
-                key=lambda n: n.startswith("dedup_minhash"),
+                (n for n in HEADLINE if n in ORACLES), key=oracle_cost
             )
             phase_start = time.perf_counter()
             for name in ordered:
