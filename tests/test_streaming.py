@@ -511,3 +511,55 @@ def test_near_dup_classify_batches(spark, tmp_path):
     ids = {r["id"] for r in
            spark.read.parquet(state + "/bands").select("id").collect()}
     assert ids == {1, 3, 11}
+
+
+def test_near_dup_classify_over_real_stream(spark, tmp_path):
+    """near_dup_classify_batch wired into an actual readStream+foreachBatch
+    query: batch boundaries come from the streaming engine, verdicts and
+    band state accumulate across micro-batches, and the checkpoint makes
+    each batch id stable for the idempotent state layout."""
+    from lapis_silo_spark.streaming.ingest import near_dup_classify_batch
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    verdicts: list = []
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: verdicts.extend(
+                    near_dup_classify_batch(
+                        spark, state, df, "doc_id", "text", batch_id=bid,
+                        threshold=0.7, n_perms=64, n_bands=16,
+                    ).collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1,
+                             "text": "the quick brown fox jumps over the "
+                                     "lazy dog"}) + "\n")
+        fh.write(json.dumps({"doc_id": 2,
+                             "text": "completely unrelated zebra xylophone "
+                                     "quartz"}) + "\n")
+    run()
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 10,
+                             "text": "the  QUICK brown fox jumps over the "
+                                     "lazy dog"}) + "\n")
+        fh.write(json.dumps({"doc_id": 11,
+                             "text": "fresh thoughts about shuffles"}) + "\n")
+    run()
+    got = {r["id"]: r["status"] for r in verdicts}
+    assert got[1] == "kept" and got[2] == "kept"
+    assert got[10] == "dup_of_base"  # near-dup of batch-1's kept doc
+    assert got[11] == "kept"
