@@ -68,6 +68,7 @@ HEADLINE = [
     "semdedup_prune",
     "ann_brute_force_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "ann_pq_topk",
     "multimodal_decode",
     "multimodal_resize",

@@ -2593,6 +2593,65 @@ def q_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_trained_topk",
+    # the production IVF lifecycle, oracled end to end: the k-means CTE
+    # chain trains the codebook (identical rounding grids), then the IVF
+    # probe SQL searches its Voronoi cells — composing the two proves the
+    # "swap in trained centroids without changing the search path" contract
+    f"""WITH {_KM_CTES},
+        cent AS (SELECT cluster, list(val ORDER BY dim) AS cvec
+                 FROM c4 GROUP BY cluster),
+        corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+                 FROM embeddings),
+        qq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 5),
+        assign AS (
+          SELECT id, cid FROM (
+            SELECT corp.id, cent.cluster AS cid,
+                   row_number() OVER (PARTITION BY corp.id
+                     ORDER BY round(list_cosine_similarity(corp.vec,
+                                                           cent.cvec), 6)
+                              DESC, cent.cluster ASC) AS rn
+            FROM corp CROSS JOIN cent) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qq.query_id, cent.cluster AS cid,
+                   row_number() OVER (PARTITION BY qq.query_id
+                     ORDER BY round(list_cosine_similarity(qq.qvec,
+                                                           cent.cvec), 6)
+                              DESC, cent.cluster ASC) AS rn
+            FROM qq CROSS JOIN cent) WHERE rn <= 3),
+        cand AS (SELECT p.query_id, a.id FROM assign a
+                 JOIN probes p USING (cid)
+                 WHERE a.id <> p.query_id)
+       SELECT query_id, id,
+              round(list_cosine_similarity(corp.vec, qq.qvec), 6) AS cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(corp.vec, qq.qvec),
+                                  6) DESC, id ASC) AS INT) AS rank
+       FROM cand JOIN corp USING (id) JOIN qq USING (query_id)
+       QUALIFY rank <= 10""",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against a TRAINED k-means codebook
+    (clustering.kmeans_centroids → similarity.ivf_topk_with_centroids):
+    train once, persist k rows of codebook, assign at ingest, probe at
+    query time — the production lifecycle, with the search path unchanged
+    from the seeded ann_ivf_topk."""
+    from lapis_silo_spark.functions import similarity as fsim
+    from lapis_silo_spark.functions.clustering import kmeans_centroids
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=10, iterations=4)
+    return fsim.ivf_topk_with_centroids(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", cent, cid_col="cluster", cvec_col="cvec",
+        k=10, n_probe=3,
+    )
+
+
+@query(
     "semdedup_prune",
     f"""WITH {_KM_CTES},
         m AS (SELECT v.id, v.vec, a.cluster

@@ -92,26 +92,20 @@ def _assign_col(centroids, distance_decimals: int):
     return _assign
 
 
-def kmeans_assign(
+def _fit_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
-    iterations: int = 4,
-    centroid_decimals: int = 6,
-    distance_decimals: int = 9,
-) -> DataFrame:
-    """Deterministic Lloyd k-means; returns ``(id, cluster)``.
-
-    ``iterations`` centroid updates from the lowest-id seed, then one final
-    assignment under the resulting centroids. An emptied cluster keeps its
-    previous centroid (it can re-acquire points later).
-    """
-    import numpy as np
-
+    k: int,
+    iterations: int,
+    centroid_decimals: int,
+    distance_decimals: int,
+):
+    """The Lloyd loop shared by :func:`kmeans_assign` and
+    :func:`kmeans_centroids`; returns the final (k × dim) numpy matrix."""
+    centroids = _init_centroids(df, id_col, vec_col, k, centroid_decimals)
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
-    centroids = _init_centroids(df, id_col, vec_col, k, centroid_decimals)
 
     for _ in range(iterations):
         assigned = base.withColumn(
@@ -131,12 +125,60 @@ def kmeans_assign(
         # values already sit on the grid (F.round upstream); re-snap with the
         # same half-away convention for safety
         centroids = _round_half_away(new_c, centroid_decimals)
+    return centroids
 
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iterations: int = 4,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns ``(id, cluster)``.
+
+    ``iterations`` centroid updates from the lowest-id seed, then one final
+    assignment under the resulting centroids. An emptied cluster keeps its
+    previous centroid (it can re-acquire points later).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    centroids = _fit_centroids(
+        df, id_col, vec_col, k, iterations, centroid_decimals,
+        distance_decimals,
+    )
     return base.select(
         "id",
         _assign_col(centroids, distance_decimals)(F.col("vec")).alias(
             "cluster"
         ),
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iterations: int = 4,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> DataFrame:
+    """The trained codebook itself: ``(cluster, cvec array<double>)`` —
+    k rows, the broadcast-sized artifact downstream consumers (IVF cell
+    search, SemDeDup partitioning, mixture analysis) index against.
+    Deterministic like :func:`kmeans_assign` (same loop, same rounding
+    grids), so an external SQL engine reproduces every coordinate."""
+    centroids = _fit_centroids(
+        df, id_col, vec_col, k, iterations, centroid_decimals,
+        distance_decimals,
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(centroids)],
+        "cluster int, cvec array<double>",
     )
 
 

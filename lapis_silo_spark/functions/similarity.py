@@ -298,12 +298,41 @@ def ivf_topk(
 
     Output: (query_id, id, cos, rank) — same contract as brute_force_topk.
     """
-    c = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-    )
     cent = corpus.filter(centroid_pred).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    return ivf_topk_with_centroids(
+        corpus, queries, id_col, vec_col, query_id_col, query_vec_col,
+        cent, k=k, n_probe=n_probe,
+    )
+
+
+def ivf_topk_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF top-k against an EXTERNAL centroid table ``(cid, cvec)`` — the
+    trained-codebook form (e.g. :func:`lapis_silo_spark.functions.
+    clustering.kmeans_centroids`): the search path is identical to
+    :func:`ivf_topk`, only the codebook source changes, which is exactly
+    the production IVF lifecycle (train once, persist the codebook,
+    assign at ingest, probe at query time)."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cent = centroids.select(
+        F.col(cid_col).cast("long").alias("cid"),
+        F.col(cvec_col).cast("array<double>").alias("cvec"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

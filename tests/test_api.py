@@ -149,6 +149,8 @@ _BNLJ_WHITELIST = {
     # probe-list build: query batch × codebook cross (|q|×K rows, both small);
     # the corpus-side candidate join is an equi-join on the cell id
     "ann_ivf_topk",
+    # same probe-list shape against the TRAINED codebook (k rows broadcast)
+    "ann_ivf_trained_topk",
     # euler-interval containment against ONE broadcast ancestor row
     "genomic_phylo_descendant",
     # ONE-row corpus-size broadcast (N) cross-joined onto the tf table —

@@ -1189,3 +1189,25 @@ def test_contaminated_docs_bloom_superset_of_exact(spark):
     for did, hits in exact.items():
         assert bloom[did] >= hits
     assert bloom[1] >= 2  # "alpha beta gamma", "beta gamma delta" leak
+
+
+def test_ivf_trained_full_probe_equals_brute_force(spark):
+    """With n_probe = k (every cell searched), trained-codebook IVF must
+    return EXACTLY the brute-force top-k — the probe machinery only ever
+    restricts the candidate set, never rescores."""
+    from lapis_silo_spark.functions.clustering import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iterations=2)
+    assert cent.count() == 4
+    ivf = similarity.ivf_topk_with_centroids(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        cent, cid_col="cluster", cvec_col="cvec", k=5, n_probe=4,
+    )
+    exact = similarity.brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
