@@ -139,9 +139,10 @@ def main() -> int:
             fracs.append(cand.sum() / n_corpus)
         return round(float(np.mean(fracs)), 4)
 
-    def ivf_scan_frac(n_probe: int) -> float:
-        cent_mask = ids % 50 == 0
-        cids, cmat = ids[cent_mask], V[cent_mask]
+    def ivf_scan_frac(n_probe: int, cids=None, cmat=None) -> float:
+        if cids is None:
+            cent_mask = ids % 50 == 0
+            cids, cmat = ids[cent_mask], V[cent_mask]
         cnorm = np.sqrt((cmat * cmat).sum(axis=1))
         cos = np.round(V @ cmat.T / np.outer(nrm, cnorm), 6)
         assign = cids[np.argmax(cos, axis=1)]
@@ -163,6 +164,7 @@ def main() -> int:
         ("ivf_nprobe10", "cos", ivf_scan_frac(10), lambda: fsim.ivf_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             centroid_pred=F.col("vec_id") % 50 == 0, k=K, n_probe=10)),
+        ("ivf_trained_k40_nprobe3", "cos", None, None),  # filled below
         ("lsh_r3_default_4tx8p_noprobe", "cos", lsh_scan_frac(8, 4, 0),
          lambda: fsim.lsh_bucket_topk(
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
@@ -178,6 +180,26 @@ def main() -> int:
             emb, queries, "vec_id", "embedding", "vec_id", "embedding",
             k=K, refine=200)),
     ]
+
+    # trained-codebook IVF: k-means centroids from the engine, scan frac
+    # from a numpy replay of the SAME (collected) codebook
+    from lapis_silo_spark.functions.clustering import kmeans_centroids
+
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=40, iterations=3)
+    cent_rows = sorted((r["cluster"], r["cvec"]) for r in cent.collect())
+    t_cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    t_cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    runs = [
+        r if r[0] != "ivf_trained_k40_nprobe3" else (
+            "ivf_trained_k40_nprobe3", "cos",
+            ivf_scan_frac(3, t_cids, t_cmat),
+            lambda: fsim.ivf_topk_with_centroids(
+                emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+                cent, cid_col="cluster", cvec_col="cvec", k=K, n_probe=3),
+        )
+        for r in runs
+    ]
+
     for name, metric, scan_frac, build in runs:
         build().count()  # warm
         t0 = time.monotonic()
