@@ -944,18 +944,9 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id"), F.col("band").cast("long").alias("band"), "band_hash")
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    # Full value oracle: DuckDB recomputes the identical md5-derived
-    # universal-hash signatures, band buckets, collision candidates, and
-    # signature-estimated Jaccard — the entire LSH pipeline is deterministic
-    # under the hash32 family (the xxhash fast path stays the library
-    # default; recall vs exact Jaccard is pinned separately in tests).
-    f"""WITH h AS (
-          SELECT doc_id AS id,
-                 [('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN {_SHINGLES_SQL}] AS hs
-          FROM documents),
-        sig AS (
+# Shared signature→bands→candidates→verified-pairs tail of the MinHash LSH
+# oracle (64 perms, 8 bands): both hash families feed it an `h (id, hs)` CTE.
+_MINHASH64_PAIRS_TAIL = """sig AS (
           SELECT id,
                  [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311) % 4294967311
                             FOR h IN hs])
@@ -976,7 +967,21 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_filter([sig_a[i + 1] = sig_b[i + 1]
                                   FOR i IN range(0, 64)], x -> x)) / 64.0 AS j
           FROM cand)
-       SELECT id_a, id_b, round(j, 6) AS jaccard FROM est WHERE j >= 0.8""",
+       SELECT id_a, id_b, round(j, 6) AS jaccard FROM est WHERE j >= 0.8"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    # Full value oracle: DuckDB recomputes the identical md5-derived
+    # universal-hash signatures, band buckets, collision candidates, and
+    # signature-estimated Jaccard — the entire LSH pipeline is deterministic
+    # under the hash32 family (the xxhash fast path stays the library
+    # default; recall vs exact Jaccard is pinned separately in tests).
+    f"""WITH h AS (
+          SELECT doc_id AS id,
+                 [('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN {_SHINGLES_SQL}] AS hs
+          FROM documents),
+        {_MINHASH64_PAIRS_TAIL}""",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + signature-Jaccard verification (scale path),
@@ -990,6 +995,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8, n_perms=64, n_bands=8, k=5,
         hash_fn=fdedup.hash32,
     )
+
+
+def _xxhash_lsh_oracle() -> str:
+    """Full oracle for the xxhash64 fast path: DuckDB recomputes Spark's
+    XXH64(seed=42) bit-for-bit in HUGEINT algebra (functions.xxhash_sql),
+    then runs the identical signature/band/verify tail."""
+    from lapis_silo_spark.functions.xxhash_sql import xxhash32_ctes
+
+    ctes, final = xxhash32_ctes("shingx", "s", k=5)
+    return f"""WITH shingx AS (
+          SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+        {ctes},
+        h AS (SELECT id, list(h32) AS hs FROM {final} GROUP BY id),
+        {_MINHASH64_PAIRS_TAIL}"""
 
 
 @query(
@@ -1057,12 +1076,19 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh_pairs_fast")  # xxhash production path; recall vs
-# exact Jaccard pinned by tests/test_functions.py (both hash families)
+@query(
+    "dedup_minhash_lsh_pairs_fast",
+    # Full value oracle (round 5): DuckDB reimplements Spark's XXH64
+    # (seed 42) bit-for-bit over the 5-byte shingles in HUGEINT algebra
+    # (functions/xxhash_sql.py), then reruns the identical md5-oracle tail.
+    # Until round 4 this was rows-only ("xxhash64 has no DuckDB twin") —
+    # the Bloom sketch's 64-bit integer-algebra trick dissolved that.
+    _xxhash_lsh_oracle(),
+)
 def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The xxhash64 fast path of minhash_lsh_pairs — no md5 hex round-trip
-    per shingle, so no cross-engine SQL oracle (rows-only in the gate); the
-    md5 variant above value-anchors the identical pipeline shape."""
+    """The xxhash64 fast path of minhash_lsh_pairs: no md5 hex round-trip
+    per shingle. Oracled by a DuckDB XXH64 reimplementation; recall vs
+    exact Jaccard additionally pinned by tests/test_functions.py."""
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
