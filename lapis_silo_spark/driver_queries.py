@@ -2571,9 +2571,28 @@ def q_sample_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_topk")  # rows-only: codebook training is iterative numpy
-# Lloyd per subspace — not SQL-expressible; recall vs exact brute force is
-# pinned by tests/test_functions.py::test_pq_topk_recall
+def _pq_oracle() -> str:
+    from lapis_silo_spark.functions.similarity import pq_oracle_ctes
+
+    return pq_oracle_ctes(
+        table="embeddings", id_col="vec_id", vec_col="embedding",
+        query_pred="vec_id < 5", k=10, m=8, n_codes=16,
+        train_rows=256, iterations=10, refine=50,
+    )
+
+
+@query(
+    "ann_pq_topk",
+    # Full value oracle (round 5): per-subspace Lloyd training IS
+    # SQL-expressible once it follows the clustering rounding discipline —
+    # the oracle unrolls the 10 training iterations per subspace (seeds =
+    # first 16 distinct subvectors in lowest-id order), re-encodes the
+    # corpus, rebuilds every per-query ADC LUT, replays the rounded
+    # top-50 ADC prune, and re-ranks by exact L2. Until round 4 this was
+    # rows-only ("iterative codebook training"); the kmeans CTE-chain
+    # device (clustering.kmeans_oracle_ctes) dissolved that.
+    _pq_oracle(),
+)
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (8 subspaces × 16 codes, ADC scan): the
     memory-bound scale path — queries scan m-byte codes, not raw vectors

@@ -332,6 +332,7 @@ def minhash_lsh_pairs(
     k: int = 5,
     exact_verify: bool = False,
     hash_fn=None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: band-collision candidates + Jaccard verification.
 
@@ -344,7 +345,22 @@ def minhash_lsh_pairs(
     signature components — O(n_perms) per candidate, no shingle-set
     materialization); ``exact_verify=True`` recomputes true shingle Jaccard
     for the survivors only. Shuffle cost: n_bands × rows for the band join,
-    never rows².
+    never rows² — and the band join shuffles (id, band, band_hash) ONLY;
+    signatures re-join by id after candidate dedup, so a hot bucket never
+    amplifies the wide sig arrays through the exchange.
+
+    ``max_band_freq`` bounds the one remaining quadratic exposure: a bucket
+    with f members emits f·(f-1)/2 candidates, so a corpus slice of
+    near-identical-but-not-identical docs (one char of drift defeats the
+    exact-twin digest short-circuit upstream) can go quadratic in its
+    bucket. Buckets with more than ``max_band_freq`` members are skipped
+    for candidate generation, capping the join at
+    O(n_bands · rows · max_band_freq) pairs. Recall contract: a true
+    near-dup pair is lost ONLY if every band it collides in is hot — with
+    b independent bands, pairs above the S-curve threshold collide in
+    several bands and survive unless the hot slice saturates all of them
+    (the same precision-preserving compromise as ``ngram_jaccard_pairs``'s
+    ``max_shingle_freq``). Default ``None`` = exact LSH semantics.
     """
     rows_per_band = n_perms // n_bands
     # Default to xxhash-based signatures: LSH recall only depends on hash
@@ -361,14 +377,26 @@ def minhash_lsh_pairs(
     # (applied just before return) unpersists it when the caller drops the
     # result, so a long-lived server holds no net-new persisted RDDs between
     # queries.
+    # NARROW band rows: band_hash is computed while sig is in scope, then
+    # sig is dropped — the self-join below shuffles ~3 small columns per
+    # row, and the 64-long signatures re-join by id only for the deduped
+    # candidate pairs (the similarity.lsh_candidate_pairs lesson).
     bands = sig.select(
         "id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).select("id", "sig", "band", _band_hash(rows_per_band))
+    ).select("id", "band", _band_hash(rows_per_band))
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(hot, on=["band", "band_hash"], how="left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    cand_ids = (
         a.join(
             b,
             on=[
@@ -380,10 +408,15 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    candidates = cand_ids.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        on="id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        on="id_b",
     )
     est = F.size(
         F.filter(
@@ -694,14 +727,17 @@ def incremental_minhash_dedup(
     n_bands: int = 8,
     k: int = 5,
     hash_fn=None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup of an incoming batch against an existing corpus
     — the append-mode twin of :func:`incremental_exact_dedup` for the fuzzy
     case (``base_state`` = a stored :func:`minhash_band_state` table; the
     base text is never re-read).
 
-    Returns every new row with a verdict
-    ``(id, status ∈ {kept, dup_of_base, dup_in_batch})``:
+    Returns EVERY new row with a verdict
+    ``(id, status ∈ {kept, dup_of_base, dup_in_batch})`` — including rows
+    whose text yields no shingles (NULL or shorter than ``k`` chars): they
+    have no signature, can never collide, and report ``kept``.
     ``dup_of_base`` when a band collision with the base verifies at
     ``threshold`` (and it wins when both apply), ``dup_in_batch`` when a
     LOWER-id row of the same batch verifies (greedy one-pass semantics —
@@ -710,8 +746,12 @@ def incremental_minhash_dedup(
 
     Scale shape: the new batch's bands join the base state on
     ``(band, band_hash)`` — shuffle bounded by n_bands × batch plus the
-    colliding base rows, never base × batch; the within-batch join is the
-    standard banded self-join over the (small) batch.
+    colliding base rows, never base × batch, and the join carries ids
+    only (signatures re-join after candidate dedup); the within-batch
+    join is the standard banded self-join over the (small) batch.
+    ``max_band_freq`` skips buckets whose combined base+batch occupancy
+    exceeds the cap (see :func:`minhash_lsh_pairs` for the recall
+    contract).
     """
     new_state = minhash_band_state(
         new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
@@ -722,11 +762,28 @@ def incremental_minhash_dedup(
         )
     ) / F.lit(float(n_perms))
 
+    hot = None
+    if max_band_freq is not None:
+        occupancy = (
+            new_state.select("band", "band_hash")
+            .unionAll(base_state.select("band", "band_hash"))
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        hot = occupancy.filter(F.col("_n") > max_band_freq).select(
+            "band", "band_hash"
+        )
+
     def verified_hits(a: DataFrame, b: DataFrame, id_order) -> DataFrame:
+        a_b = a.select("id", "band", "band_hash")
+        b_b = b.select("id", "band", "band_hash")
+        if hot is not None:
+            a_b = a_b.join(hot, on=["band", "band_hash"], how="left_anti")
+            b_b = b_b.join(hot, on=["band", "band_hash"], how="left_anti")
         cand = (
-            a.alias("a")
+            a_b.alias("a")
             .join(
-                b.alias("b"),
+                b_b.alias("b"),
                 on=[
                     F.col("a.band") == F.col("b.band"),
                     F.col("a.band_hash") == F.col("b.band_hash"),
@@ -734,13 +791,21 @@ def incremental_minhash_dedup(
                 ],
             )
             .select(
-                F.col("a.id").alias("nid"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"),
+                F.col("a.id").alias("nid"), F.col("b.id").alias("bid")
             )
+            .distinct()
+        )
+        joined = cand.join(
+            a.select(F.col("id").alias("nid"), F.col("sig").alias("sig_a"))
+            .dropDuplicates(["nid"]),
+            on="nid",
+        ).join(
+            b.select(F.col("id").alias("bid"), F.col("sig").alias("sig_b"))
+            .dropDuplicates(["bid"]),
+            on="bid",
         )
         return (
-            cand.withColumn("_j", est)
+            joined.withColumn("_j", est)
             .filter(F.col("_j") >= F.lit(threshold))
             .select("nid")
             .distinct()
@@ -756,7 +821,9 @@ def incremental_minhash_dedup(
         new_state, new_state, F.col("b.id") < F.col("a.id")
     ).withColumn("_batch", F.lit(True))
 
-    ids = new_state.select("id").distinct()
+    # id universe from new_df, NOT new_state: rows with no shingles (NULL
+    # text or len < k) produce no signature and would silently vanish
+    ids = new_df.select(F.col(id_col).alias("id")).distinct()
     return (
         ids.join(base_hits.withColumnRenamed("nid", "id"), "id", "left")
         .join(batch_hits.withColumnRenamed("nid", "id"), "id", "left")
@@ -902,6 +969,7 @@ def minhash_dedup_clusters(
     k: int = 5,
     hash_fn=None,
     max_iterations: int = 30,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate CLUSTERING with O(docs) output:
     ``(id, cluster_id, cluster_size, is_canonical)`` for every input row —
@@ -951,7 +1019,7 @@ def minhash_dedup_clusters(
     )
     pairs = minhash_lsh_pairs(
         rep_docs, "id", "_t", threshold=threshold, n_perms=n_perms,
-        n_bands=n_bands, k=k, hash_fn=hash_fn,
+        n_bands=n_bands, k=k, hash_fn=hash_fn, max_band_freq=max_band_freq,
     )
     from lapis_silo_spark.cache import scoped_rdd_release
 

@@ -545,6 +545,8 @@ def pq_train_codebooks(
     """
     import numpy as np
 
+    from lapis_silo_spark.functions.clustering import _round_half_away
+
     sample = (
         corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("vec"))
@@ -573,13 +575,19 @@ def pq_train_codebooks(
                 f"pq: subspace {j} has only {len(seen)} distinct "
                 f"subvectors in the training sample; need {n_codes}"
             )
-        C = np.array(seen)
+        # The same rounding discipline as functions.clustering (see its
+        # module docstring): centroids snap to 6 decimals, squared
+        # distances to 9 before argmin, both half-away-from-zero — so a
+        # DuckDB oracle (pq_oracle_ctes) replays training bit-for-bit.
+        C = _round_half_away(np.array(seen), 6)
         for _ in range(iterations):
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = _round_half_away(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9
+            )
             a = d.argmin(axis=1)
             for c in range(n_codes):
                 if (a == c).any():
-                    C[c] = X[a == c].mean(axis=0)
+                    C[c] = _round_half_away(X[a == c].mean(axis=0), 6)
         books[j] = C
     return books
 
@@ -601,13 +609,20 @@ def pq_encode(
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _encode(vecs):
+        from lapis_silo_spark.functions.clustering import _round_half_away
+
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.array(vecs.tolist(), dtype=np.float64)
         codes = np.empty((mat.shape[0], m), dtype=np.int32)
         for j in range(m):
             X = mat[:, j * sub:(j + 1) * sub]
-            d = ((X[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            # distances snap to the 9-decimal grid before argmin (first-hit
+            # tie-break == SQL ORDER BY dist, code) — oracle parity
+            d = _round_half_away(
+                ((X[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2),
+                9,
+            )
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -669,12 +684,19 @@ def pq_topk(
     sub = books.shape[2]
     q_ids = [r["query_id"] for r in q_rows]
     luts = []  # per query: (m, n_codes) squared-distance table
+    from lapis_silo_spark.functions.clustering import _round_half_away
+
     for r in q_rows:
         qv = np.array(r["qv"], dtype=np.float64)
         lut = np.empty((m, n_codes))
         for j in range(m):
             qsub = qv[j * sub:(j + 1) * sub]
-            lut[j] = ((books[j] - qsub[None, :]) ** 2).sum(axis=1)
+            # LUT entries snap to the 9-decimal grid so the DuckDB oracle
+            # sums the IDENTICAL doubles (summation order then only differs
+            # at ~1e-16, absorbed by the 6-decimal ADC rounding)
+            lut[j] = _round_half_away(
+                ((books[j] - qsub[None, :]) ** 2).sum(axis=1), 9
+            )
         luts.append(lut)
     luts = np.array(luts)  # (q, m, n_codes)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, luts))
@@ -686,6 +708,7 @@ def pq_topk(
     ])
 
     width = k if refine is None else max(k, refine)
+    _rha = _round_half_away  # closure-captured for the executor side
 
     def score_batches(batches):
         ids_q, tables = bc.value
@@ -706,7 +729,9 @@ def pq_topk(
                 # rounded global ordering would have kept, making the output
                 # depend on Arrow batch boundaries
                 cand_ids = ids[mask]
-                cand_d = np.round(dist[mask], 6)
+                # half-away rounding, not np.round (banker's): DuckDB and
+                # Spark F.round both round .5 away from zero
+                cand_d = _rha(dist[mask], 6)
                 # batch-local prune: keep top-`width` by (dist, id)
                 order = np.lexsort((cand_ids, cand_d))[:width]
                 rows_out["query_id"].extend([ids_q[qi]] * len(order))
@@ -760,4 +785,120 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "dist",
                 F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_oracle_ctes(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    iterations: int = 10,
+    refine: int = 50,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> str:
+    """DuckDB twin of the full :func:`pq_topk` lifecycle as one SQL string:
+    per-subspace Lloyd codebook training (unrolled, same rounding grids as
+    :func:`pq_train_codebooks`), corpus encoding, per-query ADC lookup
+    tables, the rounded top-``refine`` ADC prune, and the exact-L2 re-rank.
+
+    Seed selection mirrors the numpy path exactly: the first ``n_codes``
+    DISTINCT subvectors in sample (lowest-id) order, code index = order of
+    first occurrence. Empty clusters keep their previous centroid
+    (``coalesce``), argmin ties break to the lowest code
+    (``ORDER BY dist, code``).
+    """
+    cd, dd = centroid_decimals, distance_decimals
+    width = max(k, refine)
+    sq = "(x.val - c.val) * (x.val - c.val)"
+    parts = [
+        f"v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec "
+        f"FROM {table})",
+        "ve AS MATERIALIZED (SELECT id, unnest(vec) AS val, "
+        "unnest(range(len(vec))) AS dim FROM v)",
+        f"sve AS MATERIALIZED (SELECT id, dim // (len_sub) AS j, "
+        f"dim % (len_sub) AS jd, "
+        f"val FROM ve, (SELECT len(vec) // {m} AS len_sub FROM v LIMIT 1))",
+        f"samp AS (SELECT id, row_number() OVER (ORDER BY id) AS pos "
+        f"FROM v QUALIFY pos <= {train_rows})",
+        "tsv AS MATERIALIZED (SELECT s.pos, e.j, e.jd, e.val "
+        "FROM samp s JOIN sve e USING (id))",
+        "subv AS (SELECT pos, j, list(val ORDER BY jd) AS sv "
+        "FROM tsv GROUP BY pos, j)",
+        "firstocc AS (SELECT j, sv, min(pos) AS fpos "
+        "FROM subv GROUP BY j, sv)",
+        f"seeds AS (SELECT j, sv, row_number() OVER "
+        f"(PARTITION BY j ORDER BY fpos) - 1 AS code "
+        f"FROM firstocc QUALIFY code < {n_codes})",
+        f"c0 AS MATERIALIZED (SELECT j, code, unnest(range(len(sv))) AS jd, "
+        f"round(unnest(sv), {cd}) AS val FROM seeds)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"td{i} AS (SELECT x.pos, x.j, c.code, "
+            f"round(sum({sq}), {dd}) AS dist "
+            f"FROM tsv x JOIN c{i} c ON c.j = x.j AND c.jd = x.jd "
+            f"GROUP BY x.pos, x.j, c.code)"
+        )
+        parts.append(
+            f"ta{i} AS (SELECT pos, j, code FROM ("
+            f"SELECT pos, j, code, row_number() OVER "
+            f"(PARTITION BY pos, j ORDER BY dist, code) AS rn FROM td{i}) "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"tr{i + 1} AS (SELECT a.j, a.code, t.jd, "
+            f"round(avg(t.val), {cd}) AS val "
+            f"FROM ta{i} a JOIN tsv t ON t.pos = a.pos AND t.j = a.j "
+            f"GROUP BY a.j, a.code, t.jd)"
+        )
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT c.j, c.code, c.jd, "
+            f"coalesce(r.val, c.val) AS val FROM c{i} c "
+            f"LEFT JOIN tr{i + 1} r "
+            f"ON r.j = c.j AND r.code = c.code AND r.jd = c.jd)"
+        )
+    book = f"c{iterations}"
+    parts += [
+        f"ed AS (SELECT x.id, x.j, c.code, round(sum({sq}), {dd}) AS dist "
+        f"FROM sve x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
+        f"GROUP BY x.id, x.j, c.code)",
+        "codes AS (SELECT id, j, code FROM ("
+        "SELECT id, j, code, row_number() OVER "
+        "(PARTITION BY id, j ORDER BY dist, code) AS rn FROM ed) "
+        "WHERE rn = 1)",
+        f"q AS (SELECT id AS query_id FROM v WHERE "
+        f"{query_pred.replace(id_col, 'id')})",
+        "qsv AS (SELECT q.query_id, e.j, e.jd, e.val AS val "
+        "FROM q JOIN sve e ON e.id = q.query_id)",
+        f"lut AS (SELECT x.query_id, x.j, c.code, "
+        f"round(sum({sq}), {dd}) AS lv "
+        f"FROM qsv x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
+        f"GROUP BY x.query_id, x.j, c.code)",
+        "adc AS (SELECT l.query_id, kk.id, round(sum(l.lv), 6) AS ad "
+        "FROM codes kk JOIN lut l ON l.j = kk.j AND l.code = kk.code "
+        "WHERE kk.id <> l.query_id GROUP BY l.query_id, kk.id)",
+        f"cand AS (SELECT query_id, id FROM ("
+        f"SELECT query_id, id, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY ad, id) AS rn FROM adc) "
+        f"WHERE rn <= {width})",
+        "exact AS (SELECT c.query_id, c.id, "
+        "round(sum((qe.val - ce.val) * (qe.val - ce.val)), 6) AS dist "
+        "FROM cand c "
+        "JOIN ve qe ON qe.id = c.query_id "
+        "JOIN ve ce ON ce.id = c.id AND ce.dim = qe.dim "
+        "GROUP BY c.query_id, c.id)",
+    ]
+    ctes = ",\n        ".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"       SELECT query_id, id, dist, "
+        f"CAST(row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY dist, id) AS INT) AS rank "
+        f"FROM exact QUALIFY rank <= {k}"
     )
