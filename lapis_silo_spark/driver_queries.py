@@ -1220,6 +1220,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation, functions.dedup.dedup_cluster_assignment): the stage that
     makes pair output actionable — transitive closure picks ONE canonical
     doc per cluster. Oracle recomputes the closure with a recursive CTE."""
+    from lapis_silo_spark.cache import adopt_guards
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
@@ -1234,8 +1235,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # derived plans read the assignment's checkpoint leaf — keep the guarded
     # source alive for the derived result's lifetime
-    out._silo_guard_src = assignment
-    return out
+    return adopt_guards(out, assignment)
 
 
 # ---------------------------------------------------------------------------
@@ -2901,7 +2901,7 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic mixture sample → per-(source, lang) yield accounting.
     One lazy plan end to end; the oracle replays digesting, signatures,
     banding, verification, the recursive closure, AND the sampling grid."""
-    from lapis_silo_spark.cache import scoped_persist
+    from lapis_silo_spark.cache import adopt_guards, scoped_persist
     from lapis_silo_spark.functions import dedup as fdedup
     from lapis_silo_spark.functions.sampling import mixture_sample
     from lapis_silo_spark.functions.text import token_count, tokens
@@ -2926,7 +2926,8 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_kept"),
         F.sum(F.size(tokens("text"))).alias("toks_kept"),
     )
-    out._silo_clusters = clusters  # keep the clusters' scoped cache alive
+    # keep the clusters' scoped cache/checkpoint alive for out's lifetime
+    adopt_guards(out, clusters)
     return scoped_persist(docs, out)
 
 

@@ -17,11 +17,16 @@ Determinism / oracle-parity design (the whole point of this file):
   (partition-merge), numpy (pairwise/SIMD), and DuckDB (sequential) at the
   ~1e-15 level; rounding re-synchronizes all three at every stage so drift
   cannot accumulate into a different argmin/threshold decision.
-- ONE rounding convention on all sides: half AWAY from zero
+- ONE rounding convention on all sides: half AWAY from zero on the BINARY
+  double value
   (``sign(x) * floor(|x| * 10^d + 0.5) / 10^d`` — :func:`_round_half_away`),
-  matching DuckDB ``round()`` and Spark ``F.round`` exactly. numpy
-  ``np.round`` is banker's (half-to-even) and would flip an argmin /
-  threshold decision for a value landing exactly on a .5 grid boundary.
+  matching DuckDB ``round()``. numpy ``np.round`` is banker's
+  (half-to-even) and would flip an argmin / threshold decision for a value
+  landing exactly on a .5 grid boundary; Spark ``F.round`` is HALF_UP on
+  the shortest *decimal* representation (BigDecimal.valueOf), which can
+  disagree with the binary convention (round(2.675, 2)), so F.round is
+  kept OUT of every grid decision — centroid means are collected
+  unrounded and snapped driver-side.
 - Ties break identically: argmin takes the LOWEST cluster index (numpy
   ``argmin`` first-hit ≡ SQL ``ORDER BY dist, cluster LIMIT 1``).
 
@@ -44,9 +49,11 @@ from pyspark.sql import types as T
 
 
 def _round_half_away(a, decimals: int):
-    """Round half AWAY from zero on a fixed decimal grid — the convention
-    DuckDB ``round()`` and Spark ``F.round`` share; ``np.round`` (banker's
-    half-to-even) would diverge at exact .5 boundaries."""
+    """Round half AWAY from zero on the binary double, fixed decimal grid —
+    DuckDB ``round()``'s convention; ``np.round`` (banker's half-to-even)
+    and Spark ``F.round`` (HALF_UP on the shortest decimal representation)
+    both diverge at boundaries, so neither participates in grid
+    decisions."""
     import numpy as np
 
     f = 10.0 ** decimals
@@ -111,19 +118,23 @@ def _fit_centroids(
         assigned = base.withColumn(
             "cluster", _assign_col(centroids, distance_decimals)(F.col("vec"))
         )
+        # collect the UNROUNDED means and snap driver-side: Spark's F.round
+        # is HALF_UP on the double's shortest DECIMAL representation
+        # (BigDecimal.valueOf — round(2.675, 2) = 2.68), while numpy and
+        # DuckDB round the BINARY value (2.67499999… → 2.67). Keeping
+        # F.round out of the grid makes _round_half_away the single
+        # authoritative convention on all engines (round-5 ADVICE).
         updates = (
             assigned.select(
                 "cluster", F.posexplode("vec").alias("dim", "val")
             )
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("val"), centroid_decimals).alias("val"))
+            .agg(F.avg("val").alias("val"))
             .collect()
         )
         new_c = centroids.copy()
         for r in updates:
             new_c[r["cluster"], r["dim"]] = r["val"]
-        # values already sit on the grid (F.round upstream); re-snap with the
-        # same half-away convention for safety
         centroids = _round_half_away(new_c, centroid_decimals)
     return centroids
 

@@ -59,6 +59,7 @@ def save_version(
     extra_manifest: dict | None = None,
     table_sorts: dict[str, list[str]] | None = None,
     parquet_options: dict[str, str] | None = None,
+    sorted_write_files: int | None = None,
 ) -> str:
     """Write every registered table/side-table/hierarchy of ``db`` as a new
     version directory, then atomically swap the ``latest`` pointer.
@@ -81,10 +82,23 @@ def save_version(
     (e.g. ``{"parquet.block.size": ...}`` — the row group is the pruning
     granule, so block size is the knob that trades scan parallelism and
     stats tightness against metadata volume at scale).
+
+    ``sorted_write_files`` sizes the range partitioning of sorted writes
+    explicitly; by default each frame keeps its incoming partition count.
+    Without this, ``repartitionByRange`` falls back to
+    ``spark.sql.shuffle.partitions`` (often 200) and a small table fans
+    out into that many tiny/near-empty files — the opposite of the
+    tight-row-group goal (round-5 ADVICE).
     """
     version = version or new_version_timestamp()
     vdir = _version_dir(root, version)
     os.makedirs(os.path.join(vdir, "tables"), exist_ok=True)
+
+    def _ranged(frame: DataFrame, sorts: list[str]) -> DataFrame:
+        n = sorted_write_files or max(1, frame.rdd.getNumPartitions())
+        return frame.repartitionByRange(n, *sorts).sortWithinPartitions(
+            *sorts
+        )
 
     def _write(frame: DataFrame, path: str) -> None:
         w = frame.write.mode("overwrite")
@@ -106,7 +120,7 @@ def save_version(
         path = os.path.join(vdir, "tables", name)
         sorts = (table_sorts or {}).get(name)
         if sorts:
-            df = df.repartitionByRange(*sorts).sortWithinPartitions(*sorts)
+            df = _ranged(df, sorts)
         writer = df.write.mode("overwrite")
         if parquet_options:
             writer = writer.options(**parquet_options)
@@ -134,9 +148,7 @@ def save_version(
             sort_cols = [c for c in ("seq_name", "pos", "cov_start")
                          if c in side_df.columns]
             if sort_cols:
-                side_df = side_df.repartitionByRange(
-                    *sort_cols
-                ).sortWithinPartitions(*sort_cols)
+                side_df = _ranged(side_df, sort_cols)
             _write(side_df, os.path.join(base, side))
         if store.local_reference is not None:
             _write(store.local_reference, os.path.join(base, "local_reference"))

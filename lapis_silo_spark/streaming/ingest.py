@@ -116,6 +116,66 @@ def windowed_counts(
     )
 
 
+def _band_state_paths(bands_root: str) -> list[str]:
+    """Current band-state parquet dirs: the manifest's compacted dir (if
+    any) plus every ``batch=<id>`` dir. Folded-but-not-yet-cleaned batch
+    dirs may appear alongside the compact that contains them — duplicate
+    state rows are harmless (candidate generation is distinct-deduped), so
+    every crash point of the compaction protocol reads consistently."""
+    import json
+    import os
+
+    paths = []
+    manifest = os.path.join(bands_root, "MANIFEST.json")
+    if os.path.isfile(manifest):
+        with open(manifest) as fh:
+            compact = json.load(fh)["compact"]
+        paths.append(os.path.join(bands_root, compact))
+    if os.path.isdir(bands_root):
+        paths.extend(
+            os.path.join(bands_root, d)
+            for d in sorted(os.listdir(bands_root))
+            if d.startswith("batch=")
+        )
+    return paths
+
+
+def _compact_band_state(spark: SparkSession, bands_root: str,
+                        batch_id: int) -> None:
+    """Fold the compacted dir + all batch dirs into one new compacted dir.
+
+    Crash-safe by manifest pointer swap (the ``stream_ingest_files``
+    manifest device): (1) write ``compact_v<id>`` containing the full
+    deduplicated union, (2) atomically replace ``MANIFEST.json`` to point
+    at it, (3) best-effort delete of the folded batch dirs and superseded
+    compact dirs. A crash before (2) leaves the old state authoritative; a
+    crash before (3) leaves duplicate rows, which the reader tolerates.
+    """
+    import json
+    import os
+    import shutil
+
+    paths = _band_state_paths(bands_root)
+    if not paths:
+        return
+    new_name = f"compact_v{batch_id}"
+    folded = [p for p in paths if os.path.basename(p) != new_name]
+    state = spark.read.parquet(*folded).dropDuplicates(
+        ["id", "band", "band_hash"]
+    )
+    state.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(bands_root, new_name)
+    )
+    manifest = os.path.join(bands_root, "MANIFEST.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"compact": new_name,
+                   "folded": [os.path.basename(p) for p in folded]}, fh)
+    os.replace(tmp, manifest)  # the atomic commit point
+    for p in folded:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def near_dup_classify_batch(
     spark: SparkSession,
     state_dir: str,
@@ -128,6 +188,8 @@ def near_dup_classify_batch(
     n_bands: int = 8,
     k: int = 5,
     hash_fn=None,
+    max_band_freq: int | None = None,
+    compact_every: int = 16,
 ) -> DataFrame:
     """The production append-mode NEAR-dup loop, one micro-batch at a time
     (pair with ``foreachBatch``): classify the batch against the persisted
@@ -135,12 +197,16 @@ def near_dup_classify_batch(
     the KEPT documents' bands+signatures to the state so later batches
     dedup against them. Returns the batch's ``(id, status)`` verdicts.
 
-    State layout: ``<state_dir>/bands/batch=<id>/`` Parquet — only kept
-    (distinct-content-canonical) docs contribute, so state grows with
-    distinct content, not stream volume, and each batch's directory is
-    written with overwrite so an at-least-once re-delivery of the same
-    ``batch_id`` is IDEMPOTENT (same device as ``stream_ingest_files``'s
-    manifest check). The cross-batch alternative
+    State layout: ``<state_dir>/bands/`` holds one Parquet dir per recent
+    batch (``batch=<id>``, written with overwrite so an at-least-once
+    re-delivery of the same ``batch_id`` is IDEMPOTENT) plus a compacted
+    dir tracked by ``MANIFEST.json``. Every ``compact_every`` batches the
+    loop folds all state into a fresh compacted dir (manifest pointer
+    swap, crash-safe — see :func:`_compact_band_state`), so the state
+    file count is BOUNDED over an unbounded stream instead of growing one
+    dir per micro-batch. Only kept (distinct-content-canonical) docs
+    contribute, so state size grows with distinct content, not stream
+    volume. The cross-batch alternative
     (``stateful.streaming_minhash_pairs``) emits pairs from in-operator
     state; this helper is the per-document *status* form, which needs the
     union of a doc's band buckets and therefore lives in foreachBatch
@@ -154,16 +220,20 @@ def near_dup_classify_batch(
     )
 
     bands_root = os.path.join(state_dir, "bands")
-    try:
-        base_state = spark.read.parquet(bands_root)
-    except Exception:  # first batch: empty state with the right schema
+    # explicit first-batch detection: an empty/missing state dir means cold
+    # start; a genuine read error on existing state must PROPAGATE, not
+    # silently classify the batch against an empty base (round-5 ADVICE)
+    state_paths = _band_state_paths(bands_root)
+    if state_paths:
+        base_state = spark.read.parquet(*state_paths)
+    else:
         base_state = minhash_band_state(
             batch_df.limit(0), id_col, text_col, n_perms, n_bands, k, hash_fn
         )
     lazy = incremental_minhash_dedup(
         batch_df, base_state, id_col, text_col,
         threshold=threshold, n_perms=n_perms, n_bands=n_bands, k=k,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, max_band_freq=max_band_freq,
     )
     # MATERIALIZE the verdicts before touching the state dir: the lazy plan
     # reads bands_root, and appending this batch's bands first would make a
@@ -180,6 +250,11 @@ def near_dup_classify_batch(
     ).write.mode("overwrite").parquet(
         os.path.join(bands_root, f"batch={batch_id}")
     )
+    n_batch_dirs = sum(
+        1 for d in os.listdir(bands_root) if d.startswith("batch=")
+    )
+    if compact_every and n_batch_dirs >= compact_every:
+        _compact_band_state(spark, bands_root, batch_id)
     return statuses
 
 
