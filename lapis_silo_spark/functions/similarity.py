@@ -374,6 +374,54 @@ def ivf_topk_with_centroids(
     )
 
 
+def _warn_if_low_lsh_structure(
+    c: DataFrame, n_planes: int, n_tables: int, dim: int,
+    sample_rows: int = 2000,
+) -> None:
+    """Emit a RuntimeWarning when a bounded sample's bucket occupancy shows
+    no angular structure — the regime where LSH recall degenerates toward
+    the scan fraction and trained IVF should be used instead.
+
+    Statistic: per-table collision mass Σ_b (occ_b / n)² — the probability
+    two random sampled points share a bucket. Uniform hashing gives
+    ≈ 1/2^n_planes; clustered corpora concentrate mass in few buckets and
+    push it far higher. Cost: one narrow job over ``sample_rows`` rows
+    (a single partition read at any corpus size).
+    """
+    import warnings
+
+    sample = c.limit(sample_rows).select(
+        F.explode(
+            lsh_table_buckets("vec", n_planes, n_tables, dim)
+        ).alias("bucket")
+    )
+    occ = sample.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    per_table: dict[str, tuple[float, float]] = {}
+    for r in occ:
+        t = r["bucket"].split(":", 1)[0]
+        s2, s1 = per_table.get(t, (0.0, 0.0))
+        per_table[t] = (s2 + r["n"] * r["n"], s1 + r["n"])
+    if not per_table:
+        return
+    collision = sum(s2 / (s1 * s1) for s2, s1 in per_table.values()) / len(
+        per_table
+    )
+    baseline = 1.0 / (1 << n_planes)
+    if collision <= 2.0 * baseline:
+        warnings.warn(
+            f"lsh_bucket_topk: sampled bucket collision mass "
+            f"{collision:.4f} is within 2x of the uniform baseline "
+            f"{baseline:.4f} — the corpus shows little angular structure, "
+            f"and LSH recall will approach the raw scan fraction "
+            f"(measured 0.465@13% on such data). Prefer "
+            f"ivf_topk_with_centroids with a kmeans_centroids-trained "
+            f"codebook (measured 0.895@7.4%); see BENCH_NOTES 'ANN "
+            f"operating points'.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -386,6 +434,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_tables: int = 8,
     n_flip: int = 3,
+    warn_low_structure: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     ``n_tables`` hash tables (each table = its own plane set), exact cosine
@@ -402,10 +451,25 @@ def lsh_bucket_topk(
     for the round-3 no-probe default (tools/ann_recall_demo.py; BENCH_NOTES
     ANN table). Shuffle volume is n_tables × corpus, never corpus ×
     queries.
+
+    **min_recall hint — when NOT to use this operator**: random-hyperplane
+    LSH only beats a random scan when the corpus has angular structure
+    (clusters). On near-unstructured embeddings the measured operating
+    point is recall 0.465 at ~13% scan (BENCH_NOTES "ANN operating
+    points") — below the 0.8 bar; :func:`ivf_topk_with_centroids` with a
+    trained codebook (``clustering.kmeans_centroids``) reaches 0.895
+    recall at 7.4% scan on the SAME corpus and is the right tool there.
+    With ``warn_low_structure`` (default on), a bounded bucket-occupancy
+    probe (one job over a 2,000-row sample) emits a ``RuntimeWarning``
+    when the corpus's bucket collision mass is within 2× of the uniform
+    baseline ``1/2^n_planes`` — the statistical signature of the
+    LSH-hostile regime.
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    if warn_low_structure:
+        _warn_if_low_lsh_structure(c, n_planes, n_tables, dim)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qvec"),

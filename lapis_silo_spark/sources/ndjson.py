@@ -335,16 +335,51 @@ def ingest_records(
     )
 
 
+def _decompressed_json_lines(path_bytes):
+    """(path, bytes) → JSON lines, transparently decompressing .zst/.xz.
+
+    Runs on executors (one task per file — the same parallelism contract
+    as Hadoop's non-splittable compression codecs). zstd decompression is
+    pyarrow's streaming codec (no decompressed-size header needed); xz is
+    stdlib lzma.
+    """
+    path, data = path_bytes
+    if path.endswith(".zst"):
+        import pyarrow as pa
+
+        raw = pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+        raw = raw.to_pybytes() if hasattr(raw, "to_pybytes") else bytes(raw)
+    elif path.endswith(".xz"):
+        import lzma
+
+        raw = lzma.decompress(bytes(data))
+    else:
+        raw = bytes(data)
+    for line in raw.decode("utf-8").splitlines():
+        if line.strip():
+            yield line
+
+
 def ingest_ndjson(
     spark: SparkSession, path: str, config: TableConfig
 ) -> tuple[DataFrame, SequenceStore]:
     """Read line-delimited JSON with the declared schema and ingest.
 
-    ``.zst``/``.xz`` transparent decompression (the reference supports both,
-    ``documentation/incremental_preprocessing.md:24-36``) relies on Hadoop
-    codecs; plain and ``.gz`` inputs work out of the box.
+    ``.zst``/``.xz`` inputs (the reference supports both,
+    ``documentation/incremental_preprocessing.md:24-36``) are decompressed
+    Spark-side via ``binaryFiles`` — the container's Hadoop has no native
+    zstd/xz codecs, so this path does NOT rely on them. Each compressed
+    file decompresses wholly within one task, exactly the parallelism a
+    Hadoop non-splittable codec would give; plain and ``.gz`` inputs go
+    through the regular (splittable for plain) json reader.
     """
-    records = spark.read.json(path, schema=config.spark_schema())
+    if path.endswith((".zst", ".xz")):
+        lines = spark.sparkContext.binaryFiles(path).flatMap(
+            _decompressed_json_lines
+        )
+        records = spark.read.json(lines, schema=config.spark_schema())
+    else:
+        records = spark.read.json(path, schema=config.spark_schema())
     main, store = ingest_records(spark, records, config)
 
     # Duplicate-primary-key validation (storage/table.h:56) — fail the ingest
