@@ -35,6 +35,46 @@ ARROW_MIME = "application/vnd.apache.arrow.stream"
 QUERY_TIMEOUT_SECONDS = 120  # reference default, query_handler.cpp:34
 
 
+class QueryTimeoutError(RuntimeError):
+    """A query exceeded the serving timeout; message mirrors the
+    reference's ExecutionError (query_plan.cpp:121)."""
+
+
+def _run_with_timeout(spark, fn, seconds: int, tag: str):
+    """Run ``fn`` (a driver-side materialization) under a per-request job
+    group and CANCEL its Spark jobs if it exceeds ``seconds`` — the Spark
+    analog of the reference's per-batch future wait
+    (query_plan.cpp:109-122): a timed-out query stops consuming executor
+    slots instead of running to completion unobserved.
+
+    Uses ``InheritableThread`` + pinned-thread job groups so cancellation
+    targets exactly this request's jobs, not other concurrent queries.
+    """
+    from pyspark import InheritableThread
+
+    box: dict = {}
+
+    def target():
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "http query", interruptOnCancel=True)
+        try:
+            box["value"] = fn()
+        except BaseException as exc:  # surfaced in the request thread
+            box["error"] = exc
+
+    t = InheritableThread(target=target, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(tag)
+        raise QueryTimeoutError(
+            f"Request timed out, no batch within {seconds} seconds."
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
+
+
 def database_info(db: Database) -> dict:
     """Shape-compatible ``/info`` payload (``info.test.js``): the bitmap-size
     gauges map to the normalized side tables' row counts."""
@@ -52,9 +92,12 @@ def database_info(db: Database) -> dict:
     }
 
 
-def create_app(db: Database):
+def create_app(db: Database, query_timeout: int = QUERY_TIMEOUT_SECONDS):
     """Build the Flask app serving ``db``. Import-guarded so the engine
-    library works without Flask installed."""
+    library works without Flask installed. ``query_timeout`` bounds each
+    ``POST /query``'s execution (reference default 120 s); on expiry the
+    request's Spark jobs are cancelled and a 500 with the reference's
+    timeout message is returned."""
     from flask import Flask, Response, request
 
     app = Flask("lapis_silo_spark")
@@ -80,11 +123,15 @@ def create_app(db: Database):
 
             pipeline = bind_query(db, text)
             headers["result-ordering"] = json.dumps(pipeline.ordering)
+            spark = pipeline.df.sparkSession
+            tag = f"http-query-{headers['X-Request-Id']}"
             if ARROW_MIME in request.headers.get("Accept", ""):
+                body = _run_with_timeout(
+                    spark, lambda: _arrow_ipc_bytes(pipeline.df),
+                    query_timeout, tag,
+                )
                 return Response(
-                    _arrow_ipc_bytes(pipeline.df),
-                    content_type=ARROW_MIME,
-                    headers=headers,
+                    body, content_type=ARROW_MIME, headers=headers
                 )
             df = pipeline.df
             # emit null fields explicitly, matching the reference's rows
@@ -95,8 +142,10 @@ def create_app(db: Database):
                     F.struct(*df.columns), {"ignoreNullFields": "false"}
                 ).alias("j")
             )
-            ndjson = "".join(
-                r["j"] + "\n" for r in jdf.toLocalIterator()
+            ndjson = _run_with_timeout(
+                spark,
+                lambda: "".join(r["j"] + "\n" for r in jdf.toLocalIterator()),
+                query_timeout, tag,
             )
             return Response(
                 ndjson, content_type="application/x-ndjson", headers=headers

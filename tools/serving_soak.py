@@ -59,11 +59,16 @@ def main() -> int:
     fair = "--fair" in sys.argv
     n_requests = 24
     levels = [1, 4, 8]
+    timeout_s = None  # --timeout=N: serve with a tight query timeout and
+    # EXPECT the heavy class to return the reference's timeout error while
+    # light queries keep their latency profile (query_handler.cpp:34)
     for a in sys.argv[1:]:
         if a.startswith("--requests"):
             n_requests = int(a.split("=")[1])
         if a.startswith("--levels"):
             levels = [int(x) for x in a.split("=")[1].split(",")]
+        if a.startswith("--timeout"):
+            timeout_s = int(a.split("=")[1])
 
     from lapis_silo_spark.driver_queries import genomic_db
     from lapis_silo_spark.server import create_app
@@ -79,7 +84,7 @@ def main() -> int:
     }))
 
     db = genomic_db(spark, sf_dir)
-    app = create_app(db)
+    app = create_app(db, query_timeout=timeout_s) if timeout_s else create_app(db)
     threading.Thread(
         target=lambda: app.run(
             host="127.0.0.1", port=PORT, threaded=True, use_reloader=False
@@ -87,15 +92,21 @@ def main() -> int:
         daemon=True,
     ).start()
 
-    def post(query: str) -> tuple[int, float]:
+    def post(query: str) -> tuple[int, float, str]:
+        from urllib.error import HTTPError
+
         t0 = time.monotonic()
         req = urlreq.Request(
             f"http://127.0.0.1:{PORT}/query", data=query.encode(),
             method="POST",
         )
-        with urlreq.urlopen(req, timeout=300) as resp:
-            resp.read()
-            return resp.status, (time.monotonic() - t0) * 1000
+        try:
+            with urlreq.urlopen(req, timeout=300) as resp:
+                resp.read()
+                return resp.status, (time.monotonic() - t0) * 1000, ""
+        except HTTPError as exc:  # 5xx: body carries the engine error
+            body = exc.read().decode(errors="replace")
+            return exc.code, (time.monotonic() - t0) * 1000, body
 
     # warm: server up + every query's codegen/caches hot
     for _ in range(60):
@@ -111,24 +122,31 @@ def main() -> int:
         jobs = [(names[i % len(names)], QUERY_MIX[names[i % len(names)]])
                 for i in range(n_requests)]
         lat: dict[str, list[float]] = {n: [] for n in names}
+        timeouts: dict[str, int] = {n: 0 for n in names}
         t0 = time.monotonic()
         with ThreadPoolExecutor(max_workers=level) as pool:
-            for name, (status, ms) in zip(
+            for name, (status, ms, body) in zip(
                 [j[0] for j in jobs],
                 pool.map(lambda j: post(j[1]), jobs),
             ):
-                assert status == 200
+                if timeout_s and status == 500 and "timed out" in body:
+                    timeouts[name] += 1
+                    continue
+                assert status == 200, (name, status, body[:200])
                 lat[name].append(ms)
         wall = time.monotonic() - t0
         for name in names:
             xs = lat[name]
-            print(json.dumps({
+            out = {
                 "concurrency": level,
                 "query": name,
                 "n": len(xs),
-                "p50_ms": round(percentile(xs, 50), 1),
-                "p95_ms": round(percentile(xs, 95), 1),
-            }))
+                "p50_ms": round(percentile(xs, 50), 1) if xs else None,
+                "p95_ms": round(percentile(xs, 95), 1) if xs else None,
+            }
+            if timeout_s:
+                out["timeouts"] = timeouts[name]
+            print(json.dumps(out))
         print(json.dumps({
             "concurrency": level,
             "total_requests": n_requests,
