@@ -61,8 +61,11 @@ def test_replay_over_serving_path_round_trips(example_db, tmp_path):
     app.testing = True
     client = app.test_client()
 
-    def post(query: str):
-        resp = client.post("/query", data=query)
+    def post(query: str, accept: str | None = None):
+        headers = {"Accept": accept} if accept else {}
+        resp = client.post("/query", data=query, headers=headers)
+        if accept:
+            return resp.status_code, resp.content_type or "", resp.get_data()
         return resp.status_code, resp.get_data(as_text=True)
 
     cases = [
@@ -85,6 +88,13 @@ def test_replay_over_serving_path_round_trips(example_db, tmp_path):
     doctored[0]["checksum"] = "0" * 32
     assert any("count_by_country" in p
                for p in compare(rows2, doctored, []))
+    # doctor the ARROW checksum only → the gate must also fail (the IPC
+    # output path has its own digest column, round-5 VERDICT #8)
+    doctored2 = read_log(log)
+    assert doctored2[0]["arrow_checksum"]
+    doctored2[0]["arrow_checksum"] = "0" * 32
+    assert any("arrow_checksum" in p
+               for p in compare(rows2, doctored2, []))
 
 
 def test_committed_good_log_covers_golden_corpus():

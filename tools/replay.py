@@ -51,8 +51,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_QUERIES = Path("/root/reference/endToEndTests/test/queries")
 DEFAULT_GOOD_LOG = Path(__file__).resolve().parent / "replay_good_log.csv"
 
-FIELDS = ["name", "status", "checksum", "latency_ms_median",
-          "latency_ms_min", "latency_ms_max"]
+FIELDS = ["name", "status", "checksum", "arrow_checksum",
+          "latency_ms_median", "latency_ms_min", "latency_ms_max"]
 
 
 def load_cases(source: Path) -> list[dict]:
@@ -84,6 +84,33 @@ def result_checksum(status: int, body: str) -> str:
     return h.hexdigest()
 
 
+ARROW_MIME = "application/vnd.apache.arrow.stream"
+
+
+def arrow_checksum(status: int, content_type: str, data: bytes) -> str:
+    """Content-based digest of the Arrow IPC response path (round-5
+    VERDICT #8): parse the stream and hash column-name-sorted, row-sorted
+    values, so the checksum is stable across batch splits and row order —
+    the same order-insensitivity contract as the NDJSON checksum. Non-200
+    or non-Arrow responses hash their raw bytes."""
+    h = hashlib.md5()
+    h.update(str(status).encode())
+    if status == 200 and ARROW_MIME in (content_type or ""):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        table = ipc.open_stream(pa.BufferReader(data)).read_all()
+        cols = sorted(table.column_names)
+        for row in sorted(
+            "|".join(repr(r[c]) for c in cols) for r in table.to_pylist()
+        ):
+            h.update(b"\n")
+            h.update(row.encode())
+    else:
+        h.update(data)
+    return h.hexdigest()
+
+
 def replay(post, cases: list[dict], repeat: int = 1,
            concurrency: int = 1) -> list[dict]:
     """Run every case ``repeat`` times through ``post(query_text) ->
@@ -98,10 +125,15 @@ def replay(post, cases: list[dict], repeat: int = 1,
             t0 = time.monotonic()
             status, body = post(case["query"])
             samples.append((time.monotonic() - t0) * 1000)
+        # second pass through content negotiation: the Arrow IPC sink is
+        # its own output path (ArrowIpcSink vs NdjsonSink in the
+        # reference) and gets its own checksum column
+        a_status, a_ctype, a_bytes = post(case["query"], accept=ARROW_MIME)
         return {
             "name": case["name"],
             "status": status,
             "checksum": result_checksum(status, body),
+            "arrow_checksum": arrow_checksum(a_status, a_ctype, a_bytes),
             "latency_ms_median": round(statistics.median(samples), 2),
             "latency_ms_min": round(min(samples), 2),
             "latency_ms_max": round(max(samples), 2),
@@ -136,6 +168,13 @@ def compare(rows: list[dict], good_rows: list[dict],
                 f"{row['name']}: checksum {base['checksum']} -> "
                 f"{row['checksum']}"
             )
+        elif base.get("arrow_checksum") and (
+            row.get("arrow_checksum") != base["arrow_checksum"]
+        ):
+            problems.append(
+                f"{row['name']}: arrow_checksum "
+                f"{base['arrow_checksum']} -> {row.get('arrow_checksum')}"
+            )
     return problems
 
 
@@ -154,15 +193,24 @@ def read_log(path: Path) -> list[dict]:
 def _http_post(url: str):
     from urllib import request as urlreq
 
-    def post(query: str):
+    def post(query: str, accept: str | None = None):
+        headers = {"Accept": accept} if accept else {}
         req = urlreq.Request(
-            f"{url.rstrip('/')}/query", data=query.encode(), method="POST"
+            f"{url.rstrip('/')}/query", data=query.encode(), method="POST",
+            headers=headers,
         )
         try:
             with urlreq.urlopen(req, timeout=300) as resp:
-                return resp.status, resp.read().decode()
+                data = resp.read()
+                ctype = resp.headers.get("Content-Type", "")
+                if accept:
+                    return resp.status, ctype, data
+                return resp.status, data.decode()
         except urlreq.HTTPError as e:  # 4xx/5xx still carry a body
-            return e.code, e.read().decode()
+            data = e.read()
+            if accept:
+                return e.code, e.headers.get("Content-Type", ""), data
+            return e.code, data.decode()
 
     return post
 
@@ -181,8 +229,12 @@ def _inprocess_post():
     app.testing = True
     client = app.test_client()
 
-    def post(query: str):
-        resp = client.post("/query", data=query)
+    def post(query: str, accept: str | None = None):
+        headers = {"Accept": accept} if accept else {}
+        resp = client.post("/query", data=query, headers=headers)
+        if accept:
+            return (resp.status_code, resp.content_type or "",
+                    resp.get_data())
         return resp.status_code, resp.get_data(as_text=True)
 
     return post
