@@ -1001,7 +1001,12 @@ def minhash_dedup_clusters(
     Shuffle inventory: one digest agg, the banded LSH join over reps, the
     propagation rounds (rep-sized), and two digest/rep-keyed hash joins +
     one cluster-keyed window over the full corpus — all linear in docs
-    except the LSH join, which is banded and rep-bounded.
+    except the LSH join, which is banded, rep-bounded, and shuffles ids
+    only. A slice of near-identical-but-NOT-identical docs (one char of
+    drift) survives the digest and can still go quadratic inside its band
+    buckets — ``max_band_freq`` caps that (8.6× wall at 20k near-twins,
+    BENCH_NOTES "Adversarial near-twin band skew"; recall contract in
+    :func:`minhash_lsh_pairs`).
 
     With ``hash_fn=hash32`` (md5 family) the full output is reproducible in
     external SQL — the registered driver query's DuckDB oracle replays

@@ -160,6 +160,19 @@ def generate(sf: float, out_dir: str) -> None:
         " ".join(VOCAB[w] for w in rng.randint(0, len(VOCAB), nw))
         for nw in n_words
     ]
+    # plant duplicate structure at sf0.1-like rates so the dedup operators
+    # have real work (pure random 31-word text has ~no 0.8-jaccard pairs):
+    # ~0.2% exact twins and ~0.5% near-twins (one word substituted)
+    for i in range(400, n_doc, 400):
+        texts[i] = texts[i - 17]
+    for i in range(160, n_doc, 160):
+        if i % 400 == 0:
+            continue
+        words = texts[i - 23].split(" ")
+        words[int(rng.randint(0, len(words)))] = VOCAB[
+            int(rng.randint(0, len(VOCAB)))
+        ]
+        texts[i] = " ".join(words)
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), type=pa.int64()),
         "text": texts,
