@@ -894,8 +894,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard_pairs",
-    f"""WITH sh AS (
+    # The registered form carries the hot-shingle cap (round 5): on the
+    # testdata corpus (31-word vocabulary) the distinct-shingle space is
+    # tiny, so at sf1+ nearly every shingle is corpus-hot and the uncapped
+    # inverted-index self-join is Σ freq² ≈ quadratic in the corpus — the
+    # textbook prefix-filter failure. Sizes come from the UNCAPPED shingle
+    # sets (exact denominators); only the join side drops shingles hotter
+    # than the cap, mirroring ngram_jaccard_pairs' semantics exactly, so
+    # parity holds at every sf (at sf0.01 the cap binds a little; both
+    # engines bind identically).
+    f"""WITH sh0 AS (
           SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 300),
+        sh AS (SELECT id, s FROM sh0 ANTI JOIN hot USING (s)),
         sz AS (SELECT doc_id AS id, length({_SHINGLES_SQL}) AS sz FROM documents),
         common AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
@@ -909,12 +920,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.35""",
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity join (inverted-index style)."""
+    """n-gram Jaccard similarity join (inverted-index style, hot-shingle
+    capped — the only form whose join is bounded at scale)."""
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
     return fdedup.ngram_jaccard_pairs(
-        db.table("documents"), "doc_id", "text", threshold=0.35, k=5
+        db.table("documents"), "doc_id", "text", threshold=0.35, k=5,
+        max_shingle_freq=300,
     )
 
 
