@@ -45,11 +45,13 @@ HEADLINE = [
     # digest short-circuit + banded LSH over representatives + min-label
     # collapse) — the scale-safe replacement for materialized pair lists
     "dedup_minhash_clusters",
-    # embedding near-dup: the benched headline is the LSH scale path; the
-    # exact all-pairs variant stays registered as the small-sf oracle
-    # verifier only (it is O(n²) + driver-collect by construction and now
-    # refuses to run above EXACT_EMBEDDING_MAX_ROWS).
+    # embedding near-dup: the LSH scale path plus the round-5 blocked
+    # DISTRIBUTED exact form (hash-blocked block-pair matmuls, no driver
+    # collect). The collect+broadcast all-pairs variant stays registered as
+    # the small-sf oracle verifier only (it refuses to run above
+    # EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
+    "dedup_embedding_blocked_pairs",
     "decontam_ngram_overlap",
     "decontam_bloom_overlap",
     "dedup_duplicate_passages",

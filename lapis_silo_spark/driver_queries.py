@@ -1168,6 +1168,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_blocked_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+)
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine pairs, DISTRIBUTED blocked form: hash-block
+    the corpus, one applyInPandas matmul task per ordered block pair —
+    identical output to the collect+broadcast baseline with no driver
+    materialization and per-task memory independent of corpus size.
+    n_blocks forced > 1 so the sf0.01 gate exercises the cross-block and
+    diagonal task shapes, not a degenerate single block."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.embedding_near_dup_pairs_blocked(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
+        n_blocks=4,
+    )
+
+
+@query(
     "dedup_embedding_lsh_pairs",
     # same md5-derived hyperplanes as ann_lsh_topk, so DuckDB reproduces the
     # exact candidate set: 24 planes in 4 tables of 6

@@ -618,12 +618,15 @@ def embedding_near_dup_pairs(
     function dot products (HOF lambdas never enter whole-stage codegen) and
     was ~25× slower at sf0.1.
 
-    Exact all-pairs is inherently O(n²) and exists as the small-scale
-    verification oracle ONLY: it refuses to run above ``max_rows`` (the
-    count is checked BEFORE anything is collected to the driver) — at
-    cluster scale use :func:`lapis_silo_spark.functions.similarity.
-    lsh_candidate_pairs`, whose banded hyperplane buckets never materialize
-    the n² candidate set.
+    Exact all-pairs is inherently O(n²) and this form exists as the
+    small-scale verification oracle ONLY: it refuses to run above
+    ``max_rows`` (the count is checked BEFORE anything is collected to the
+    driver). When exact recall is required beyond that,
+    :func:`embedding_near_dup_pairs_blocked` computes the identical result
+    with no driver collect (hash-blocked block-pair matmuls, per-task
+    memory independent of corpus size); when approximate recall suffices,
+    :func:`lapis_silo_spark.functions.similarity.lsh_candidate_pairs`
+    avoids the n² compare entirely.
     """
     import numpy as np
     import pandas as pd
@@ -691,6 +694,138 @@ def embedding_near_dup_pairs(
             )
 
     return stream.mapInPandas(pair_batches, schema=out_schema)
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_rows: int = 8192,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold — the DISTRIBUTED exact form.
+
+    Same contract as :func:`embedding_near_dup_pairs` (canonical
+    ``id_a < id_b`` pairs, unrounded threshold test, cosine rounded to 6 dp)
+    but nothing is ever collected to the driver: rows are hash-assigned to
+    ``n_blocks`` blocks (``pmod(xxhash64(id), n_blocks)`` — uniform by
+    construction, so block-pair tasks are balanced with no skew handling
+    needed), a tiny broadcast map replicates each row into every block pair
+    it participates in, and one ``applyInPandas`` task per ordered block
+    pair ``(bi <= bj)`` runs a single BLAS (|A| × dim) · (dim × |B|) matmul.
+
+    Cost model (the reason this is the cluster form of an inherently O(n²)
+    computation):
+    - shuffle volume: each row is replicated ``n_blocks`` times →
+      O(n · n_blocks · dim) bytes, the classic blocked all-pairs trade of
+      bandwidth for bounded task memory;
+    - per-task memory: 2 blocks ≈ ``2 · block_rows · dim · 8`` bytes,
+      independent of corpus size;
+    - parallelism: n_blocks · (n_blocks + 1) / 2 independent tasks.
+
+    Every unordered pair lands in exactly ONE block-pair task (the ordered
+    pair of its members' block ids), so no dropDuplicates pass is needed.
+    The diagonal task (bi == bj) keeps only the upper triangle by id.
+
+    ``n_blocks`` defaults to ``ceil(count / block_rows)`` (one count job);
+    pass it explicitly to skip the count, e.g. from a known corpus size.
+    At true 100 TB scale prefer :func:`lapis_silo_spark.functions.
+    similarity.lsh_candidate_pairs` — banded buckets avoid the n² compare
+    entirely; this function is for when EXACT recall is required.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(df.count() / block_rows))
+
+    base = _spread(
+        df,
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+
+    # Replication map: block b → every ordered block pair it belongs to.
+    # side 0 = the bi member, side 1 = the bj member; the diagonal pair is
+    # emitted once (side 0) and handles its own upper triangle.
+    assign_rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            assign_rows.append((i, i, j, 0))
+            if i != j:
+                assign_rows.append((j, i, j, 1))
+    assign = spark.createDataFrame(
+        assign_rows, schema="blk int, bi int, bj int, side int"
+    )
+
+    replicated = base.join(F.broadcast(assign), on="blk").select(
+        "bi", "bj", "side", "id", "vec"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(key, pdf):
+        bi, bj = key
+
+        def unpack(sub):
+            ids_list = list(sub["id"])
+            if not ids_list:
+                empty = np.empty((0, 0), dtype=np.float64)
+                return np.array([], dtype=np.int64), empty, np.array([])
+            try:
+                ids = np.array(ids_list, dtype=np.int64)
+            except (TypeError, ValueError, OverflowError):
+                ids = np.array(ids_list, dtype=object)
+            mat = np.array(sub["vec"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            return ids, mat, nrm
+
+        if bi == bj:
+            a_ids, a_mat, a_nrm = unpack(pdf)
+            b_ids, b_mat, b_nrm = a_ids, a_mat, a_nrm
+        else:
+            a_ids, a_mat, a_nrm = unpack(pdf[pdf["side"] == 0])
+            b_ids, b_mat, b_nrm = unpack(pdf[pdf["side"] == 1])
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+        keep = (b_ids[None, :] > a_ids[:, None]) & (cos >= threshold)
+        ia, ib = np.nonzero(keep)
+        if bi != bj:
+            # cross-block pairs where the bj member has the SMALLER id
+            keep_r = (a_ids[:, None] > b_ids[None, :]) & (cos >= threshold)
+            ra, rb = np.nonzero(keep_r)
+        else:
+            ra = rb = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([a_ids[ia], b_ids[rb]]),
+                "id_b": np.concatenate([b_ids[ib], a_ids[ra]]),
+                "cos": np.round(
+                    np.concatenate([cos[ia, ib], cos[ra, rb]]), 6
+                ),
+            }
+        )
+
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        block_pairs, schema=out_schema
+    )
 
 
 def minhash_band_state(

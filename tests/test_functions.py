@@ -192,6 +192,53 @@ def test_embedding_near_dup(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_embedding_near_dup_blocked_matches_exact(spark):
+    # deterministic pseudo-random corpus large enough that 4 hash-blocks all
+    # get members and every task shape (diagonal, cross-block, both pair
+    # orientations) is exercised; blocked must equal the collect+broadcast
+    # exact baseline bit-for-bit (same rounding convention).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 8))
+    # plant near-duplicate structure so the threshold keeps real pairs
+    mat[10] = mat[3] + 0.01 * rng.normal(size=8)
+    mat[41] = mat[20] + 0.01 * rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        schema="vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.6
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs_blocked(
+            df, "vec_id", "embedding", threshold=0.6, n_blocks=4
+        ).collect()
+    }
+    assert exact  # planted pairs guarantee a non-empty comparison
+    assert blocked == exact
+    # single-block degenerate case also matches
+    one = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs_blocked(
+            df, "vec_id", "embedding", threshold=0.6, n_blocks=1
+        ).collect()
+    }
+    assert one == exact
+
+
+def test_embedding_near_dup_blocked_small(vectors):
+    pairs = dedup.embedding_near_dup_pairs_blocked(
+        vectors, "vec_id", "embedding", threshold=0.95, n_blocks=3
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
 def test_dedup_cluster_assignment_transitive(spark):
     # chain 1~2, 2~3 plus the isolated 4: closure must merge {1,2,3}
     # even though (1,3) was never emitted as a pair.
