@@ -1060,7 +1060,8 @@ def _xxhash_lsh_oracle() -> str:
            WHERE len(list_filter([sig_a[i + 1] = sig_b[i + 1]
                                   FOR i IN range(0, 64)], x -> x)) / 64.0
                  >= 0.8),
-         edges AS (SELECT id_a AS u, id_b AS v FROM p
+         edges AS MATERIALIZED (
+                   SELECT id_a AS u, id_b AS v FROM p
                    UNION SELECT id_b AS u, id_a AS v FROM p),
          walk(node, root) AS (
            SELECT rep_id, rep_id FROM rep
@@ -1231,21 +1232,55 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_propagation_ctes(rounds: int = 16) -> tuple[str, str]:
+    """Connected components as an UNROLLED min-label propagation chain.
+
+    The round-4 oracle enumerated every (node, reachable-root) pair with a
+    recursive walk — O(component²) rows, which a threshold-0.4 cosine graph
+    at sf1 turns into 4×10⁸ rows (one giant 20k-node component; pair count
+    grows ~n² at a fixed threshold, so a giant component is the EXPECTED
+    asymptotic shape, not a data bug).  This chain is O(edges) per round:
+    each round propagates (lbl ← min over closed neighborhood) then
+    pointer-jumps (lbl ← lbl[lbl]), converging in O(log diameter) rounds —
+    measured 3/11/6 rounds at sf0.01/sf0.1/sf1 vs the walk's unbounded blowup.
+    Under-unrolling CANNOT pass silently: unconverged labels hash-mismatch
+    Spark's converged ones.  Every CTE is MATERIALIZED — DuckDB 1.0
+    re-inlines multiply-referenced CTEs (the PQ/kmeans oracle lesson).
+    """
+    ctes = [
+        """pairs AS MATERIALIZED (
+           SELECT a.vec_id AS u, b.vec_id AS v
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) >= 0.4)""",
+        """edges AS MATERIALIZED (
+           SELECT u, v FROM pairs
+           UNION ALL SELECT v AS u, u AS v FROM pairs
+           UNION ALL SELECT vec_id AS u, vec_id AS v FROM embeddings)""",
+        """l0 AS MATERIALIZED (
+           SELECT vec_id AS node, vec_id AS lbl FROM embeddings)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+               SELECT e.u AS node, min(l.lbl) AS lbl
+               FROM edges e JOIN l{i - 1} l ON l.node = e.v
+               GROUP BY e.u)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+               SELECT a.node, b.lbl FROM p{i} a JOIN p{i} b ON b.node = a.lbl)"""
+        )
+    return ",\n".join(ctes), f"l{rounds}"
+
+
+_CC_CTES, _CC_FINAL = _cc_propagation_ctes()
+
+
 @query(
     "dedup_cluster_assignment",
-    """WITH RECURSIVE
-         pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
-                   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-                   WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]) >= 0.4),
-         edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
-         walk(node, root) AS (
-           SELECT vec_id, vec_id FROM embeddings
-           UNION
-           SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
-         ),
-         comp AS (SELECT node AS vec_id, min(root) AS cluster_id
-                  FROM walk GROUP BY node)
+    f"""WITH {_CC_CTES},
+         comp AS (SELECT node AS vec_id, lbl AS cluster_id FROM {_CC_FINAL})
        SELECT vec_id, cluster_id,
               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
               vec_id = cluster_id AS is_canonical
@@ -1255,7 +1290,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to connected components (min-label
     propagation, functions.dedup.dedup_cluster_assignment): the stage that
     makes pair output actionable — transitive closure picks ONE canonical
-    doc per cluster. Oracle recomputes the closure with a recursive CTE."""
+    doc per cluster. Oracle recomputes the closure with an unrolled
+    propagate+pointer-jump CTE chain (see _cc_propagation_ctes)."""
     from lapis_silo_spark.cache import adopt_guards
     from lapis_silo_spark.functions import dedup as fdedup
 
@@ -2902,7 +2938,8 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE len(list_filter([a.sig[i + 1] = b.sig[i + 1]
                                   FOR i IN range(0, 64)], x -> x)) / 64.0
                  >= 0.8),
-         edges AS (SELECT id_a AS u, id_b AS v FROM p
+         edges AS MATERIALIZED (
+                   SELECT id_a AS u, id_b AS v FROM p
                    UNION SELECT id_b AS u, id_a AS v FROM p),
          walk(node, root) AS (
            SELECT rep_id, rep_id FROM rep
