@@ -1232,7 +1232,11 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_propagation_ctes(rounds: int = 16) -> tuple[str, str]:
+def _cc_propagation_ctes(
+    rounds: int = 16,
+    pairs_sql: str | None = None,
+    nodes_sql: str = "SELECT vec_id FROM embeddings",
+) -> tuple[str, str]:
     """Connected components as an UNROLLED min-label propagation chain.
 
     The round-4 oracle enumerated every (node, reachable-root) pair with a
@@ -1247,18 +1251,20 @@ def _cc_propagation_ctes(rounds: int = 16) -> tuple[str, str]:
     Spark's converged ones.  Every CTE is MATERIALIZED — DuckDB 1.0
     re-inlines multiply-referenced CTEs (the PQ/kmeans oracle lesson).
     """
-    ctes = [
-        """pairs AS MATERIALIZED (
+    if pairs_sql is None:
+        pairs_sql = """
            SELECT a.vec_id AS u, b.vec_id AS v
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]) >= 0.4)""",
-        """edges AS MATERIALIZED (
+                                        b.embedding::DOUBLE[]) >= 0.4"""
+    ctes = [
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        f"""edges AS MATERIALIZED (
            SELECT u, v FROM pairs
            UNION ALL SELECT v AS u, u AS v FROM pairs
-           UNION ALL SELECT vec_id AS u, vec_id AS v FROM embeddings)""",
-        """l0 AS MATERIALIZED (
-           SELECT vec_id AS node, vec_id AS lbl FROM embeddings)""",
+           UNION ALL SELECT n AS u, n AS v FROM ({nodes_sql}) AS ns(n))""",
+        f"""l0 AS MATERIALIZED (
+           SELECT n AS node, n AS lbl FROM ({nodes_sql}) AS ns(n))""",
     ]
     for i in range(1, rounds + 1):
         ctes.append(
