@@ -3709,6 +3709,202 @@ def q_quality_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring-span dedup, chunking, PII redaction (round 5 additions)
+# ---------------------------------------------------------------------------
+
+from lapis_silo_spark.functions.text import PII_PATTERNS as _PII_PATTERNS
+
+
+@query(
+    "text_chunk_windows",
+    f"""WITH toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents),
+        ch AS (SELECT id,
+                 unnest([{{'chunk_id': i,
+                           'chunk_start': i * 24,
+                           'chunk_tokens': least(32, len(t) - i * 24),
+                           'chunk_text': array_to_string(
+                               t[i * 24 + 1 : i * 24 + 32], ' ')}}
+                         FOR i IN range(CAST(1 + ceil(
+                             greatest(len(t) - 32, 0) / 24.0) AS BIGINT))])
+                   AS c
+               FROM toks)
+       SELECT id, c.chunk_id AS chunk_id, c.chunk_start AS chunk_start,
+              CAST(c.chunk_tokens AS BIGINT) AS chunk_tokens,
+              c.chunk_text AS chunk_text
+       FROM ch""",
+)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (functions.text.chunk_windows,
+    size=32 stride=24): the pretraining/RAG chunking step. Zero-shuffle —
+    sequence/transform/posexplode fused in one codegen'd select over the
+    scan."""
+    from lapis_silo_spark.functions.text import chunk_windows
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return chunk_windows(docs, "doc_id", "text", size=32, stride=24)
+
+
+def _pii_redact_sql(expr: str) -> str:
+    for _, pat, repl in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+# The testdata customer table carries no contact columns, so the blob is a
+# deterministic derivation from the key columns (the same device the
+# multimodal queries use for payloads): a synthetic email, a TPC-H-shaped
+# phone, and an IPv4, all reproducible bit-for-bit by the oracle.
+_PII_BLOB_SQL = (
+    "c_name || ' reach me at ' || "
+    "regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g') || '@example.com'"
+    " || ' phone ' || CAST(c_custkey % 90 + 10 AS VARCHAR)"
+    " || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(c_nationkey % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)"
+    " || ' ip ' || CAST(c_custkey % 256 AS VARCHAR)"
+    " || '.' || CAST(c_nationkey % 256 AS VARCHAR)"
+    " || '.' || CAST(c_custkey % 100 AS VARCHAR)"
+    " || '.' || CAST(c_custkey % 250 + 1 AS VARCHAR)"
+    " || ' segment ' || c_mktsegment"
+)
+
+
+@query(
+    "text_pii_redact",
+    f"""SELECT c_custkey AS id,
+              CAST(len(regexp_extract_all({_PII_BLOB_SQL},
+                   '{_PII_PATTERNS[0][1]}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all({_PII_BLOB_SQL},
+                   '{_PII_PATTERNS[1][1]}')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all({_PII_BLOB_SQL},
+                   '{_PII_PATTERNS[2][1]}')) AS BIGINT) AS n_ipv4,
+              {_pii_redact_sql(_PII_BLOB_SQL)} AS redacted
+       FROM customer""",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions.text.pii_counts/pii_redact): count and replace
+    email/phone/IPv4 matches in each customer's contact blob. Pure JVM
+    regexp expressions, one codegen'd projection, no shuffle; the regex
+    set is dialect-portable (java.util.regex == RE2 on these patterns) so
+    DuckDB reproduces the rewrite byte-for-byte."""
+    from lapis_silo_spark.functions.text import pii_counts, pii_redact
+
+    db = db_for(spark, sf_dir)
+    cust = Pipeline.scan(db, "customer").rebalance().df
+    key = F.col("c_custkey")
+    blob = F.concat(
+        F.col("c_name"), F.lit(" reach me at "),
+        F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]", "."),
+        F.lit("@example.com"),
+        F.lit(" phone "), (key % 90 + 10).cast("string"),
+        F.lit("-"), (key % 900 + 100).cast("string"),
+        F.lit("-"), (F.col("c_nationkey") % 900 + 100).cast("string"),
+        F.lit("-"), (key % 9000 + 1000).cast("string"),
+        F.lit(" ip "), (key % 256).cast("string"),
+        F.lit("."), (F.col("c_nationkey") % 256).cast("string"),
+        F.lit("."), (key % 100).cast("string"),
+        F.lit("."), (key % 250 + 1).cast("string"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    counts = pii_counts(blob)
+    return cust.select(
+        key.alias("id"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        pii_redact(blob).alias("redacted"),
+    )
+
+
+_SUBSTR_GRAMS_SQL = f"""toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t
+                                 FROM documents),
+        g0 AS (SELECT id,
+                 unnest(CASE WHEN len(t) >= 8 THEN
+                   [{{'pos': i, 'gh': md5(array_to_string(t[i:i+7], ' '))}}
+                    FOR i IN range(1, len(t) - 6)]
+                  ELSE []::STRUCT(pos BIGINT, gh VARCHAR)[] END) AS u
+               FROM toks),
+        g AS (SELECT id, u.pos AS pos, u.gh AS gh FROM g0),
+        r AS (SELECT id, pos,
+                     row_number() OVER (PARTITION BY gh ORDER BY id, pos)
+                       AS rn
+              FROM g),
+        d AS (SELECT id, pos, pos + 7 AS e FROM r WHERE rn > 1)"""
+
+
+@query(
+    "dedup_substring_spans",
+    f"""WITH {_SUBSTR_GRAMS_SQL},
+        m AS (SELECT id, pos, e,
+                     max(e) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pe
+              FROM d),
+        f AS (SELECT id, pos, e,
+                     CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END
+                       AS ni
+              FROM m),
+        i2 AS (SELECT id, pos, e,
+                      sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island
+               FROM f),
+        sp AS (SELECT id, island, min(pos) AS s, max(e) AS e
+               FROM i2 GROUP BY 1, 2),
+        pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+               FROM sp GROUP BY 1)
+       SELECT t.id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              coalesce(pd.dup_tokens, 0) AS dup_tokens,
+              coalesce(pd.n_spans, 0) AS n_spans,
+              round(coalesce(pd.dup_tokens, 0) / len(t.t), 6) AS dup_fraction
+       FROM toks t LEFT JOIN pd ON pd.id = t.id""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup statistics (functions.dedup.duplicate_spans,
+    k=8): maximal merged spans of word 8-grams whose exact text occurs
+    earlier in the corpus — the Lee-et-al-style span-removal signal, as one
+    gram-keyed agg + narrow join + per-doc gaps-and-islands window. Shuffle
+    is O(tokens) ints, never pairwise."""
+    from lapis_silo_spark.functions.dedup import duplicate_spans
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+@query(
+    "dedup_substring_clean",
+    f"""WITH {_SUBSTR_GRAMS_SQL},
+        cov AS (SELECT DISTINCT id, pos
+                FROM (SELECT id, unnest(range(pos, e + 1)) AS pos FROM d)),
+        tok0 AS (SELECT id,
+                   unnest([{{'pos': i, 'tok': t[i]}}
+                           FOR i IN range(1, len(t) + 1)]) AS u
+                 FROM toks),
+        tk AS (SELECT id, u.pos AS pos, u.tok AS tok FROM tok0),
+        kept AS (SELECT tk.id, tk.pos, tk.tok
+                 FROM tk LEFT JOIN cov
+                   ON cov.id = tk.id AND cov.pos = tk.pos
+                 WHERE cov.id IS NULL),
+        rb AS (SELECT id, CAST(count(*) AS BIGINT) AS clean_tokens,
+                      string_agg(tok, ' ' ORDER BY pos) AS clean_text
+               FROM kept GROUP BY id)
+       SELECT t.id, coalesce(rb.clean_tokens, 0) AS clean_tokens,
+              coalesce(rb.clean_text, '') AS clean_text
+       FROM toks t LEFT JOIN rb ON rb.id = t.id""",
+)
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal (functions.dedup.remove_duplicate_spans, k=8): cut every
+    duplicated span, keep the canonical occurrence, re-assemble the cleaned
+    text per doc. Covered positions shuffle as (id, int) pairs only."""
+    from lapis_silo_spark.functions.dedup import remove_duplicate_spans
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return remove_duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+# ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate records exactly the FIRST 50 registered

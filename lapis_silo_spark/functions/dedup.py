@@ -1181,3 +1181,130 @@ def minhash_dedup_clusters(
         ),
         guard,
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (span) deduplication
+# ---------------------------------------------------------------------------
+
+def _gram_dup_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, end): every word-``k``-gram occurrence that is NOT the
+    corpus-wide canonical (lexicographically-min ``(id, pos)``) occurrence
+    of its gram. Positions are 1-based; ``end = pos + k - 1``.
+
+    The inverted-index shape: the occurrence table is O(total tokens) and
+    shuffles NARROW — ``(id, pos, md5)`` only, never the text; the canonical
+    table is O(distinct grams). No pairwise join anywhere.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        toks.alias("_t"),
+    ).select(
+        "id",
+        "pos",
+        F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " ")).alias("gh"),
+    )
+    canon = occ.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("c")
+    )
+    return (
+        occ.join(canon, "gh")
+        .where((F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos")))
+        .select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring-level dedup statistics (Lee et al. 2022 semantics,
+    re-expressed relationally): a token position is *duplicated* when it is
+    covered by a word ``k``-gram whose exact text occurs elsewhere in the
+    corpus at an earlier ``(id, pos)``; overlapping/adjacent duplicated
+    windows merge into maximal spans. Returns per document
+    ``(id, n_tokens, dup_tokens, n_spans, dup_fraction)`` — the signal a
+    curation pipeline thresholds on before cutting the spans out
+    (see :func:`remove_duplicate_spans`).
+
+    Scale shape: one gram-keyed aggregation (canonical occurrence per
+    distinct gram, map-side combinable min), one narrow join back, one
+    per-doc window for the interval merge (gaps-and-islands — running max
+    of span ends), and a per-doc count join. Shuffle volume is O(tokens)
+    ids+ints; nothing quadratic, no text movement after the scan.
+    """
+    dups = _gram_dup_occurrences(docs, id_col, text_col, k)
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    spans = flagged.groupBy("id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Cut every duplicated span (as defined by :func:`duplicate_spans`) out
+    of each document, keeping only the corpus-wide canonical occurrence of
+    each repeated ``k``-gram. Returns ``(id, clean_tokens, clean_text)``.
+
+    Scale shape: the covered-position table is O(duplicated tokens) ints;
+    kept tokens re-assemble with a per-doc sort_array over collected
+    ``(pos, token)`` structs — one shuffle keyed on the doc id, bounded by
+    document length, no pairwise work.
+    """
+    dups = _gram_dup_occurrences(docs, id_col, text_col, k)
+    covered = dups.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("end"))).alias("pos")
+    ).dropDuplicates(["id", "pos"])
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos0", "tok"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("clean_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

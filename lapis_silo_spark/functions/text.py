@@ -396,3 +396,83 @@ def unigram_perplexity(docs, id_col: str, text_col: str):
             ).alias("ppl"),
         )
     )
+
+
+def chunk_windows(
+    docs,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+):
+    """Split each document into fixed-size token windows with overlap — the
+    standard pretraining / retrieval chunking step (window ``size`` tokens,
+    advancing ``stride`` tokens, so consecutive chunks share
+    ``size - stride`` tokens). Returns
+    ``(id, chunk_id, chunk_start, chunk_tokens, chunk_text)`` with
+    ``chunk_start`` 0-based and the final partial window kept whenever it
+    adds at least one uncovered token.
+
+    Scale shape: a single narrow per-row map — sequence/transform/posexplode
+    all in ONE select (whole-stage codegen keeps the array expression and its
+    explode fused), no shuffle at all; output volume is
+    ``ceil(tokens/stride)`` rows per doc, pipelining straight out of the
+    Parquet scan.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # 1 + ceil(max(0, n - size) / stride) window starts at 0, stride, ...
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(size), F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride), F.lit(stride)),
+                lambda s: F.struct(
+                    s.cast("long").alias("chunk_start"),
+                    F.least(F.lit(size), n - s).cast("long").alias("chunk_tokens"),
+                    F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk_text"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return exploded.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+# PII patterns shared by the Spark expressions and the DuckDB oracle: both
+# dialects (java.util.regex and RE2) read these identically — no lookaround,
+# no backreferences, ASCII word boundaries only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # TPC-H style international numbers (NN-NNN-NNN-NNNN) and generic
+    # long digit runs separated by -/./space.
+    ("phone", r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category PII match counts (JVM regexp_count, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Replace every PII match with its category placeholder. Order matters
+    and is fixed (email, phone, ipv4) so both engines rewrite identically;
+    all three passes stay inside one codegen'd projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
