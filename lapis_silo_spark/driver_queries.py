@@ -3904,6 +3904,70 @@ def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, "doc_id", "text", k=8)
 
 
+@query(
+    "decontam_near_dup",
+    # Full value oracle: the md5 universal-hash signature family is
+    # deterministic, so DuckDB rebuilds both sides' signatures, the CROSS
+    # corpus (train x eval) band join, and the signature-estimated Jaccard
+    # verification — then replays the max-j/min-id best-match selection.
+    f"""WITH h AS (
+          SELECT doc_id AS id,
+                 [('0x' || substr(md5(s), 1, 8))::BIGINT
+                  FOR s IN {_SHINGLES_SQL}] AS hs
+          FROM documents),
+        sig AS (
+          SELECT id,
+                 [list_min([((2*i + 1) * h + (i * 2654435761) % 4294967311)
+                            % 4294967311 FOR h IN hs])
+                  FOR i IN range(0, 64)] AS sig
+          FROM h),
+        bands AS (
+          SELECT id, sig, unnest(range(0, 8)) AS band,
+                 md5(array_to_string(
+                     sig[(unnest(range(0, 8)) * 8 + 1)
+                         :(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT t.id AS id, e.id AS eval_id,
+                          t.sig AS sig_t, e.sig AS sig_e
+          FROM bands t JOIN bands e
+            ON t.band = e.band AND t.band_hash = e.band_hash
+          WHERE t.id % 10 <> 0 AND e.id % 10 = 0),
+        v AS (
+          SELECT * FROM (
+            SELECT id, eval_id,
+                   len(list_filter([sig_t[i + 1] = sig_e[i + 1]
+                                    FOR i IN range(0, 64)], x -> x)) / 64.0
+                     AS j
+            FROM cand)
+          WHERE j >= 0.5),
+        mx AS (SELECT id, max(j) AS mj FROM v GROUP BY id)
+       SELECT v.id, CAST(count(*) AS BIGINT) AS n_matches,
+              min(CASE WHEN v.j = mx.mj THEN v.eval_id END) AS match_id,
+              round(max(v.j), 6) AS est_jaccard
+       FROM v JOIN mx ON mx.id = v.id
+       GROUP BY v.id""",
+)
+def q_decontam_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination (functions.decontam.
+    near_dup_contaminated): training docs whose MinHash-estimated Jaccard
+    against any held-out eval doc reaches 0.5 — the fuzzy arm of the
+    eval-leak sweep (exact n-gram overlap misses light paraphrase). Cross
+    corpus band join, never a self-join; train side shuffles
+    (id, band, band_hash) only."""
+    from lapis_silo_spark.functions.decontam import near_dup_contaminated
+    from lapis_silo_spark.functions.dedup import hash32
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs.filter(F.col("doc_id") % 10 != 0)
+    return near_dup_contaminated(
+        train_df, eval_df, "doc_id", "text",
+        threshold=0.5, n_perms=64, n_bands=8, k=5, hash_fn=hash32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

@@ -139,3 +139,93 @@ def containment_scores(
             ).alias("containment"),
         )
     )
+
+
+def near_dup_contaminated(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_perms: int = 64,
+    n_bands: int = 8,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """Near-duplicate decontamination: training documents whose MinHash
+    signature-estimated Jaccard against ANY eval document reaches
+    ``threshold``. Exact n-gram overlap (:func:`contaminated_docs`) misses
+    lightly-paraphrased leaks; this is the fuzzy detector of the family —
+    the Lee/Brown-style "13-gram or near-dup" eval-leak sweep's second arm.
+
+    Returns ``(id, n_matches, match_id, est_jaccard)`` per flagged training
+    doc: how many eval docs it collides-and-verifies against, the best
+    match (max estimated Jaccard, ties to the smallest eval id), and that
+    match's estimated Jaccard (rounded to 6dp).
+
+    Scale design: this is a CROSS-corpus band join, not a self-join — the
+    eval side is orders of magnitude smaller, so its band table
+    (n_bands × eval rows) broadcasts or hash-joins cheaply; the training
+    side shuffles ``(id, band, band_hash)`` ONLY (signatures re-join by id
+    for the deduped candidates, the same narrow-candidate discipline as
+    ``minhash_lsh_pairs``). Candidate volume is bounded by band collisions
+    against the eval set — sparse by construction — never |train|².
+    """
+    from lapis_silo_spark.functions.dedup import (
+        _band_hash,
+        hash32,
+        minhash_signatures,
+    )
+
+    rows_per_band = n_perms // n_bands
+    fn = hash_fn or hash32
+    tsig = minhash_signatures(train_df, id_col, text_col, n_perms, k, hash_fn=fn)
+    esig = minhash_signatures(eval_df, id_col, text_col, n_perms, k, hash_fn=fn)
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        ).select("id", "band", _band_hash(rows_per_band))
+
+    tb = _bands(tsig)
+    eb = _bands(esig).select(
+        F.col("id").alias("eval_id"), "band", "band_hash"
+    )
+    cand = (
+        tb.join(eb, on=["band", "band_hash"])
+        .select("id", "eval_id")
+        .dropDuplicates(["id", "eval_id"])
+    )
+    verified = (
+        cand.join(tsig.select("id", F.col("sig").alias("sig_t")), "id")
+        .join(
+            esig.select(F.col("id").alias("eval_id"), F.col("sig").alias("sig_e")),
+            "eval_id",
+        )
+        .select(
+            "id",
+            "eval_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_t", "sig_e", lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(n_perms))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    # best match = max estimated jaccard, ties to smallest eval id — the
+    # struct max (j, -eval_id) keeps the whole selection one map-side
+    # combinable aggregate
+    return verified.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        (-F.max(F.struct(F.col("j"), (-F.col("eval_id")).alias("neg")))["neg"]).alias(
+            "match_id"
+        ),
+        F.round(F.max("j"), 6).alias("est_jaccard"),
+    )

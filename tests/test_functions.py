@@ -1258,3 +1258,53 @@ def test_ivf_trained_full_probe_equals_brute_force(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_near_dup_contaminated_flags_and_best_match(spark):
+    """Exact copy of an eval doc verifies at j=1.0; unrelated text stays
+    unflagged; a train doc matching TWO eval docs counts both and best-match
+    ties break to the smallest eval id."""
+    from lapis_silo_spark.functions.decontam import near_dup_contaminated
+
+    leak = "the quick brown fox jumps over the lazy dog again and again " * 4
+    other = "entirely different content about spark catalyst planning " * 4
+    eval_df = spark.createDataFrame(
+        [(100, leak), (200, leak), (300, other)], ["doc_id", "text"]
+    )
+    train_df = spark.createDataFrame(
+        [
+            (1, leak),                       # leaks, matches BOTH eval twins
+            (2, "no overlap with anything here at all zzz qqq www " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in near_dup_contaminated(
+            train_df, eval_df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(rows) == {1}
+    assert rows[1]["n_matches"] == 2
+    assert rows[1]["match_id"] == 100  # tie at j=1.0 -> smallest eval id
+    assert rows[1]["est_jaccard"] == 1.0
+
+
+def test_near_dup_contaminated_cross_join_is_banded(spark):
+    """No cartesian product / nested-loop join: the cross-corpus candidate
+    generation must go through the band equi-join."""
+    from lapis_silo_spark.functions.decontam import near_dup_contaminated
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body number "), F.col("id").cast("string")).alias("text"),
+    )
+    out = near_dup_contaminated(
+        df.filter(F.col("doc_id") % 2 == 0),
+        df.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
