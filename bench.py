@@ -54,6 +54,11 @@ HEADLINE = [
     "dedup_embedding_blocked_pairs",
     "decontam_ngram_overlap",
     "decontam_bloom_overlap",
+    "decontam_near_dup",
+    # round-5: substring-span dedup (gram-keyed canonical agg + per-doc
+    # interval-merge window) and zero-shuffle token-window chunking
+    "dedup_substring_spans",
+    "text_chunk_windows",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",
     "text_unigram_perplexity",
