@@ -1188,15 +1188,29 @@ def minhash_dedup_clusters(
 # ---------------------------------------------------------------------------
 
 def _gram_dup_occurrences(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int, skew_safe: bool = True
 ) -> DataFrame:
     """(id, pos, end): every word-``k``-gram occurrence that is NOT the
     corpus-wide canonical (lexicographically-min ``(id, pos)``) occurrence
     of its gram. Positions are 1-based; ``end = pos + k - 1``.
 
     The inverted-index shape: the occurrence table is O(total tokens) and
-    shuffles NARROW — ``(id, pos, md5)`` only, never the text; the canonical
-    table is O(distinct grams). No pairwise join anywhere.
+    shuffles NARROW — ``(id, pos, md5)`` only, never the text.
+
+    Canonical selection has two equivalent physical forms, chosen by
+    ``skew_safe``:
+
+    - ``True`` (default, the 100 TB path): min-struct aggregate per gram +
+      join back. The min combines MAP-SIDE, and the 1:N join is
+      AQE-skew-splittable — a boilerplate gram occurring in millions of
+      documents (the COMMON hot case in web corpora, not an adversarial
+      one) spreads across split partitions. Costs a second compute of the
+      gram table (the partial-agg exchange differs from the join exchange,
+      so Catalyst cannot reuse it).
+    - ``False``: one row_number window over the gram key — a single pass
+      and ~1.6× faster at bench scale, but a hot gram's whole group must
+      sort inside ONE task (windows are not skew-splittable), so reserve
+      it for corpora known to be boilerplate-free.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -1213,18 +1227,22 @@ def _gram_dup_occurrences(
         "pos",
         F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " ")).alias("gh"),
     )
-    canon = occ.groupBy("gh").agg(
-        F.min(F.struct("id", "pos")).alias("c")
-    )
-    return (
-        occ.join(canon, "gh")
-        .where((F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos")))
-        .select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
-    )
+    if skew_safe:
+        canon = occ.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("c"))
+        dups = occ.join(canon, "gh").where(
+            (F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos"))
+        )
+    else:
+        w = Window.partitionBy("gh").orderBy("id", "pos")
+        dups = occ.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") > 1
+        )
+    return dups.select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
 
 
 def duplicate_spans(
-    docs: DataFrame, id_col: str, text_col: str, k: int = 8
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Exact substring-level dedup statistics (Lee et al. 2022 semantics,
     re-expressed relationally): a token position is *duplicated* when it is
@@ -1241,7 +1259,7 @@ def duplicate_spans(
     of span ends), and a per-doc count join. Shuffle volume is O(tokens)
     ids+ints; nothing quadratic, no text movement after the scan.
     """
-    dups = _gram_dup_occurrences(docs, id_col, text_col, k)
+    dups = _gram_dup_occurrences(docs, id_col, text_col, k, skew_safe)
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1272,7 +1290,8 @@ def duplicate_spans(
 
 
 def remove_duplicate_spans(
-    docs: DataFrame, id_col: str, text_col: str, k: int = 8
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Cut every duplicated span (as defined by :func:`duplicate_spans`) out
     of each document, keeping only the corpus-wide canonical occurrence of
@@ -1283,7 +1302,7 @@ def remove_duplicate_spans(
     ``(pos, token)`` structs — one shuffle keyed on the doc id, bounded by
     document length, no pairwise work.
     """
-    dups = _gram_dup_occurrences(docs, id_col, text_col, k)
+    dups = _gram_dup_occurrences(docs, id_col, text_col, k, skew_safe)
     covered = dups.select(
         "id", F.explode(F.sequence(F.col("pos"), F.col("end"))).alias("pos")
     ).dropDuplicates(["id", "pos"])

@@ -149,3 +149,25 @@ def test_substring_plan_stays_narrow(spark, span_docs):
     plan = duplicate_spans(span_docs, "doc_id", "text", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skew_safe_and_window_forms_identical(spark, span_docs):
+    """Both physical forms of canonical selection produce identical spans."""
+    a = sorted(
+        map(tuple, duplicate_spans(span_docs, "doc_id", "text", k=3,
+                                   skew_safe=True).collect())
+    )
+    b = sorted(
+        map(tuple, duplicate_spans(span_docs, "doc_id", "text", k=3,
+                                   skew_safe=False).collect())
+    )
+    assert a == b
+    ca = sorted(
+        map(tuple, remove_duplicate_spans(span_docs, "doc_id", "text", k=3,
+                                          skew_safe=True).collect())
+    )
+    cb = sorted(
+        map(tuple, remove_duplicate_spans(span_docs, "doc_id", "text", k=3,
+                                          skew_safe=False).collect())
+    )
+    assert ca == cb
