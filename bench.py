@@ -65,6 +65,7 @@ HEADLINE = [
     "text_encode_token_ids",
     "sample_dataset_mixture",
     "sketch_kmv_distinct",
+    "sketch_count_min_terms",
     "sample_topk_per_group",
     "quality_quantile_filter_sampled",
     "dedup_incremental_exact",

@@ -3968,6 +3968,56 @@ def q_decontam_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_count_min_terms",
+    # Full value oracle: the count-min slots are md5-derived integer
+    # algebra, so DuckDB rebuilds the IDENTICAL sketch — collisions and
+    # their overcounts included — then replays every distinct term's
+    # min-over-hashes estimate.
+    f"""WITH toks AS (SELECT {_TOKENS_SQL} AS t FROM documents),
+        term0 AS (SELECT unnest(t) AS term FROM toks),
+        hashes AS (SELECT unnest(range(4)) AS h),
+        pos AS (
+          SELECT term, h,
+                 ('0x' || substr(md5(term || ':' || h), 1, 8))::BIGINT
+                   % 1024 AS slot
+          FROM term0 CROSS JOIN hashes),
+        cm AS (SELECT h, slot, CAST(count(*) AS BIGINT) AS cnt
+               FROM pos GROUP BY 1, 2),
+        dt AS (SELECT DISTINCT term FROM term0),
+        probe AS (
+          SELECT dt.term, hashes.h,
+                 ('0x' || substr(md5(dt.term || ':' || hashes.h), 1, 8))::BIGINT
+                   % 1024 AS slot
+          FROM dt CROSS JOIN hashes),
+        est AS (
+          SELECT probe.term,
+                 min(coalesce(cm.cnt, 0)) AS est_count
+          FROM probe LEFT JOIN cm ON cm.h = probe.h AND cm.slot = probe.slot
+          GROUP BY probe.term)
+       SELECT term AS val, est_count FROM est WHERE est_count >= 100""",
+)
+def q_sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (functions.sketches.count_min_build/
+    count_min_estimate): term frequencies estimated from a constant-size
+    (4 × 1024 row) mergeable sketch instead of a term-keyed shuffle of the
+    corpus — the frequency twin of the Bloom filter, estimates can only
+    overcount. Build combines map-side into the sketch's own row bound;
+    probing is one broadcast join."""
+    from lapis_silo_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from lapis_silo_spark.functions.text import tokens
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    terms = docs.select(F.explode(tokens("text")).alias("term"))
+    sketch = count_min_build(terms, "term", n_width=1024, n_hashes=4)
+    est = count_min_estimate(terms, "term", sketch, n_width=1024, n_hashes=4)
+    return est.filter(F.col("est_count") >= 100)
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

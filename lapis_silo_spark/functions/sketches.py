@@ -201,3 +201,95 @@ def hash_topk_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# -- count-min ---------------------------------------------------------------
+
+def _cm_slot(value: Column, i: int, n_width: int) -> Column:
+    """The ``i``-th md5-derived count-min slot of a value in [0, n_width)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(value, F.lit(f":{i}"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % F.lit(n_width)
+
+
+def count_min_build(
+    df: DataFrame,
+    value_col: str | Column,
+    n_width: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a deterministic count-min sketch over a column's OCCURRENCES
+    (not distinct values): ``(h, slot, cnt)`` — at most
+    ``n_hashes × n_width`` rows.
+
+    The frequency twin of :func:`bloom_build`: Cormode–Muthukrishnan
+    count-min with md5-derived slots, pure integer algebra an external SQL
+    engine rebuilds IDENTICALLY (collisions included), so estimates are
+    value-oracle-able. Estimates via :func:`count_min_estimate` only ever
+    OVERcount (min over ``n_hashes`` counters, each inflated by collisions
+    alone).
+
+    Scale shape: one pass, ``n_hashes`` slot rows per occurrence, one
+    count aggregation that combines MAP-SIDE into ≤ ``n_hashes × n_width``
+    groups — constant-size mergeable state (sketches from corpus shards
+    merge by ADDING counts per (h, slot)) that answers any later frequency
+    probe without a term-keyed shuffle of the corpus.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = df.select(value.alias("val")).filter(F.col("val").isNotNull())
+    positions = rows.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("h"),
+                    _cm_slot(F.col("val"), i, n_width).alias("slot"),
+                )
+                for i in range(n_hashes)
+            ])
+        ).alias("p")
+    ).select(F.col("p.h").alias("h"), F.col("p.slot").alias("slot"))
+    return positions.groupBy("h", "slot").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    value_col: str | Column,
+    sketch: DataFrame,
+    n_width: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Estimate the corpus frequency of every distinct value in ``df``
+    against a :func:`count_min_build` sketch: ``(val, est_count)`` with
+    ``est_count >= true count`` always (count-min never undercounts).
+
+    The sketch joins in as a BROADCAST of ≤ ``n_hashes × n_width`` rows —
+    probing costs one map-side join per (value, hash) pair, never a
+    shuffle against the corpus that built the sketch.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    probes = (
+        df.select(value.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+        .select(
+            "val",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        _cm_slot(F.col("val"), i, n_width).alias("slot"),
+                    )
+                    for i in range(n_hashes)
+                ])
+            ).alias("p"),
+        )
+        .select("val", F.col("p.h").alias("h"), F.col("p.slot").alias("slot"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), on=["h", "slot"], how="left")
+        .groupBy("val")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

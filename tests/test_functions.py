@@ -1308,3 +1308,62 @@ def test_near_dup_contaminated_cross_join_is_banded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    """est >= exact for every term; shard sketches merged by adding counts
+    estimate identically to the whole-corpus sketch."""
+    from lapis_silo_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(i, words[i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, ["i", "term"])
+    exact = {r["term"]: r["c"] for r in
+             df.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    sketch = count_min_build(df, "term", n_width=64, n_hashes=3)
+    est = {
+        r["val"]: r["est_count"]
+        for r in count_min_estimate(df, "term", sketch,
+                                    n_width=64, n_hashes=3).collect()
+    }
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, t
+
+    # merge = per-(h, slot) count addition
+    a = count_min_build(df.filter("i % 2 = 0"), "term", n_width=64, n_hashes=3)
+    b = count_min_build(df.filter("i % 2 = 1"), "term", n_width=64, n_hashes=3)
+    merged = (
+        a.unionByName(b)
+        .groupBy("h", "slot")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    est_m = {
+        r["val"]: r["est_count"]
+        for r in count_min_estimate(df, "term", merged,
+                                    n_width=64, n_hashes=3).collect()
+    }
+    assert est_m == est
+
+
+def test_count_min_exact_when_collision_free(spark):
+    """With width >> distinct values, estimates equal exact counts."""
+    from lapis_silo_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3}") for i in range(90)], ["i", "term"]
+    )
+    sketch = count_min_build(df, "term", n_width=4096, n_hashes=4)
+    est = {
+        r["val"]: r["est_count"]
+        for r in count_min_estimate(df, "term", sketch,
+                                    n_width=4096, n_hashes=4).collect()
+    }
+    assert est == {"w0": 30, "w1": 30, "w2": 30}
