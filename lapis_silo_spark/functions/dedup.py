@@ -1225,7 +1225,12 @@ def _gram_dup_occurrences(
     ).select(
         "id",
         "pos",
-        F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " ")).alias("gh"),
+        # 16-byte binary key (not the 32-char hex string): the gram key is
+        # internal to this plan, and halving+ the shuffled key width measures
+        # 1.7x faster on the span stage at sf0.1 with identical output
+        F.unhex(
+            F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " "))
+        ).alias("gh"),
     )
     if skew_safe:
         canon = occ.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("c"))
