@@ -151,6 +151,7 @@ def near_dup_contaminated(
     n_bands: int = 8,
     k: int = 5,
     hash_fn=None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate decontamination: training documents whose MinHash
     signature-estimated Jaccard against ANY eval document reaches
@@ -170,6 +171,14 @@ def near_dup_contaminated(
     for the deduped candidates, the same narrow-candidate discipline as
     ``minhash_lsh_pairs``). Candidate volume is bounded by band collisions
     against the eval set — sparse by construction — never |train|².
+
+    ``max_band_freq`` caps the one hot spot left: a band bucket hot on the
+    TRAIN side (t docs) that also matches e eval docs emits t·e candidates;
+    a boilerplate-heavy train slice can make that product dominate. Buckets
+    whose TRAIN occupancy exceeds the cap are skipped, bounding candidates
+    at O(n_bands · eval_rows · cap). Recall contract mirrors
+    ``minhash_lsh_pairs``: a true leak is lost only if EVERY band it shares
+    with the eval doc is train-hot. Default ``None`` = exact LSH semantics.
     """
     from lapis_silo_spark.functions.dedup import (
         _band_hash,
@@ -190,6 +199,14 @@ def near_dup_contaminated(
         ).select("id", "band", _band_hash(rows_per_band))
 
     tb = _bands(tsig)
+    if max_band_freq is not None:
+        hot = (
+            tb.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "band_hash")
+        )
+        tb = tb.join(hot, on=["band", "band_hash"], how="left_anti")
     eb = _bands(esig).select(
         F.col("id").alias("eval_id"), "band", "band_hash"
     )

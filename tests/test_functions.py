@@ -1367,3 +1367,37 @@ def test_count_min_exact_when_collision_free(spark):
                                     n_width=4096, n_hashes=4).collect()
     }
     assert est == {"w0": 30, "w1": 30, "w2": 30}
+
+
+def test_near_dup_contaminated_band_cap(spark):
+    """Hot TRAIN band buckets are skipped under max_band_freq; flagged set
+    is a subset of the uncapped run and a pair colliding in a cold band
+    survives."""
+    from lapis_silo_spark.functions.decontam import near_dup_contaminated
+
+    boiler = "shared boilerplate header tokens repeated across the slice " * 3
+    eval_df = spark.createDataFrame(
+        [(1000, boiler), (2000, "a rare unique control document body " * 3)],
+        ["doc_id", "text"],
+    )
+    train = [(i, boiler) for i in range(1, 40)]  # hot: 39 exact boiler docs
+    train.append((500, "a rare unique control document body " * 3))  # cold leak
+    train_df = spark.createDataFrame(train, ["doc_id", "text"])
+
+    uncapped = {
+        r["id"]
+        for r in near_dup_contaminated(
+            train_df, eval_df, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    capped = {
+        r["id"]
+        for r in near_dup_contaminated(
+            train_df, eval_df, "doc_id", "text", threshold=0.9,
+            max_band_freq=8,
+        ).collect()
+    }
+    assert 500 in uncapped and all(i in uncapped for i in range(1, 40))
+    assert capped <= uncapped
+    assert 500 in capped            # cold-band leak survives the cap
+    assert not any(i in capped for i in range(1, 40))  # hot slice skipped
