@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "pipeline_curation_end_to_end",
     "pipeline_curation_near_dup",
+    "pipeline_curation_substring",
     "cluster_kmeans_assign",
     "semdedup_prune",
     "ann_brute_force_topk",

@@ -3817,8 +3817,10 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBSTR_GRAMS_SQL = f"""toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t
-                                 FROM documents),
+def _substr_grams_sql(toks_cte: str) -> str:
+    """The substring-dedup gram/canonical/dup-occurrence CTE chain over an
+    arbitrary ``toks`` CTE body (must yield ``id`` and token array ``t``)."""
+    return f"""toks AS ({toks_cte}),
         g0 AS (SELECT id,
                  unnest(CASE WHEN len(t) >= 8 THEN
                    [{{'pos': i, 'gh': md5(array_to_string(t[i:i+7], ' '))}}
@@ -3831,6 +3833,11 @@ _SUBSTR_GRAMS_SQL = f"""toks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t
                        AS rn
               FROM g),
         d AS (SELECT id, pos, pos + 7 AS e FROM r WHERE rn > 1)"""
+
+
+_SUBSTR_GRAMS_SQL = _substr_grams_sql(
+    f"SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents"
+)
 
 
 @query(
@@ -3965,6 +3972,70 @@ def q_decontam_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_contaminated(
         train_df, eval_df, "doc_id", "text",
         threshold=0.5, n_perms=64, n_bands=8, k=5, hash_fn=hash32,
+    )
+
+
+@query(
+    "pipeline_curation_substring",
+    # quality gate → substring-span dedup statistics → per-(source, lang)
+    # yield accounting, ONE lazy plan; the gram universe is the GATED
+    # corpus on both engines
+    f"""WITH {_substr_grams_sql(
+        f"SELECT doc_id AS id, source, lang, {_TOKENS_SQL} AS t "
+        f"FROM documents WHERE length({_TOKENS_SQL}) >= 20"
+    )},
+        m AS (SELECT id, pos, e,
+                     max(e) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pe
+              FROM d),
+        f AS (SELECT id, pos, e,
+                     CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END
+                       AS ni
+              FROM m),
+        i2 AS (SELECT id, pos, e,
+                      sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island
+               FROM f),
+        sp AS (SELECT id, island, min(pos) AS s, max(e) AS e
+               FROM i2 GROUP BY 1, 2),
+        pd AS (SELECT id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+               FROM sp GROUP BY 1)
+       SELECT t.source, t.lang, CAST(count(*) AS BIGINT) AS docs,
+              CAST(sum(len(t.t) - coalesce(pd.dup_tokens, 0)) AS BIGINT)
+                AS toks_clean,
+              CAST(sum(coalesce(pd.dup_tokens, 0)) AS BIGINT)
+                AS toks_removed,
+              round(sum(coalesce(pd.dup_tokens, 0))
+                    / CAST(sum(len(t.t)) AS DOUBLE), 6) AS dup_rate
+       FROM toks t LEFT JOIN pd ON pd.id = t.id
+       GROUP BY t.source, t.lang""",
+)
+def q_pipeline_curation_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with SUBSTRING-level dedup in the dedup seat:
+    quality gate (>= 20 tokens) → duplicate-span statistics over the gated
+    corpus → per-(source, lang) clean/removed token yield — one lazy plan,
+    composition proof for the round-5 span operators."""
+    from lapis_silo_spark.functions.dedup import duplicate_spans
+    from lapis_silo_spark.functions.text import token_count
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    gated = docs.filter(token_count("text") >= 20)
+    spans = duplicate_spans(gated, "doc_id", "text", k=8)
+    return (
+        gated.select(F.col("doc_id").alias("id"), "source", "lang")
+        .join(spans, "id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.col("n_tokens") - F.col("dup_tokens"))
+            .cast("long")
+            .alias("toks_clean"),
+            F.sum("dup_tokens").cast("long").alias("toks_removed"),
+            F.round(
+                F.sum("dup_tokens") / F.sum("n_tokens").cast("double"), 6
+            ).alias("dup_rate"),
+        )
     )
 
 
