@@ -463,7 +463,11 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(col: str | Column) -> dict[str, Column]:
-    """Per-category PII match counts (JVM regexp_count, no UDF)."""
+    """Per-category PII match counts over the RAW text (JVM regexp_count,
+    no UDF). Counts are independent per category: text where one
+    category's match contains another's (an IP inside an email local
+    part) counts in both, while :func:`pii_redact` applies sequentially —
+    the earlier category's placeholder swallows the contained match."""
     c = F.col(col) if isinstance(col, str) else col
     return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
 
