@@ -171,3 +171,17 @@ def test_skew_safe_and_window_forms_identical(spark, span_docs):
                                           skew_safe=False).collect())
     )
     assert ca == cb
+
+
+def test_chunk_windows_plan_has_no_exchange(spark):
+    """Chunking is a pure per-row map: sequence/transform/posexplode fuse
+    into one Generate over the scan — any Exchange is a regression."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    plan = (
+        chunk_windows(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan or "Generate" in plan
