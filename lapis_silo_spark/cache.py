@@ -115,5 +115,13 @@ def scoped_persist(
     """
     if not intermediate.is_cached:
         intermediate.persist(storage_level)
+    # stack-safe: a second scoped_persist on the same result must not drop
+    # the first guard (attribute overwrite would unpersist the earlier
+    # intermediate immediately via _CacheGuard.__del__)
+    existing = getattr(result, "_silo_cache_guard", None)
+    if existing is not None:
+        stacked = getattr(result, "_silo_cache_guards", [])
+        stacked.append(existing)
+        result._silo_cache_guards = stacked
     result._silo_cache_guard = _CacheGuard(intermediate)
     return result

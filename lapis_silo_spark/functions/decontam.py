@@ -180,34 +180,25 @@ def near_dup_contaminated(
     ``minhash_lsh_pairs``: a true leak is lost only if EVERY band it shares
     with the eval doc is train-hot. Default ``None`` = exact LSH semantics.
     """
+    from lapis_silo_spark.cache import scoped_persist
     from lapis_silo_spark.functions.dedup import (
-        _band_hash,
+        banded_rows,
         hash32,
         minhash_signatures,
     )
 
     rows_per_band = n_perms // n_bands
     fn = hash_fn or hash32
+    # Both signature tables are referenced twice (band generation + the
+    # verify join) — and the train side a third time when the hot-bucket
+    # cap derives its occupancy counts — so persist them for the result's
+    # lifetime; the signature aggregation is the dominant cost and must
+    # not recompute (the minhash_lsh_pairs lesson, dedup.py).
     tsig = minhash_signatures(train_df, id_col, text_col, n_perms, k, hash_fn=fn)
     esig = minhash_signatures(eval_df, id_col, text_col, n_perms, k, hash_fn=fn)
 
-    def _bands(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "id",
-            "sig",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        ).select("id", "band", _band_hash(rows_per_band))
-
-    tb = _bands(tsig)
-    if max_band_freq is not None:
-        hot = (
-            tb.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
-            .select("band", "band_hash")
-        )
-        tb = tb.join(hot, on=["band", "band_hash"], how="left_anti")
-    eb = _bands(esig).select(
+    tb = banded_rows(tsig, n_bands, rows_per_band, max_band_freq)
+    eb = banded_rows(esig, n_bands, rows_per_band).select(
         F.col("id").alias("eval_id"), "band", "band_hash"
     )
     cand = (
@@ -239,10 +230,11 @@ def near_dup_contaminated(
     # best match = max estimated jaccard, ties to smallest eval id — the
     # struct max (j, -eval_id) keeps the whole selection one map-side
     # combinable aggregate
-    return verified.groupBy("id").agg(
+    out = verified.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         (-F.max(F.struct(F.col("j"), (-F.col("eval_id")).alias("neg")))["neg"]).alias(
             "match_id"
         ),
         F.round(F.max("j"), 6).alias("est_jaccard"),
     )
+    return scoped_persist(esig, scoped_persist(tsig, out))

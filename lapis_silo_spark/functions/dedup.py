@@ -306,6 +306,33 @@ def _band_hash(rows_per_band: int) -> Column:
     ).alias("band_hash")
 
 
+def banded_rows(
+    sig: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """NARROW band rows ``(id, band, band_hash)`` from a ``(id, sig)``
+    signature table, with the optional hot-bucket occupancy cap applied —
+    the shared candidate-generation front half of every banded LSH join
+    (self-join dedup AND cross-corpus decontamination), so the cap
+    semantics cannot drift between call sites."""
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select("id", "band", _band_hash(rows_per_band))
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(hot, on=["band", "band_hash"], how="left_anti")
+    return bands
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -381,19 +408,7 @@ def minhash_lsh_pairs(
     # sig is dropped — the self-join below shuffles ~3 small columns per
     # row, and the 64-long signatures re-join by id only for the deduped
     # candidate pairs (the similarity.lsh_candidate_pairs lesson).
-    bands = sig.select(
-        "id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).select("id", "band", _band_hash(rows_per_band))
-    if max_band_freq is not None:
-        hot = (
-            bands.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
-            .select("band", "band_hash")
-        )
-        bands = bands.join(hot, on=["band", "band_hash"], how="left_anti")
+    bands = banded_rows(sig, n_bands, rows_per_band, max_band_freq)
     a = bands.alias("a")
     b = bands.alias("b")
     cand_ids = (

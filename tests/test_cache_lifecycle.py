@@ -142,3 +142,22 @@ def test_minhash_dedup_clusters_leaves_no_persisted_rdds(spark):
     del clusters
     gc.collect()
     assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_scoped_persist_stacks_guards(spark):
+    """Two scoped_persist calls on one result keep BOTH intermediates
+    persisted until the result dies (attribute overwrite used to drop the
+    first guard and unpersist its frame immediately)."""
+    import gc
+
+    from lapis_silo_spark.cache import scoped_persist
+
+    a = spark.range(5).selectExpr("id AS a")
+    b = spark.range(5).selectExpr("id AS b")
+    out = spark.range(5)
+    out = scoped_persist(a, out)
+    out = scoped_persist(b, out)
+    assert a.is_cached and b.is_cached
+    del out
+    gc.collect()
+    assert not a.is_cached and not b.is_cached

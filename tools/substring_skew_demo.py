@@ -97,8 +97,11 @@ def main() -> int:
     for n_hot in hots:
         df = build_corpus(spark, sf_dir, n_hot).persist()
         df.count()
-        # warm codegen on the small background before timing either form
         point = {"n_hot": n_hot, "corpus_rows": df.count()}
+        # one untimed run of EACH form first, so neither measured run
+        # absorbs JVM/codegen warm-up (the first-form-measured-cold bias)
+        measure(df, skew_safe=True)
+        measure(df, skew_safe=False)
         join_s, sig_join = measure(df, skew_safe=True)
         win_s, sig_win = measure(df, skew_safe=False)
         assert sig_join == sig_win, (sig_join, sig_win)
