@@ -17,6 +17,56 @@ from lapis_silo_spark.expressions.base import QueryCompileError
 from lapis_silo_spark.sources.ndjson import TableConfig, ingest_ndjson
 
 
+def _extract_update_literal(value_saneql: str, dtype: str):
+    """Parse a SaneQL literal for ``updateColumn`` and check it against the
+    target column's type, mirroring the reference's literal extractors
+    (``saneql/ast.cpp:128-232``: extractInt32Literal /
+    extractNumericAsFloatLiteral / extractBoolLiteral /
+    extractStringLiteral / extractOptionalDateValue) including their error
+    shapes. A ``null`` literal returns ``None`` (clears the rows) for every
+    type."""
+    from lapis_silo_spark.saneql import ast
+    from lapis_silo_spark.saneql.parser import parse
+
+    node = parse(value_saneql)
+    if isinstance(node, ast.NullLiteral):
+        return None
+    loc = f"at {node.loc}"
+    if dtype in ("int", "bigint"):
+        if not isinstance(node, ast.IntLiteral):
+            raise QueryCompileError(f"expected integer literal {loc}")
+        return node.value
+    if dtype in ("double", "float"):
+        if not isinstance(node, (ast.IntLiteral, ast.FloatLiteral)):
+            raise QueryCompileError(f"expected numeric literal {loc}")
+        return float(node.value)
+    if dtype == "boolean":
+        if not isinstance(node, ast.BoolLiteral):
+            raise QueryCompileError(f"expected boolean literal {loc}")
+        return node.value
+    if dtype == "date":
+        if not isinstance(node, ast.TypeCast):
+            raise QueryCompileError(f"expected date type cast {loc}")
+        if node.target_type != "date":
+            raise QueryCompileError(
+                f"expected cast to 'date', got '{node.target_type}' {loc}"
+            )
+        if not isinstance(node.operand, ast.StringLiteral):
+            raise QueryCompileError(f"expected string literal {loc}")
+        import datetime
+
+        try:
+            return datetime.date.fromisoformat(node.operand.value)
+        except ValueError as exc:
+            raise QueryCompileError(
+                f"invalid date '{node.operand.value}' {loc}: {exc}"
+            ) from None
+    # string family (STRING / DICTIONARY_ENCODED / ZSTD_COMPRESSED_STRING)
+    if not isinstance(node, ast.StringLiteral):
+        raise QueryCompileError(f"expected string literal {loc}")
+    return node.value
+
+
 class SiloDatabase:
     """Embedded database handle: the reference's ``silodb.Database`` surface
     over Spark."""
@@ -120,25 +170,27 @@ class SiloDatabase:
     # -- mutation ----------------------------------------------------------
     def update_column(self, table: str, column: str, value,
                       filter_saneql: str | None = None) -> None:
-        """Scalar point update (``Database::updateColumn``) — in-memory; use
-        :meth:`save_checkpoint` to persist a version."""
+        """Point update (``Database::updateColumn``) — in-memory; use
+        :meth:`save_checkpoint` to persist a version.
+
+        Scalar columns plus the string family (STRING / DICTIONARY_ENCODED /
+        ZSTD_COMPRESSED_STRING — all Spark strings here), with the
+        reference's guards: phylo-tree-backed and lineage-indexed columns
+        refuse (``src/silo/query_engine/scalar_column_update.cpp:28-90``).
+        ``value=None`` clears the matched rows to null. For the reference's
+        exact all-strings signature (value as a SaneQL literal) see
+        :meth:`update_column_saneql`.
+        """
         from pyspark.sql import functions as F
 
         from lapis_silo_spark.operators.relational import Pipeline
         from lapis_silo_spark.saneql.binder import Binder
         from lapis_silo_spark.saneql.parser import parse
+        from lapis_silo_spark.storage import check_updatable
 
+        check_updatable(self.db, table, column)
         df = self.db.table(table)
-        if column not in df.columns:
-            raise QueryCompileError(
-                f"unknown column {column!r} in {table!r}"
-            )
-        dtype = df.schema[column].dataType.simpleString()
-        if dtype not in ("int", "bigint", "double", "float", "date", "boolean"):
-            raise QueryCompileError(
-                f"updateColumn supports scalar columns only; {column!r} is "
-                f"{dtype}"
-            )
+        target_type = df.schema[column].dataType
         if filter_saneql is None:
             cond = F.lit(True)
             flags: list[str] = []
@@ -158,12 +210,37 @@ class SiloDatabase:
             if ctx.flag_joins or ctx.seq_flags:
                 df, flags = apply_flag_joins(df, ctx)
         df = df.withColumn(
-            column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+            column,
+            F.when(cond, F.lit(value).cast(target_type)).otherwise(
+                F.col(column)
+            ),
         )
         if flags:
             df = df.drop(*flags)
         self.db.register_table(table, df,
                                primary_key=self.db.primary_key(table))
+
+    def update_column_saneql(self, table: str, column: str,
+                             value_saneql: str,
+                             filter_saneql: str = "true") -> None:
+        """The reference's exact ``updateColumn`` signature: table, column,
+        VALUE, and FILTER are all strings; the value goes through the same
+        SaneQL lexer/parser and literal extractors as queries, so no
+        type-specific string parsing is duplicated
+        (``scalar_column_update.cpp:22-27``, tested at
+        ``database.test.cpp:147-235``).
+
+        A SaneQL ``null`` literal clears the matched rows; every other
+        literal must match the column's type (``'not_a_number'`` for an int
+        column → "expected integer literal"; an unquoted value for a string
+        column → "expected string literal"; dates are ``'2000-01-01'::date``
+        casts).
+        """
+        from lapis_silo_spark.storage import check_updatable
+
+        dtype = check_updatable(self.db, table, column)
+        value = _extract_update_literal(value_saneql, dtype)
+        self.update_column(table, column, value, filter_saneql)
 
     # -- persistence -------------------------------------------------------
     def save_checkpoint(self, root: str) -> str:

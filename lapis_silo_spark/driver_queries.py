@@ -4089,6 +4089,44 @@ def q_sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_count") >= 100)
 
 
+@query(
+    "update_column_roundtrip",
+    """SELECT
+         CASE WHEN c_acctbal < 0 THEN 'DORMANT' ELSE c_mktsegment END
+           AS segment,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(CASE WHEN c_nationkey = 3 THEN NULL ELSE c_name END)
+              AS BIGINT) AS n_name
+       FROM customer GROUP BY 1""",
+)
+def q_update_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateColumn → query roundtrip (``Database::updateColumn``,
+    ``scalar_column_update.cpp:28-90``): a string-family point update
+    (metadata curation: negative-balance customers reassigned to segment
+    'DORMANT') plus a null-clearing update (names of nation 3 wiped),
+    then an aggregate over the updated table. Exercises the round-6
+    string-family path end-to-end, including the SaneQL filter-string API
+    shape (``database.test.cpp:155``). The update is a lazy CASE WHEN
+    projection over the scan — no materialization; the oracle replays it
+    as the equivalent CASE expressions."""
+    from lapis_silo_spark.api import SiloDatabase
+
+    h = SiloDatabase(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    h.db.register_table("customer_upd", cust, primary_key="c_custkey")
+    h.update_column("customer_upd", "c_mktsegment", "DORMANT",
+                    "c_acctbal < 0.0")
+    h.update_column("customer_upd", "c_name", None, "c_nationkey = 3")
+    return (
+        h.db.table("customer_upd")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count("c_name").cast("bigint").alias("n_name"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

@@ -15,8 +15,9 @@ text with a ~100 MB eval-gram table this is a single pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lapis_silo_spark.functions.text import word_ngrams
 
@@ -227,14 +228,40 @@ def near_dup_contaminated(
         )
         .filter(F.col("j") >= threshold)
     )
-    # best match = max estimated jaccard, ties to smallest eval id — the
-    # struct max (j, -eval_id) keeps the whole selection one map-side
-    # combinable aggregate
-    out = verified.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_matches"),
-        (-F.max(F.struct(F.col("j"), (-F.col("eval_id")).alias("neg")))["neg"]).alias(
-            "match_id"
-        ),
-        F.round(F.max("j"), 6).alias("est_jaccard"),
+    # best match = max estimated jaccard, ties to smallest eval id.
+    # Numeric ids keep the single map-side-combinable aggregate via the
+    # struct max (j, -eval_id); non-numeric ids (the id_col parameter is
+    # generic — string doc ids are legal) cannot be negated, so they take
+    # a row_number window over (j DESC, eval_id ASC). The window
+    # partitions by the SAME key as the groupBy, so the exchange is
+    # reused — one shuffle either way, the numeric path just keeps its
+    # partial aggregation.
+    id_numeric = isinstance(
+        eval_df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
     )
+    if id_numeric:
+        out = verified.groupBy("id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            (-F.max(
+                F.struct(F.col("j"), (-F.col("eval_id")).alias("neg"))
+            )["neg"]).alias("match_id"),
+            F.round(F.max("j"), 6).alias("est_jaccard"),
+        )
+    else:
+        w = Window.partitionBy("id").orderBy(
+            F.col("j").desc(), F.col("eval_id").asc()
+        )
+        out = (
+            verified.withColumn("_rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.max(
+                    F.when(F.col("_rn") == 1, F.col("eval_id"))
+                ).alias("match_id"),
+                F.round(F.max("j"), 6).alias("est_jaccard"),
+            )
+        )
     return scoped_persist(esig, scoped_persist(tsig, out))

@@ -758,6 +758,9 @@ def embedding_near_dup_pairs_blocked(
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType
+    id_integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
     if n_blocks is None:
         n_blocks = max(1, math.ceil(df.count() / block_rows))
 
@@ -772,14 +775,23 @@ def embedding_near_dup_pairs_blocked(
     # Replication map: block b → every ordered block pair it belongs to.
     # side 0 = the bi member, side 1 = the bj member; the diagonal pair is
     # emitted once (side 0) and handles its own upper triangle.
-    assign_rows = []
-    for i in range(n_blocks):
-        for j in range(i, n_blocks):
-            assign_rows.append((i, i, j, 0))
-            if i != j:
-                assign_rows.append((j, i, j, 1))
-    assign = spark.createDataFrame(
-        assign_rows, schema="blk int, bi int, bj int, side int"
+    # Built DISTRIBUTIVELY (spark.range + explode(sequence) — the upper
+    # triangle as one generator row per bi), never as a driver-side
+    # Python list: at the default n_blocks = ceil(n / 8192) a ~1e8-row
+    # corpus would otherwise materialize ~75M tuples through
+    # createDataFrame on the driver.
+    tri = spark.range(n_blocks).select(
+        F.col("id").cast("int").alias("bi"),
+        F.explode(
+            F.sequence(F.col("id").cast("int"), F.lit(n_blocks - 1))
+        ).alias("bj"),
+    )
+    assign = tri.select(
+        F.col("bi").alias("blk"), "bi", "bj", F.lit(0).alias("side")
+    ).unionAll(
+        tri.filter(F.col("bi") != F.col("bj")).select(
+            F.col("bj").alias("blk"), "bi", "bj", F.lit(1).alias("side")
+        )
     )
 
     replicated = base.join(F.broadcast(assign), on="blk").select(
@@ -802,9 +814,13 @@ def embedding_near_dup_pairs_blocked(
             if not ids_list:
                 empty = np.empty((0, 0), dtype=np.float64)
                 return np.array([], dtype=np.int64), empty, np.array([])
-            try:
+            # Branch on the id column's SPARK type, not try/except:
+            # np.array([1.9], dtype=np.int64) does not raise — it silently
+            # truncates to 1, which would emit wrong pair ids for
+            # float-typed id columns.
+            if id_integral:
                 ids = np.array(ids_list, dtype=np.int64)
-            except (TypeError, ValueError, OverflowError):
+            else:
                 ids = np.array(ids_list, dtype=object)
             mat = np.array(sub["vec"].tolist(), dtype=np.float64)
             nrm = np.sqrt((mat * mat).sum(axis=1))
@@ -914,9 +930,17 @@ def incremental_minhash_dedup(
 
     hot = None
     if max_band_freq is not None:
+        # Occupancy counts DISTINCT (id, band, band_hash) rows: the base
+        # state legitimately holds duplicate rows between a compaction
+        # crash and the next compaction (_band_state_paths tolerates
+        # both the pre- and post-swap directory surviving), and raw row
+        # counts would inflate bucket occupancy up to 2x — spuriously
+        # skipping buckets near the cap and mis-reporting near-dups as
+        # kept until compaction heals the state.
         occupancy = (
-            new_state.select("band", "band_hash")
-            .unionAll(base_state.select("band", "band_hash"))
+            new_state.select("id", "band", "band_hash")
+            .unionAll(base_state.select("id", "band", "band_hash"))
+            .dropDuplicates(["id", "band", "band_hash"])
             .groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_n"))
         )

@@ -390,7 +390,11 @@ def _warn_if_low_lsh_structure(
     """
     import warnings
 
-    sample = c.limit(sample_rows).select(
+    # Deterministic sample: order by id before limiting so the probe's
+    # verdict cannot flap between runs on borderline corpora (a bare
+    # limit() is partition-order dependent). One extra TakeOrdered over
+    # the id column — still a bounded, narrow job.
+    sample = c.orderBy("id").limit(sample_rows).select(
         F.explode(
             lsh_table_buckets("vec", n_planes, n_tables, dim)
         ).alias("bucket")
@@ -434,7 +438,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_tables: int = 8,
     n_flip: int = 3,
-    warn_low_structure: bool = True,
+    warn_low_structure: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     ``n_tables`` hash tables (each table = its own plane set), exact cosine
@@ -459,11 +463,13 @@ def lsh_bucket_topk(
     points") — below the 0.8 bar; :func:`ivf_topk_with_centroids` with a
     trained codebook (``clustering.kmeans_centroids``) reaches 0.895
     recall at 7.4% scan on the SAME corpus and is the right tool there.
-    With ``warn_low_structure`` (default on), a bounded bucket-occupancy
-    probe (one job over a 2,000-row sample) emits a ``RuntimeWarning``
-    when the corpus's bucket collision mass is within 2× of the uniform
-    baseline ``1/2^n_planes`` — the statistical signature of the
-    LSH-hostile regime.
+    With ``warn_low_structure=True`` (an OPT-IN diagnostic — it runs an
+    eager, bounded Spark job before the lazy plan is returned, so it is
+    off by default to preserve the operator's lazy-plan contract), a
+    bucket-occupancy probe over a deterministic 2,000-row sample emits a
+    ``RuntimeWarning`` when the corpus's bucket collision mass is within
+    2× of the uniform baseline ``1/2^n_planes`` — the statistical
+    signature of the LSH-hostile regime.
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")

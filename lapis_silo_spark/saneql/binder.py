@@ -299,6 +299,11 @@ class Binder:
 
     def _equals(self, column: str, value_expr: ast.Node,
                 pipeline: Pipeline) -> Expression:
+        if isinstance(value_expr, ast.NullLiteral):
+            # `col = null` is the null test (ast_to_query.cpp:95-96); the
+            # `<>` caller negates it into is-not-null
+            self._resolve_column(column, pipeline)
+            return IsNull(column)
         if isinstance(value_expr, ast.StringLiteral):
             value: Any = value_expr.value
         elif isinstance(value_expr, ast.IntLiteral):

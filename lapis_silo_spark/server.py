@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import queue as queue_mod
 import uuid
 
 from pyspark.sql import functions as F
@@ -33,6 +34,17 @@ from lapis_silo_spark.expressions.base import QueryCompileError
 
 ARROW_MIME = "application/vnd.apache.arrow.stream"
 QUERY_TIMEOUT_SECONDS = 120  # reference default, query_handler.cpp:34
+#: NDJSON chunk flush threshold — the reference's ndjson_sink flushes its
+#: line buffer to the wire at 16 KB (``exec_node/ndjson_sink.cpp``).
+FLUSH_BYTES = 16 * 1024
+#: Bounded producer→response queue depth. The producer thread blocks once
+#: this many chunks are unread — the backpressure window the reference
+#: implements with its 64 MB bounded batch pipe (``query_plan.cpp:174-194``);
+#: 64 slots × ~16 KB chunks ≈ 1 MB of driver buffering, plus at most one
+#: in-flight partition inside toLocalIterator.
+MAX_BUFFERED_CHUNKS = 64
+#: Arrow IPC record-batch size for the streaming sink.
+ARROW_BATCH_ROWS = 8192
 
 
 class QueryTimeoutError(RuntimeError):
@@ -40,39 +52,81 @@ class QueryTimeoutError(RuntimeError):
     reference's ExecutionError (query_plan.cpp:121)."""
 
 
-def _run_with_timeout(spark, fn, seconds: int, tag: str):
-    """Run ``fn`` (a driver-side materialization) under a per-request job
-    group and CANCEL its Spark jobs if it exceeds ``seconds`` — the Spark
-    analog of the reference's per-batch future wait
-    (query_plan.cpp:109-122): a timed-out query stops consuming executor
-    slots instead of running to completion unobserved.
+def _stream_with_timeout(spark, chunks_fn, seconds: int, tag: str):
+    """Stream ``chunks_fn()`` (a generator of response chunks backed by
+    ``toLocalIterator``) through a bounded queue with the reference's
+    serving semantics (``query_plan.cpp:109-194``):
 
-    Uses ``InheritableThread`` + pinned-thread job groups so cancellation
-    targets exactly this request's jobs, not other concurrent queries.
+    - a producer ``InheritableThread`` runs the Spark jobs under a
+      per-request job group and feeds a ``MAX_BUFFERED_CHUNKS``-slot queue
+      (backpressure: a slow client stalls the producer, never grows driver
+      memory — the response body is NEVER assembled in driver memory);
+    - each chunk must arrive within ``seconds`` (the reference's per-batch
+      future wait) or the request's Spark jobs are cancelled and
+      :class:`QueryTimeoutError` raises;
+    - the FIRST chunk is awaited before the HTTP status is committed, so
+      bind/execution errors still surface as clean 400/500 responses;
+      mid-stream failures abort the chunked transfer (reference behavior —
+      the sink cannot un-send a 200);
+    - closing the response (client disconnect) cancels the job group and
+      unblocks the producer.
+
+    Returns a generator yielding the chunks (possibly none).
     """
     from pyspark import InheritableThread
 
-    box: dict = {}
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=MAX_BUFFERED_CHUNKS)
+    state = {"closed": False}
 
-    def target():
+    def producer():
         sc = spark.sparkContext
         sc.setJobGroup(tag, "http query", interruptOnCancel=True)
         try:
-            box["value"] = fn()
-        except BaseException as exc:  # surfaced in the request thread
-            box["error"] = exc
+            for chunk in chunks_fn():
+                if state["closed"]:
+                    return
+                q.put(("chunk", chunk))
+            q.put(("done", None))
+        except BaseException as exc:  # surfaced in the consumer
+            q.put(("err", exc))
 
-    t = InheritableThread(target=target, daemon=True)
+    t = InheritableThread(target=producer, daemon=True)
     t.start()
-    t.join(seconds)
-    if t.is_alive():
-        spark.sparkContext.cancelJobGroup(tag)
-        raise QueryTimeoutError(
-            f"Request timed out, no batch within {seconds} seconds."
-        )
-    if "error" in box:
-        raise box["error"]
-    return box["value"]
+
+    def next_chunk():
+        try:
+            kind, payload = q.get(timeout=seconds)
+        except queue_mod.Empty:
+            spark.sparkContext.cancelJobGroup(tag)
+            raise QueryTimeoutError(
+                f"Request timed out, no batch within {seconds} seconds."
+            ) from None
+        if kind == "err":
+            raise payload
+        return None if kind == "done" else payload
+
+    first = next_chunk()  # pre-response: errors/timeout → clean 400/500
+
+    def gen():
+        try:
+            chunk = first
+            while chunk is not None:
+                yield chunk
+                chunk = next_chunk()
+        finally:
+            # normal end: jobs already finished, cancel is a no-op.
+            # client disconnect / mid-stream abort: stop the Spark jobs and
+            # drain the queue so a producer blocked in put() can observe
+            # the closed flag and exit.
+            state["closed"] = True
+            spark.sparkContext.cancelJobGroup(tag)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+
+    return gen()
 
 
 def database_info(db: Database) -> dict:
@@ -126,8 +180,8 @@ def create_app(db: Database, query_timeout: int = QUERY_TIMEOUT_SECONDS):
             spark = pipeline.df.sparkSession
             tag = f"http-query-{headers['X-Request-Id']}"
             if ARROW_MIME in request.headers.get("Accept", ""):
-                body = _run_with_timeout(
-                    spark, lambda: _arrow_ipc_bytes(pipeline.df),
+                body = _stream_with_timeout(
+                    spark, lambda: _arrow_ipc_chunks(pipeline.df),
                     query_timeout, tag,
                 )
                 return Response(
@@ -135,20 +189,33 @@ def create_app(db: Database, query_timeout: int = QUERY_TIMEOUT_SECONDS):
                 )
             df = pipeline.df
             # emit null fields explicitly, matching the reference's rows
-            # (Spark's toJSON drops them); streamed via toLocalIterator so a
-            # large result never materializes driver-side at once
+            # (Spark's toJSON drops them); streamed via toLocalIterator +
+            # 16 KB chunk flushes so a large result never materializes
+            # driver-side at once (reference ndjson_sink semantics)
             jdf = df.select(
                 F.to_json(
                     F.struct(*df.columns), {"ignoreNullFields": "false"}
                 ).alias("j")
             )
-            ndjson = _run_with_timeout(
-                spark,
-                lambda: "".join(r["j"] + "\n" for r in jdf.toLocalIterator()),
-                query_timeout, tag,
+
+            def ndjson_chunks():
+                buf: list[str] = []
+                size = 0
+                for r in jdf.toLocalIterator():
+                    line = r["j"] + "\n"
+                    buf.append(line)
+                    size += len(line)
+                    if size >= FLUSH_BYTES:
+                        yield "".join(buf)
+                        buf, size = [], 0
+                if buf:
+                    yield "".join(buf)
+
+            body = _stream_with_timeout(
+                spark, ndjson_chunks, query_timeout, tag
             )
             return Response(
-                ndjson, content_type="application/x-ndjson", headers=headers
+                body, content_type="application/x-ndjson", headers=headers
             )
         except QueryCompileError as exc:
             return error(400, "Bad request", str(exc), headers)
@@ -207,16 +274,37 @@ def create_app(db: Database, query_timeout: int = QUERY_TIMEOUT_SECONDS):
     return app
 
 
-def _arrow_ipc_bytes(df) -> bytes:
-    """Arrow IPC stream sink (``exec_node/arrow_ipc_sink.cpp``): PySpark's
-    native Arrow collect + one IPC stream write."""
+def _arrow_ipc_chunks(df):
+    """Arrow IPC stream sink (``exec_node/arrow_ipc_sink.cpp``), batch-wise:
+    rows from ``toLocalIterator`` are packed into ``ARROW_BATCH_ROWS``-row
+    record batches and each batch's IPC bytes yielded as soon as it is
+    written — driver memory holds one batch, never the table. The stream
+    header (schema message) is emitted first, so empty results still
+    produce a valid, schema-bearing IPC stream."""
     import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    table = df.toArrow()
+    schema = to_arrow_schema(df.schema)
     sink = io.BytesIO()
-    with pa.ipc.new_stream(sink, table.schema) as writer:
-        writer.write_table(table)
-    return sink.getvalue()
+    writer = pa.ipc.new_stream(sink, schema)
+
+    def take():
+        data = sink.getvalue()
+        sink.seek(0)
+        sink.truncate(0)
+        return data
+
+    rows: list[dict] = []
+    for row in df.toLocalIterator():
+        rows.append(row.asDict(recursive=True))
+        if len(rows) >= ARROW_BATCH_ROWS:
+            writer.write_batch(pa.RecordBatch.from_pylist(rows, schema=schema))
+            rows = []
+            yield take()
+    if rows:
+        writer.write_batch(pa.RecordBatch.from_pylist(rows, schema=schema))
+    writer.close()
+    yield take()
 
 
 def serve(db: Database, host: str = "127.0.0.1", port: int = 8081) -> None:

@@ -316,7 +316,46 @@ def write_bucketed(
     )
 
 
-_UPDATABLE = ("int", "bigint", "double", "float", "date", "boolean")
+_UPDATABLE = ("int", "bigint", "double", "float", "date", "boolean", "string")
+
+
+def check_updatable(db: Database, table: str, column: str) -> str:
+    """Validate that ``column`` of ``table`` may be point-updated; return its
+    Spark dtype string.
+
+    Mirrors ``assignScalarLiteralToColumn``
+    (reference ``src/silo/query_engine/scalar_column_update.cpp:28-90``):
+    scalar columns (INT32/INT64/FLOAT/DATE32/BOOL) plus the whole string
+    family — plain STRING, DICTIONARY_ENCODED and ZSTD_COMPRESSED_STRING all
+    land as Spark ``string`` columns here (dictionary/zstd encoding is
+    Parquet's job, not the engine's) — with the reference's two guards:
+
+    - a phylogenetic-tree-backed string column refuses (updating it would
+      break the tree's row bindings, ``scalar_column_update.cpp:54-60``);
+    - a lineage-indexed column refuses (``:68-72``).
+    """
+    df = db.table(table)
+    if column not in df.columns:
+        raise QueryCompileError(f"unknown column {column!r} in {table!r}")
+    dtype = df.schema[column].dataType.simpleString()
+    if dtype not in _UPDATABLE:
+        raise QueryCompileError(
+            f"updateColumn does not support columns of type {dtype} "
+            f"(column {column!r})"
+        )
+    if dtype == "string":
+        if column in db.phylo_nodes:
+            raise QueryCompileError(
+                f"Column {column!r} is backed by a phylogenetic tree and "
+                "cannot be updated, because it would break the tree's row "
+                "bindings"
+            )
+        if column in db.lineage_closures:
+            raise QueryCompileError(
+                f"Column {column!r} is backed by a lineage index and "
+                "cannot be updated"
+            )
+    return dtype
 
 
 def update_column(
@@ -328,18 +367,29 @@ def update_column(
     filter_expr=None,
 ) -> str:
     """Point update: set ``column = value`` for rows matching ``filter_expr``
-    (an engine Expression or a boolean Column), then save a new version.
+    (an engine Expression, a boolean Column, or a SaneQL filter string —
+    the reference's own API shape, ``database.test.cpp:155``), then save a
+    new version.
 
-    Scalar columns only (INT32/INT64/FLOAT/DATE32/BOOL), mirroring
-    ``Database::updateColumn`` (``src/silo/database.h:76-87``).
+    Scalar columns (INT32/INT64/FLOAT/DATE32/BOOL) plus the string family
+    (STRING / DICTIONARY_ENCODED / ZSTD_COMPRESSED_STRING, which are all
+    Spark strings here), mirroring ``Database::updateColumn``
+    (``src/silo/query_engine/scalar_column_update.cpp:28-90``);
+    phylo-tree-backed and lineage-indexed columns refuse (see
+    :func:`check_updatable`). ``value=None`` clears the matched rows to
+    null (the reference's SaneQL ``null`` literal).
     """
     df = db.table(table)
-    if column not in df.columns:
-        raise QueryCompileError(f"unknown column {column!r} in {table!r}")
-    dtype = df.schema[column].dataType.simpleString()
-    if dtype not in _UPDATABLE:
-        raise QueryCompileError(
-            f"updateColumn supports scalar columns only; {column!r} is {dtype}"
+    check_updatable(db, table, column)
+    target_type = df.schema[column].dataType
+
+    if isinstance(filter_expr, str):
+        from lapis_silo_spark.operators.relational import Pipeline
+        from lapis_silo_spark.saneql.binder import Binder
+        from lapis_silo_spark.saneql.parser import parse
+
+        filter_expr = Binder(db).to_filter(
+            parse(filter_expr), Pipeline.scan(db, table)
         )
 
     if filter_expr is None:
@@ -354,7 +404,10 @@ def update_column(
         if ctx.flag_joins or ctx.seq_flags:
             df, flags = apply_flag_joins(df, ctx)
             df = df.withColumn(
-                column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+                column,
+                F.when(cond, F.lit(value).cast(target_type)).otherwise(
+                    F.col(column)
+                ),
             ).drop(*flags)
             db.register_table(table, df, primary_key=db.primary_key(table))
             return save_version(db, root)
@@ -362,7 +415,8 @@ def update_column(
         cond = filter_expr
 
     df = df.withColumn(
-        column, F.when(cond, F.lit(value)).otherwise(F.col(column))
+        column,
+        F.when(cond, F.lit(value).cast(target_type)).otherwise(F.col(column)),
     )
     db.register_table(table, df, primary_key=db.primary_key(table))
     return save_version(db, root)

@@ -69,8 +69,11 @@ def test_update_column_and_checkpoint(handle, tmp_path, spark):
             for r in reloaded.db.table("default").collect()}
     assert rows == {"a1": 42, "a2": 7}
 
-    with pytest.raises(QueryCompileError, match="scalar columns only"):
-        handle.update_column("default", "country", "ZZ")
+    # string columns are updatable since round 6 (scalar_column_update.cpp
+    # parity; guard/rejection shapes live in tests/test_update_column.py);
+    # sequence data is in side tables, not main-table columns
+    with pytest.raises(QueryCompileError, match="unknown column"):
+        handle.update_column("default", "main", "ZZ")
 
 
 # -- physical-plan hygiene ---------------------------------------------------

@@ -1182,6 +1182,33 @@ def test_incremental_minhash_dedup(spark):
                    12: "dup_in_batch", 13: "dup_of_base"}
 
 
+def test_incremental_minhash_cap_ignores_state_duplicates(spark):
+    """Post-compaction-crash base state legitimately contains duplicate
+    (id, band, band_hash) rows; occupancy for max_band_freq must count
+    DISTINCT rows or buckets near cap/2 get spuriously skipped and
+    near-dups report kept (round-5 ADVICE, medium)."""
+    base = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    state = dedup.minhash_band_state(base, "doc_id", "text",
+                                     n_perms=64, n_bands=16)
+    # simulate the tolerated crash window: every base row present twice
+    dup_state = state.unionAll(state)
+    new = spark.createDataFrame(
+        [(10, "The quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    # true occupancy per colliding bucket is 2 (one base + one new row);
+    # raw counting of the duplicated state would see 3 and skip at cap=2
+    out = {r["id"]: r["status"]
+           for r in dedup.incremental_minhash_dedup(
+               new, dup_state, "doc_id", "text",
+               threshold=0.7, n_perms=64, n_bands=16,
+               max_band_freq=2).collect()}
+    assert out == {10: "dup_of_base"}
+
+
 def test_bloom_no_false_negatives_and_merge(spark):
     from lapis_silo_spark.functions.sketches import bloom_build, bloom_probe
 
@@ -1288,6 +1315,67 @@ def test_near_dup_contaminated_flags_and_best_match(spark):
     assert rows[1]["n_matches"] == 2
     assert rows[1]["match_id"] == 100  # tie at j=1.0 -> smallest eval id
     assert rows[1]["est_jaccard"] == 1.0
+
+
+def test_near_dup_contaminated_string_ids(spark):
+    """String doc ids work (round-5 ADVICE: the numeric-negation tie-break
+    threw AnalysisException for string id columns); ties still break to
+    the lexicographically smallest eval id."""
+    from lapis_silo_spark.functions.decontam import near_dup_contaminated
+
+    leak = "the quick brown fox jumps over the lazy dog again and again " * 4
+    eval_df = spark.createDataFrame(
+        [("ev-b", leak), ("ev-a", leak)], ["doc_id", "text"]
+    )
+    train_df = spark.createDataFrame(
+        [
+            ("tr-1", leak),
+            ("tr-2", "no overlap with anything here at all zzz qqq www " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in near_dup_contaminated(
+            train_df, eval_df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(rows) == {"tr-1"}
+    assert rows["tr-1"]["n_matches"] == 2
+    assert rows["tr-1"]["match_id"] == "ev-a"  # tie -> smallest eval id
+    assert rows["tr-1"]["est_jaccard"] == 1.0
+
+
+def test_embedding_near_dup_blocked_noninteger_ids(spark):
+    """Float and string id columns must come back exact — round-5 ADVICE:
+    np.array([1.9], dtype=np.int64) silently truncates instead of
+    raising, so the dtype branch must key off the Spark type."""
+    vecs = [
+        (1.5, [1.0, 0.0, 0.0]),
+        (2.9, [1.0, 0.001, 0.0]),
+        (7.25, [0.0, 1.0, 0.0]),
+    ]
+    fdf = spark.createDataFrame(
+        vecs, schema="vec_id double, embedding array<double>"
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_blocked(
+            fdf, "vec_id", "embedding", threshold=0.95, n_blocks=2
+        ).collect()
+    }
+    assert out == {(1.5, 2.9)}
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0005]), ("c", [0.0, 1.0])],
+        schema="vec_id string, embedding array<double>",
+    )
+    sout = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_blocked(
+            sdf, "vec_id", "embedding", threshold=0.95, n_blocks=2
+        ).collect()
+    }
+    assert sout == {("a", "b")}
 
 
 def test_near_dup_contaminated_cross_join_is_banded(spark):

@@ -123,8 +123,13 @@ def test_update_column(persisted, store_root, spark):
     assert rows["k3"] == 99 and rows["k4"] == 99
     assert rows["k1"] == 30
 
-    with pytest.raises(QueryCompileError, match="scalar columns only"):
-        update_column(db3, store_root, "default", "country", "X")
+    # string columns are updatable since round 6; the version chain advances
+    n_before = db3.table("default").filter("country = 'Switzerland'").count()
+    update_column(db3, store_root, "default", "country", "Schweiz",
+                  Equals("country", "Switzerland"))
+    reloaded2 = load_version(spark, store_root)
+    assert reloaded2.table("default").filter("country = 'Switzerland'").count() == 0
+    assert reloaded2.table("default").filter("country = 'Schweiz'").count() == n_before
 
 
 # -- HTTP façade -------------------------------------------------------------

@@ -176,7 +176,7 @@ def test_lsh_low_structure_warning(spark):
     with pytest.warns(RuntimeWarning, match="ivf_topk_with_centroids"):
         fsim.lsh_bucket_topk(
             corpus, corpus.limit(2), "vec_id", "embedding",
-            "vec_id", "embedding",
+            "vec_id", "embedding", warn_low_structure=True,
         )
 
     corpus_c = df_of(clustered)
@@ -184,5 +184,14 @@ def test_lsh_low_structure_warning(spark):
         warnings.simplefilter("error", RuntimeWarning)
         fsim.lsh_bucket_topk(
             corpus_c, corpus_c.limit(2), "vec_id", "embedding",
+            "vec_id", "embedding", warn_low_structure=True,
+        )
+
+    # the default is OFF — no eager probe job, no warning even on the
+    # structureless corpus (round-5 ADVICE: lazy-plan contract preserved)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        fsim.lsh_bucket_topk(
+            corpus, corpus.limit(2), "vec_id", "embedding",
             "vec_id", "embedding",
         )

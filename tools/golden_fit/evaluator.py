@@ -175,6 +175,13 @@ class Evaluator:
 
             def cmp(rec: dict, col=col, val=val, op=op) -> bool:
                 v = rec.get(col)
+                if val is None:
+                    # `col = null` is the null test (ast_to_query.cpp:95-96)
+                    if op == "=":
+                        return v is None
+                    if op == "!=":
+                        return v is not None
+                    raise ValueError(f"{op} null")
                 if v is None:
                     return False
                 if op == "=":

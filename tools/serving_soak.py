@@ -117,6 +117,66 @@ def main() -> int:
         except OSError:
             time.sleep(0.5)
 
+    if "--export" in sys.argv:
+        # Round-6 scenario (VERDICT #2): full-table details export through
+        # the STREAMING response body. Measures first-byte latency (the
+        # streaming win: bytes flow before the last partition finishes)
+        # and peak driver RSS delta while the body is consumed chunk-wise
+        # — bounded buffering means RSS must not grow with result size.
+        # The lineitem table is the volume case (600k rows / ~100 MB of
+        # NDJSON at sf0.1 vs the 0.4 MB genomic metadata table).
+        db.register_table(
+            "lineitem",
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            primary_key="l_orderkey",
+        )
+        def rss_mb() -> float:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1024
+            return 0.0
+
+        peak = {"v": 0.0}
+        stop = threading.Event()
+
+        def sampler():
+            while not stop.is_set():
+                peak["v"] = max(peak["v"], rss_mb())
+                time.sleep(0.05)
+
+        rss_before = rss_mb()
+        threading.Thread(target=sampler, daemon=True).start()
+        t0 = time.monotonic()
+        req = urlreq.Request(
+            f"http://127.0.0.1:{PORT}/query", data=b"lineitem",
+            method="POST",
+        )
+        first_byte_ms = None
+        total_bytes = 0
+        n_lines = 0
+        with urlreq.urlopen(req, timeout=600) as resp:
+            while True:
+                chunk = resp.read(1 << 16)
+                if first_byte_ms is None:
+                    first_byte_ms = (time.monotonic() - t0) * 1000
+                if not chunk:
+                    break
+                total_bytes += len(chunk)
+                n_lines += chunk.count(b"\n")
+        total_ms = (time.monotonic() - t0) * 1000
+        stop.set()
+        print(json.dumps({
+            "scenario": "full_table_export_streaming",
+            "rows": n_lines,
+            "mb": round(total_bytes / 1e6, 1),
+            "first_byte_ms": round(first_byte_ms, 1),
+            "total_ms": round(total_ms, 1),
+            "rss_before_mb": round(rss_before, 1),
+            "rss_peak_delta_mb": round(peak["v"] - rss_before, 1),
+        }))
+        return 0
+
     names = list(QUERY_MIX)
     for level in levels:
         jobs = [(names[i % len(names)], QUERY_MIX[names[i % len(names)]])
