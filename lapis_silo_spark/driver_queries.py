@@ -1316,6 +1316,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adopt_guards(out, assignment)
 
 
+@query(
+    "dedup_embedding_clusters",
+    # Identical oracle shape to dedup_cluster_assignment: the fused form's
+    # blocked pair stage is EXACT, and the identical-vector short-circuit
+    # cannot change components (identical nonzero vectors have cos = 1 ≥
+    # any threshold; zero-norm vectors stay singletons on both sides), so
+    # the unrolled propagate+jump closure over the exact cosine pair set
+    # is the true value oracle.
+    f"""WITH {_CC_CTES},
+         comp AS (SELECT node AS vec_id, lbl AS cluster_id FROM {_CC_FINAL})
+       SELECT vec_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              vec_id = cluster_id AS is_canonical
+       FROM comp""",
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused embedding near-dup clustering
+    (functions.dedup.embedding_dedup_clusters): identical vectors
+    short-circuit, the DISTRIBUTED blocked matmul generates pairs over
+    distinct vectors only, min-label propagation collapses them — one
+    O(docs) (id, cluster, keep) row per embedding, the pair list never
+    leaves the plan (round-5 VERDICT #3: pair OUTPUT was the only
+    superlinear term in the sf1 sweep)."""
+    from lapis_silo_spark.cache import adopt_guards
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    clusters = fdedup.embedding_dedup_clusters(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
+        method="blocked", n_blocks=4,
+    )
+    out = clusters.select(
+        F.col("id").alias("vec_id"), "cluster_id", "cluster_size",
+        "is_canonical",
+    )
+    return adopt_guards(out, clusters)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

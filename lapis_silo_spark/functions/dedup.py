@@ -30,6 +30,22 @@ from lapis_silo_spark.functions.text import char_shingles, normalized, tokens
 MINHASH_PRIME = 4294967311
 MINHASH_B_MULT = 2654435761  # Knuth multiplicative constant
 
+#: Default hot-bucket occupancy cap for the COMPOSED near-dup entry points
+#: (minhash_dedup_clusters, incremental_minhash_dedup and the streaming
+#: loop). A band bucket holds near-identical documents, so its natural
+#: occupancy is the duplicate-group size; 1024 ≈ 64× a generous expected
+#: group size of 16 — far above anything a benign corpus produces (the
+#: capped-vs-uncapped equivalence is test-pinned), while bounding the
+#: adversarial boilerplate blow-up at O(n_bands · rows · 1024) candidates
+#: (the uncapped form went 469.6 s at 20k near-twins; see
+#: tests/test_minhash_skew.py and BENCH_NOTES "Adversarial near-twin band
+#: skew"). Recall contract: a true near-dup pair is lost only if EVERY
+#: band it shares is hot (minhash_lsh_pairs docstring). Pass
+#: ``max_band_freq=None`` to restore exact LSH semantics; the raw pair
+#: operators (minhash_lsh_pairs, banded_rows) keep ``None`` as their
+#: default because their oracle replays are exact.
+DEFAULT_MAX_BAND_FREQ = 1024
+
 
 def hash32(col: Column) -> Column:
     """Deterministic 32-bit integer hash: first 8 hex chars of md5."""
@@ -893,7 +909,7 @@ def incremental_minhash_dedup(
     n_bands: int = 8,
     k: int = 5,
     hash_fn=None,
-    max_band_freq: int | None = None,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
 ) -> DataFrame:
     """NEAR-duplicate dedup of an incoming batch against an existing corpus
     — the append-mode twin of :func:`incremental_exact_dedup` for the fuzzy
@@ -917,7 +933,9 @@ def incremental_minhash_dedup(
     join is the standard banded self-join over the (small) batch.
     ``max_band_freq`` skips buckets whose combined base+batch occupancy
     exceeds the cap (see :func:`minhash_lsh_pairs` for the recall
-    contract).
+    contract); it defaults to :data:`DEFAULT_MAX_BAND_FREQ` — the
+    append-mode loop is a scale entry point — and ``None`` restores exact
+    LSH semantics.
     """
     new_state = minhash_band_state(
         new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
@@ -1143,7 +1161,7 @@ def minhash_dedup_clusters(
     k: int = 5,
     hash_fn=None,
     max_iterations: int = 30,
-    max_band_freq: int | None = None,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
 ) -> DataFrame:
     """End-to-end near-duplicate CLUSTERING with O(docs) output:
     ``(id, cluster_id, cluster_size, is_canonical)`` for every input row —
@@ -1180,7 +1198,10 @@ def minhash_dedup_clusters(
     drift) survives the digest and can still go quadratic inside its band
     buckets — ``max_band_freq`` caps that (8.6× wall at 20k near-twins,
     BENCH_NOTES "Adversarial near-twin band skew"; recall contract in
-    :func:`minhash_lsh_pairs`).
+    :func:`minhash_lsh_pairs`). Since round 6 the cap DEFAULTS to
+    :data:`DEFAULT_MAX_BAND_FREQ` — this is the entry point users run at
+    scale; pass ``None`` for exact LSH semantics (identical on benign
+    corpora, test-pinned).
 
     With ``hash_fn=hash32`` (md5 family) the full output is reproducible in
     external SQL — the registered driver query's DuckDB oracle replays
@@ -1210,6 +1231,112 @@ def minhash_dedup_clusters(
     )
 
     out = digests.join(reps, on="digest").join(comp, on="rep_id")
+    w = Window.partitionBy("cluster_id")
+    return scoped_rdd_release(
+        out.select(
+            "id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        ),
+        guard,
+    )
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    method: str = "blocked",
+    block_rows: int = 8192,
+    n_blocks: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """End-to-end embedding near-dup CLUSTERING with O(docs) output —
+    the :func:`minhash_dedup_clusters` treatment for the embedding family
+    (round-5 VERDICT #3): the sf1 sweep showed the two pair-emitters
+    (``lsh_candidate_pairs``, ``embedding_near_dup_pairs_blocked``) scale
+    superlinearly purely through pair OUTPUT volume (near-dup clusters make
+    pair counts grow ~quadratically in cluster density); fusing pair
+    generation into the component collapse bounds the result at one
+    ``(id, cluster_id, cluster_size, is_canonical)`` row per document.
+
+    Pipeline (three fused stages):
+
+    1. **Identical-vector short-circuit** — group rows by the vector value
+       itself (an equality key, so no float-digest tricks); only each
+       group's minimum id proceeds. Exact-duplicate embeddings (re-crawled
+       or re-encoded docs) never reach pair generation — the embedding
+       analog of the minhash digest stage. Zero-norm vectors are excluded
+       from grouping (cosine with them is NaN, so the pair stage would
+       never merge them; grouping them would over-merge vs the pair
+       semantics) and pass through as their own representatives.
+    2. **Distributed pair generation over representatives only** —
+       ``method="blocked"`` (:func:`embedding_near_dup_pairs_blocked`,
+       exact, one BLAS matmul per block pair) or ``method="lsh"``
+       (:func:`~lapis_silo_spark.functions.similarity.lsh_candidate_pairs`,
+       the sublinear-candidates path). The pair list exists only inside
+       this plan, never as output.
+    3. **Min-label propagation** collapses representative pairs into
+       connected components; every row joins back through its vector
+       group. ``cluster_id`` = min id of the component (representatives
+       are their group minima, so the component's min representative IS
+       the cluster's global min id).
+
+    Shuffle inventory: one vec-keyed agg + one vec-keyed join (vector-wide,
+    same width the pair stage already shuffles), pair generation bounded
+    by distinct vectors, rep-sized propagation rounds, one rep-keyed join
+    and one cluster-keyed window over the full corpus — all O(docs) except
+    the pair stage, whose OUTPUT no longer leaves the plan.
+    """
+    from lapis_silo_spark.cache import scoped_rdd_release
+    from lapis_silo_spark.functions.similarity import lsh_candidate_pairs
+
+    base = _spread(
+        df,
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sq = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)
+    with_nz = base.withColumn("_nz", sq > F.lit(0.0))
+    nz = with_nz.filter(F.col("_nz"))
+    reps_nz = nz.groupBy("vec").agg(F.min("id").alias("rep_id"))
+    rep_map = (
+        nz.join(reps_nz, on="vec")
+        .select("id", "rep_id")
+        .unionAll(
+            with_nz.filter(~F.col("_nz")).select(
+                "id", F.col("id").alias("rep_id")
+            )
+        )
+    )
+    rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
+    rep_docs = base.join(rep_ids, on="id", how="left_semi")
+
+    if method == "blocked":
+        pairs = embedding_near_dup_pairs_blocked(
+            rep_docs, "id", "vec", threshold=threshold,
+            block_rows=block_rows, n_blocks=n_blocks,
+        )
+    elif method == "lsh":
+        pairs = lsh_candidate_pairs(
+            rep_docs, "id", "vec", threshold=threshold,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'blocked' or 'lsh'")
+
+    labels, guard = _min_label_propagation(
+        rep_ids, pairs.select("id_a", "id_b"), "id_a", "id_b", max_iterations
+    )
+    comp = labels.select(
+        F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
+    )
+    out = rep_map.join(comp, on="rep_id")
     w = Window.partitionBy("cluster_id")
     return scoped_rdd_release(
         out.select(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lapis_silo_spark.catalog import Database
+from lapis_silo_spark.functions.dedup import DEFAULT_MAX_BAND_FREQ
 from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
 from lapis_silo_spark.storage import append_version, load_version
 
@@ -188,7 +189,7 @@ def near_dup_classify_batch(
     n_bands: int = 8,
     k: int = 5,
     hash_fn=None,
-    max_band_freq: int | None = None,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
     compact_every: int = 16,
 ) -> DataFrame:
     """The production append-mode NEAR-dup loop, one micro-batch at a time

@@ -239,6 +239,42 @@ def test_embedding_near_dup_blocked_small(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_embedding_dedup_clusters_matches_pairwise(spark):
+    """The fused O(docs) form must reproduce dedup_cluster_assignment over
+    the exact pair set — for BOTH pair methods on a corpus with planted
+    identical vectors (short-circuit path), near-dups, isolates, and a
+    zero-norm pair (must stay singletons: cosine with them is NaN)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(40, 8))
+    mat[7] = mat[3]                                  # identical twin
+    mat[21] = mat[3]                                 # identical triplet
+    mat[12] = mat[5] + 0.01 * rng.normal(size=8)     # near-dup
+    mat[30] = 0.0                                    # zero-norm
+    mat[31] = 0.0                                    # second zero-norm
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        schema="vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9
+    )
+    want = sorted(
+        map(tuple, dedup.dedup_cluster_assignment(df, pairs, "vec_id").collect())
+    )
+    for method in ("blocked", "lsh"):
+        got = sorted(map(tuple, dedup.embedding_dedup_clusters(
+            df, "vec_id", "embedding", threshold=0.9, method=method,
+            n_blocks=3, n_planes=4, n_tables=8, dim=8,
+        ).collect()))
+        assert got == want, method
+    # zero-norm rows are singletons, identical triplet is one cluster
+    by_id = {r[0]: r for r in want}
+    assert by_id[30][2] == 1 and by_id[31][2] == 1
+    assert by_id[7][1] == 3 and by_id[21][1] == 3
+
+
 def test_dedup_cluster_assignment_transitive(spark):
     # chain 1~2, 2~3 plus the isolated 4: closure must merge {1,2,3}
     # even though (1,3) was never emitted as a pair.
@@ -1263,6 +1299,18 @@ def test_contaminated_docs_bloom_superset_of_exact(spark):
     for did, hits in exact.items():
         assert bloom[did] >= hits
     assert bloom[1] >= 2  # "alpha beta gamma", "beta gamma delta" leak
+
+
+def test_pq_topk_refuses_oversized_query_batch(spark):
+    """pq_topk builds driver-side LUTs per query; above max_query_rows it
+    must refuse with the distributed alternatives named, never silently
+    collect (round-5 VERDICT #4)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.pq_topk(
+            emb, emb, "vec_id", "embedding", "vec_id", "embedding",
+            k=3, max_query_rows=5,
+        )
 
 
 def test_ivf_trained_full_probe_equals_brute_force(spark):

@@ -147,6 +147,25 @@ def test_incremental_minhash_band_cap(spark):
     assert out[501] == "kept"
 
 
+def test_default_band_cap_is_noop_on_benign_corpus(spark):
+    """Round-6 default: the composed entry points cap hot buckets at
+    DEFAULT_MAX_BAND_FREQ out of the box. On a benign corpus (no bucket
+    anywhere near the cap) the capped default must be byte-equivalent to
+    the exact (max_band_freq=None) form — the documented recall contract."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    assert fdedup.DEFAULT_MAX_BAND_FREQ >= 1024
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = sorted(map(tuple, fdedup.minhash_dedup_clusters(
+        docs, "doc_id", "text", threshold=0.8, hash_fn=fdedup.hash32,
+    ).collect()))
+    exact = sorted(map(tuple, fdedup.minhash_dedup_clusters(
+        docs, "doc_id", "text", threshold=0.8, hash_fn=fdedup.hash32,
+        max_band_freq=None,
+    ).collect()))
+    assert capped == exact and capped
+
+
 def test_lsh_low_structure_warning(spark):
     """lsh_bucket_topk warns on structureless corpora (pointing at trained
     IVF) and stays silent on clustered ones — round-5 VERDICT #6."""
