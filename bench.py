@@ -52,12 +52,19 @@ HEADLINE = [
     # EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
     "dedup_embedding_blocked_pairs",
+    # round-6: fused O(docs) embedding near-dup clustering — the pair stage
+    # is internal, output is (id, cluster, keep); kills the output-volume
+    # superlinearity the two pair-emitters showed at sf1
+    "dedup_embedding_clusters",
     "decontam_ngram_overlap",
     "decontam_bloom_overlap",
     "decontam_near_dup",
     # round-5: substring-span dedup (gram-keyed canonical agg + per-doc
     # interval-merge window) and zero-shuffle token-window chunking
     "dedup_substring_spans",
+    # round-6: character-gram twin (k=50, Lee et al. threshold) — catches
+    # duplication word tokenization splits; O(chars) occurrence rows
+    "dedup_substring_char_spans",
     "text_chunk_windows",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",

@@ -4127,6 +4127,115 @@ def q_sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_count") >= 100)
 
 
+#: Character-gram twin of _SUBSTR_GRAMS_SQL: 1-based char positions over the
+#: RAW text, k = 50 (Lee et al.'s length threshold), canonical = min (id,pos)
+#: per distinct 50-gram.
+_CHAR_GRAMS_SQL = """ch AS (SELECT doc_id AS id, text AS s FROM documents),
+    g0 AS (SELECT id,
+             unnest(CASE WHEN len(s) >= 50 THEN
+               [{'pos': i, 'gh': md5(s[i:i+49])}
+                FOR i IN range(1, len(s) - 48)]
+              ELSE []::STRUCT(pos BIGINT, gh VARCHAR)[] END) AS u
+           FROM ch),
+    g AS (SELECT id, u.pos AS pos, u.gh AS gh FROM g0),
+    r AS (SELECT id, pos,
+                 row_number() OVER (PARTITION BY gh ORDER BY id, pos) AS rn
+          FROM g),
+    d AS (SELECT id, pos, pos + 49 AS e FROM r WHERE rn > 1)"""
+
+
+@query(
+    "dedup_substring_char_spans",
+    f"""WITH {_CHAR_GRAMS_SQL},
+        m AS (SELECT id, pos, e,
+                     max(e) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pe
+              FROM d),
+        f AS (SELECT id, pos, e,
+                     CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END
+                       AS ni
+              FROM m),
+        i2 AS (SELECT id, pos, e,
+                      sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island
+               FROM f),
+        sp AS (SELECT id, island, min(pos) AS s, max(e) AS e
+               FROM i2 GROUP BY 1, 2),
+        pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+               FROM sp GROUP BY 1)
+       SELECT c.id, CAST(len(c.s) AS BIGINT) AS n_chars,
+              coalesce(pd.dup_chars, 0) AS dup_chars,
+              coalesce(pd.n_spans, 0) AS n_spans,
+              round(coalesce(pd.dup_chars, 0) / len(c.s), 6) AS dup_fraction
+       FROM ch c LEFT JOIN pd ON pd.id = c.id""",
+)
+def q_dedup_substring_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level substring-dedup statistics
+    (functions.dedup.duplicate_char_spans, k=50 — Lee et al.'s suffix-array
+    length threshold): maximal merged spans of raw-text 50-char grams whose
+    exact text occurs earlier in the corpus. Catches duplication that word
+    tokenization splits (code, CJK, concatenated boilerplate). Same
+    gram-keyed agg + narrow join + gaps-and-islands plan as the word form,
+    with O(chars) occurrence rows."""
+    from lapis_silo_spark.functions.dedup import duplicate_char_spans
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return duplicate_char_spans(docs, "doc_id", "text", k=50)
+
+
+@query(
+    "dedup_substring_char_clean",
+    f"""WITH {_CHAR_GRAMS_SQL},
+        m AS (SELECT id, pos, e,
+                     max(e) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pe
+              FROM d),
+        f AS (SELECT id, pos, e,
+                     CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END
+                       AS ni
+              FROM m),
+        i2 AS (SELECT id, pos, e,
+                      sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island
+               FROM f),
+        sp AS (SELECT id, island, min(pos) AS s, max(e) AS e
+               FROM i2 GROUP BY 1, 2),
+        seg AS (SELECT id, s, e,
+                       lag(e) OVER (PARTITION BY id ORDER BY s) AS pe
+                FROM sp),
+        heads AS (SELECT seg.id, seg.s AS ord,
+                         substr(c.s, CAST(coalesce(seg.pe, 0) + 1 AS BIGINT),
+                                CAST(seg.s - coalesce(seg.pe, 0) - 1 AS BIGINT))
+                           AS piece
+                  FROM seg JOIN ch c ON c.id = seg.id),
+        tails AS (SELECT l.id, CAST(2147483647 AS BIGINT) AS ord,
+                         substr(c.s, CAST(l.le + 1 AS BIGINT)) AS piece
+                  FROM (SELECT id, max(e) AS le FROM sp GROUP BY id) l
+                  JOIN ch c ON c.id = l.id),
+        rb AS (SELECT id, string_agg(piece, '' ORDER BY ord) AS clean_text
+               FROM (SELECT * FROM heads UNION ALL SELECT * FROM tails)
+               GROUP BY id)
+       SELECT c.id,
+              CAST(len(coalesce(rb.clean_text, c.s)) AS BIGINT) AS clean_chars,
+              coalesce(rb.clean_text, c.s) AS clean_text
+       FROM ch c LEFT JOIN rb ON rb.id = c.id""",
+)
+def q_dedup_substring_char_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-span removal (functions.dedup.remove_duplicate_char_spans):
+    cut every duplicated >= 50-char span, keeping the canonical occurrence;
+    clean text reassembled by STITCHING the text between spans (the spans
+    per doc are a short sorted list — one doc-keyed shuffle of span structs,
+    the text never shuffles). The oracle replays the same stitch with
+    lag()-windowed segments."""
+    from lapis_silo_spark.functions.dedup import remove_duplicate_char_spans
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return remove_duplicate_char_spans(docs, "doc_id", "text", k=50)
+
+
 @query(
     "update_column_roundtrip",
     """SELECT

@@ -1398,6 +1398,17 @@ def _gram_dup_occurrences(
             F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " "))
         ).alias("gh"),
     )
+    return _non_canonical_occurrences(occ, k, skew_safe)
+
+
+def _non_canonical_occurrences(
+    occ: DataFrame, k: int, skew_safe: bool
+) -> DataFrame:
+    """Shared back half of the span machinery: from ``(id, pos, gh)`` gram
+    occurrences, every occurrence that is NOT its gram's corpus-wide
+    canonical (lexicographically-min ``(id, pos)``) one, as
+    ``(id, pos, end)``. See :func:`_gram_dup_occurrences` for the
+    ``skew_safe`` physical-form tradeoff."""
     if skew_safe:
         canon = occ.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("c"))
         dups = occ.join(canon, "gh").where(
@@ -1409,6 +1420,58 @@ def _gram_dup_occurrences(
             F.col("_rn") > 1
         )
     return dups.select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
+
+
+def _char_gram_dup_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int,
+    skew_safe: bool = True,
+) -> DataFrame:
+    """Character-level twin of :func:`_gram_dup_occurrences`: ``(id, pos,
+    end)`` for every character-``k``-gram occurrence that is not its gram's
+    canonical occurrence. Positions are 1-based CHARACTER offsets into the
+    raw text (no tokenization/normalization — char-level dedup exists
+    precisely to catch duplication word tokenization splits: code, CJK,
+    concatenated boilerplate; Lee et al.'s suffix-array dedup operates on
+    raw bytes the same way).
+
+    Cost note vs the word form: the occurrence table is O(chars) rows (one
+    per character), ~5× the word form's O(tokens) — the inherent price of
+    character resolution; everything shuffled is still ``(id, pos,
+    16-byte gh)``, never the text.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        t.alias("_s"),
+    ).select(
+        "id",
+        "pos",
+        F.unhex(F.md5(F.col("_s").substr(F.col("pos"), F.lit(k)))).alias("gh"),
+    )
+    return _non_canonical_occurrences(occ, k, skew_safe)
+
+
+def _merged_spans(dups: DataFrame) -> DataFrame:
+    """Merge overlapping/adjacent ``(id, pos, end)`` intervals into maximal
+    spans ``(id, island, s, e)`` — the gaps-and-islands running-max window
+    shared by the word- and char-level span paths."""
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return flagged.groupBy("id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
 
 
 def duplicate_spans(
@@ -1431,17 +1494,7 @@ def duplicate_spans(
     ids+ints; nothing quadratic, no text movement after the scan.
     """
     dups = _gram_dup_occurrences(docs, id_col, text_col, k, skew_safe)
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = dups.withColumn(
-        "new_island",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w))
-    spans = flagged.groupBy("id", "island").agg(
-        F.min("pos").alias("s"), F.max("end").alias("e")
-    )
+    spans = _merged_spans(dups)
     per_doc = spans.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
@@ -1497,4 +1550,94 @@ def remove_duplicate_spans(
         "id",
         F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def duplicate_char_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 50,
+    skew_safe: bool = True,
+) -> DataFrame:
+    """CHARACTER-level substring-dedup statistics (round-5 VERDICT #6):
+    a character position is duplicated when covered by a char-``k``-gram
+    whose exact text occurs elsewhere at an earlier ``(id, pos)``;
+    overlapping/adjacent windows merge into maximal spans. ``k=50`` is
+    Lee et al.'s suffix-array length threshold — any duplicated substring
+    of ≥ k chars is covered by at least one duplicated k-gram, so merged
+    spans ARE the ≥-k-char duplicated regions. Catches duplication word
+    tokenization splits (code, CJK, concatenated boilerplate — the word
+    form sees "x;}\\nfoo" as one token and misses the repeat inside).
+
+    Returns ``(id, n_chars, dup_chars, n_spans, dup_fraction)``. Scale
+    shape identical to :func:`duplicate_spans` with O(chars) occurrence
+    rows instead of O(tokens); same ``skew_safe`` tradeoff.
+    """
+    dups = _char_gram_dup_occurrences(docs, id_col, text_col, k, skew_safe)
+    spans = _merged_spans(dups)
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        "n_chars",
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_char_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 50,
+    skew_safe: bool = True,
+) -> DataFrame:
+    """Cut every duplicated ≥-``k``-char span (per
+    :func:`duplicate_char_spans`) out of each document, keeping the
+    corpus-wide canonical occurrence. Returns
+    ``(id, clean_chars, clean_text)``.
+
+    Scale shape: unlike the word form (which re-assembles from kept
+    tokens), the char form STITCHES — the merged spans per doc (a short
+    sorted list) collect into one array and a single ``F.aggregate`` walks
+    it, concatenating the text between spans. One doc-keyed shuffle of
+    span structs; the text itself never shuffles (it rides the docs scan).
+    """
+    dups = _char_gram_dup_occurrences(docs, id_col, text_col, k, skew_safe)
+    spans = _merged_spans(dups)
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sp")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_s")
+    )
+    joined = base.join(per_doc, "id", "left")
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    clean = F.aggregate(
+        F.coalesce(F.col("sp"), empty),
+        F.struct(F.lit(0).alias("prev"), F.lit("").alias("txt")),
+        lambda a, sp: F.struct(
+            sp["e"].alias("prev"),
+            F.concat(
+                a["txt"],
+                F.col("_s").substr(
+                    a["prev"] + F.lit(1), sp["s"] - a["prev"] - F.lit(1)
+                ),
+            ).alias("txt"),
+        ),
+        lambda a: F.concat(
+            a["txt"],
+            F.col("_s").substr(
+                a["prev"] + F.lit(1), F.length("_s") - a["prev"]
+            ),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.length(clean).cast("long").alias("clean_chars"),
+        clean.alias("clean_text"),
     )

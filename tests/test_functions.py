@@ -275,6 +275,49 @@ def test_embedding_dedup_clusters_matches_pairwise(spark):
     assert by_id[7][1] == 3 and by_id[21][1] == 3
 
 
+def test_char_span_dedup_hand_computed(spark):
+    """Character-level spans: a 60-char run shared between two docs marks
+    exactly that run as duplicated in the later doc (the earlier occurrence
+    is canonical and untouched); identical docs clean to empty; spans that
+    word tokenization would miss (no spaces) are caught."""
+    import random
+
+    rng = random.Random(13)
+    shared = "".join(chr(ord("a") + (i * 7) % 26) for i in range(60))
+    # identical-doc pair body: internally repetition-free (every 50-gram
+    # distinct), else within-doc repeats would themselves count as dups
+    ident = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(100))
+    assert len({ident[i:i + 50] for i in range(51)}) == 51
+    rows = [
+        (1, "HEAD-" + shared + "-TAIL"),          # canonical occurrence
+        (2, "xx" + shared + "yy"),                 # dup span = shared only
+        (3, ident),                                # canonical identical doc
+        (4, ident),                                # fully duplicated
+        (5, "completely unrelated short text"),    # < k chars, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["id"]: r for r in dedup.duplicate_char_spans(
+        docs, "doc_id", "text", k=50).collect()}
+    assert stats[1]["dup_chars"] == 0
+    assert stats[2]["dup_chars"] == 60 and stats[2]["n_spans"] == 1
+    assert stats[3]["dup_chars"] == 0
+    assert stats[4]["dup_chars"] == 100
+    assert stats[5]["dup_chars"] == 0
+    assert stats[2]["dup_fraction"] == round(60 / len(rows[1][1]), 6)
+
+    clean = {r["id"]: r for r in dedup.remove_duplicate_char_spans(
+        docs, "doc_id", "text", k=50).collect()}
+    assert clean[1]["clean_text"] == rows[0][1]
+    assert clean[2]["clean_text"] == "xxyy"
+    assert clean[3]["clean_text"] == ident
+    assert clean[4]["clean_text"] == "" and clean[4]["clean_chars"] == 0
+    assert clean[5]["clean_text"] == rows[4][1]
+    # skew_safe=False (window form) must produce identical output
+    alt = sorted(map(tuple, dedup.duplicate_char_spans(
+        docs, "doc_id", "text", k=50, skew_safe=False).collect()))
+    assert alt == sorted(map(tuple, stats.values()))
+
+
 def test_dedup_cluster_assignment_transitive(spark):
     # chain 1~2, 2~3 plus the isolated 4: closure must merge {1,2,3}
     # even though (1,3) was never emitted as a pair.

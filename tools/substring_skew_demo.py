@@ -66,16 +66,26 @@ def build_corpus(spark, sf_dir: str, n_hot: int):
     return docs.unionByName(hot)
 
 
-def measure(df, skew_safe: bool):
+def measure(df, skew_safe: bool, unit: str = "word"):
     from pyspark.sql import functions as F
 
-    from lapis_silo_spark.functions.dedup import duplicate_spans
+    from lapis_silo_spark.functions.dedup import (
+        duplicate_char_spans,
+        duplicate_spans,
+    )
 
     t0 = time.monotonic()
-    out = duplicate_spans(df, "doc_id", "text", k=8, skew_safe=skew_safe)
+    if unit == "word":
+        out = duplicate_spans(df, "doc_id", "text", k=8, skew_safe=skew_safe)
+        dup_col = "dup_tokens"
+    else:
+        out = duplicate_char_spans(
+            df, "doc_id", "text", k=50, skew_safe=skew_safe
+        )
+        dup_col = "dup_chars"
     agg = out.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.sum("dup_tokens").alias("dup_tokens"),
+        F.sum(dup_col).alias("dup"),
         F.sum("n_spans").alias("spans"),
     ).collect()[0]
     return round(time.monotonic() - t0, 2), (agg[0], int(agg[1]), int(agg[2]))
@@ -100,15 +110,18 @@ def main() -> int:
         point = {"n_hot": n_hot, "corpus_rows": df.count()}
         # one untimed run of EACH form first, so neither measured run
         # absorbs JVM/codegen warm-up (the first-form-measured-cold bias)
-        measure(df, skew_safe=True)
-        measure(df, skew_safe=False)
-        join_s, sig_join = measure(df, skew_safe=True)
-        win_s, sig_win = measure(df, skew_safe=False)
-        assert sig_join == sig_win, (sig_join, sig_win)
-        point.update(
-            join_sec=join_s, window_sec=win_s,
-            dup_tokens=sig_join[1], spans=sig_join[2],
-        )
+        for unit in ("word", "char"):
+            measure(df, skew_safe=True, unit=unit)
+            measure(df, skew_safe=False, unit=unit)
+            join_s, sig_join = measure(df, skew_safe=True, unit=unit)
+            win_s, sig_win = measure(df, skew_safe=False, unit=unit)
+            assert sig_join == sig_win, (unit, sig_join, sig_win)
+            point.update({
+                f"{unit}_join_sec": join_s,
+                f"{unit}_window_sec": win_s,
+                f"{unit}_dup": sig_join[1],
+                f"{unit}_spans": sig_join[2],
+            })
         df.unpersist()
         report["points"].append(point)
         print(json.dumps(point), flush=True)
