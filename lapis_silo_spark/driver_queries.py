@@ -4167,7 +4167,8 @@ _CHAR_GRAMS_SQL = """ch AS (SELECT doc_id AS id, text AS s FROM documents),
        SELECT c.id, CAST(len(c.s) AS BIGINT) AS n_chars,
               coalesce(pd.dup_chars, 0) AS dup_chars,
               coalesce(pd.n_spans, 0) AS n_spans,
-              round(coalesce(pd.dup_chars, 0) / len(c.s), 6) AS dup_fraction
+              coalesce(round(coalesce(pd.dup_chars, 0) / len(c.s), 6), 0.0)
+                AS dup_fraction
        FROM ch c LEFT JOIN pd ON pd.id = c.id""",
 )
 def q_dedup_substring_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

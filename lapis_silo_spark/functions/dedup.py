@@ -1586,8 +1586,15 @@ def duplicate_char_spans(
         "n_chars",
         F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.round(
-            F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+        # try_divide: empty documents have n_chars = 0 (the word form's
+        # split('') yields one empty token, so only the char form can hit
+        # a zero denominator under ANSI mode); define their fraction as 0
+        F.coalesce(
+            F.round(
+                F.try_divide(F.coalesce("dup_chars", F.lit(0)), F.col("n_chars")),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("dup_fraction"),
     )
 
