@@ -47,9 +47,10 @@ HEADLINE = [
     "dedup_minhash_clusters",
     # embedding near-dup: the LSH scale path plus the round-5 blocked
     # DISTRIBUTED exact form (hash-blocked block-pair matmuls, no driver
-    # collect). The collect+broadcast all-pairs variant stays registered as
-    # the small-sf oracle verifier only (it refuses to run above
-    # EXACT_EMBEDDING_MAX_ROWS).
+    # collect). Since round 6 every REGISTERED embedding-pair row runs a
+    # distributed form; the collect+broadcast all-pairs baseline lives
+    # only in the library (embedding_near_dup_pairs, the test-side
+    # verifier, refusing above EXACT_EMBEDDING_MAX_ROWS).
     "dedup_embedding_lsh_pairs",
     "dedup_embedding_blocked_pairs",
     # round-6: fused O(docs) embedding near-dup clustering — the pair stage

@@ -1159,11 +1159,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-duplicate pairs — exact all-pairs SEMANTICS,
+    distributed blocked EXECUTION (round 6: the registered row no longer
+    runs the collect+broadcast O(n²) baseline; that stays in the library as
+    ``embedding_near_dup_pairs``, the test-side verifier the blocked and
+    LSH forms are pinned against, refusing above ``max_rows``). Block
+    count auto-sizes from the corpus, so per-task memory is independent
+    of corpus size."""
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
-    return fdedup.embedding_near_dup_pairs(
+    return fdedup.embedding_near_dup_pairs_blocked(
         db.table("embeddings"), "vec_id", "embedding", threshold=0.4
     )
 
@@ -1303,7 +1309,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = db_for(spark, sf_dir)
     emb = db.table("embeddings")
-    pairs = fdedup.embedding_near_dup_pairs(
+    pairs = fdedup.embedding_near_dup_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.4
     )
     assignment = fdedup.dedup_cluster_assignment(emb, pairs, "vec_id")
