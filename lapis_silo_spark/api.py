@@ -45,6 +45,9 @@ def _extract_update_literal(value_saneql: str, dtype: str):
             raise QueryCompileError(f"expected boolean literal {loc}")
         return node.value
     if dtype == "date":
+        # deliberately NOT binder._date_value: this branch pins the
+        # reference extractor's error shapes (extractOptionalDateValue),
+        # which differ from the binder's filter-side date messages
         if not isinstance(node, ast.TypeCast):
             raise QueryCompileError(f"expected date type cast {loc}")
         if node.target_type != "date":
@@ -238,6 +241,10 @@ class SiloDatabase:
         """
         from lapis_silo_spark.storage import check_updatable
 
+        # validate the column BEFORE parsing the literal (the reference's
+        # guard order); storage.update_column re-runs the same check — a
+        # pair of dict probes, kept so the storage layer stays safe when
+        # called directly
         dtype = check_updatable(self.db, table, column)
         value = _extract_update_literal(value_saneql, dtype)
         self.update_column(table, column, value, filter_saneql)

@@ -1049,10 +1049,19 @@ def _xxhash_lsh_oracle() -> str:
            SELECT id, sig, unnest(range(0, 8)) AS band,
                   md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
            FROM sig),
+         -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 hot-bucket cap
+         -- (banded_rows: buckets with occupancy > cap are skipped), so the
+         -- oracle pins the same semantics the default entry point runs
+         bands_c AS (
+           SELECT id, sig, band, band_hash FROM (
+             SELECT id, sig, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS _n
+             FROM bands)
+           WHERE _n <= 1024),
          cand AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                            a.sig AS sig_a, b.sig AS sig_b
-           FROM bands a JOIN bands b
+           FROM bands_c a JOIN bands_c b
              ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.id < b.id),
          p AS (
@@ -1349,9 +1358,12 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions import dedup as fdedup
 
     db = db_for(spark, sf_dir)
+    # n_blocks auto-sizes (ceil(reps/8192)) so per-task matmul memory stays
+    # constant at corpus scale; the multi-block task shapes are gate-
+    # exercised by dedup_embedding_blocked_pairs' explicit n_blocks=4
     clusters = fdedup.embedding_dedup_clusters(
         db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
-        method="blocked", n_blocks=4,
+        method="blocked",
     )
     out = clusters.select(
         F.col("id").alias("vec_id"), "cluster_id", "cluster_size",
@@ -2980,9 +2992,16 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT id, sig, unnest(range(0, 8)) AS band,
                   md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
            FROM sig),
+         -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 hot-bucket cap
+         bands_c AS (
+           SELECT id, sig, band, band_hash FROM (
+             SELECT id, sig, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS _n
+             FROM bands)
+           WHERE _n <= 1024),
          p AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           FROM bands a JOIN bands b
+           FROM bands_c a JOIN bands_c b
              ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.id < b.id
            WHERE len(list_filter([a.sig[i + 1] = b.sig[i + 1]
@@ -3163,8 +3182,17 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT id, sig, unnest(range(0, 8)) AS band,
                   md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
            FROM sig),
-         base AS (SELECT * FROM bands WHERE id % 10 < 8),
-         batch AS (SELECT * FROM bands WHERE id % 10 >= 8),
+         -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 cap: occupancy
+         -- counts DISTINCT (id, band, band_hash) over base+batch together
+         -- (incremental_minhash_dedup unions state and new rows)
+         bands_c AS (
+           SELECT id, sig, band, band_hash FROM (
+             SELECT id, sig, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS _n
+             FROM bands)
+           WHERE _n <= 1024),
+         base AS (SELECT * FROM bands_c WHERE id % 10 < 8),
+         batch AS (SELECT * FROM bands_c WHERE id % 10 >= 8),
          base_hit AS (
            SELECT DISTINCT n.id FROM batch n
            JOIN base b ON n.band = b.band AND n.band_hash = b.band_hash

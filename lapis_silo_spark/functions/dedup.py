@@ -1075,7 +1075,18 @@ def _min_label_propagation(
         ids.join(touched, "id", "left_semi")
         .select("id", F.col("id").alias("label"))
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Convergence signal: labels only ever DECREASE under min-propagation,
+    # so for numeric ids the label sum strictly drops on any change — one
+    # cheap agg per round. For non-numeric ids (string doc ids are
+    # first-class in the pair stages) F.sum over the label column is no
+    # signal at all (null / ANSI cast error), so compare rounds exactly
+    # with an any-row-changed probe over the two checkpoint leaves.
+    from pyspark.sql import types as T
+
+    id_is_numeric = isinstance(ids.schema["id"].dataType, T.NumericType)
+    prev_sum = (
+        labels.agg(F.sum("label")).first()[0] if id_is_numeric else None
+    )
     for _ in range(max_iterations):
         prop = (
             edges.join(labels, on=[edges["u"] == labels["id"]])
@@ -1084,12 +1095,23 @@ def _min_label_propagation(
         new_labels, new_guard = checkpoint_tracked(
             labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        if id_is_numeric:
+            new_sum = new_labels.agg(F.sum("label")).first()[0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.withColumnRenamed("label", "_new")
+                .join(labels, on="id")
+                .where(F.col("_new") != F.col("label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels_guard.release()
         labels, labels_guard = new_labels, new_guard
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
 
     untouched = ids.join(touched, "id", "left_anti").select(
         "id", F.col("id").alias("label")
@@ -1125,10 +1147,12 @@ def dedup_cluster_assignment(
     shallow; the 30-round cap is generous), each round is one equi-join +
     one map-side-combinable min-aggregate, and the driver loop is the
     canonical Spark iterative shape (GraphX connectedComponents does the
-    same propagation). Convergence detection exploits monotonicity: labels
-    only ever DECREASE, so the label sum is strictly decreasing until the
-    fixpoint — one cheap global aggregate per round instead of a
-    change-detection join. Per-round checkpoints are explicitly released;
+    same propagation). Convergence detection exploits monotonicity for
+    NUMERIC ids: labels only ever DECREASE, so the label sum is strictly
+    decreasing until the fixpoint — one cheap global aggregate per round;
+    string ids (where a sum is no signal) fall back to an exact
+    any-row-changed probe between the round's two checkpoint leaves.
+    Per-round checkpoints are explicitly released;
     the final one is scoped to the returned DataFrame's lifetime (see
     :func:`_min_label_propagation`).
     """
@@ -1301,8 +1325,14 @@ def embedding_dedup_clusters(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    # coalesce: a null vector (or one containing a null element) aggregates
+    # to a null sum — treat it like zero-norm so the row passes through as
+    # its own singleton representative instead of silently vanishing from
+    # both filter branches (the contract is one output row per input row)
     sq = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)
-    with_nz = base.withColumn("_nz", sq > F.lit(0.0))
+    with_nz = base.withColumn(
+        "_nz", F.coalesce(sq > F.lit(0.0), F.lit(False))
+    )
     nz = with_nz.filter(F.col("_nz"))
     reps_nz = nz.groupBy("vec").agg(F.min("id").alias("rep_id"))
     rep_map = (
@@ -1315,7 +1345,13 @@ def embedding_dedup_clusters(
         )
     )
     rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
-    rep_docs = base.join(rep_ids, on="id", how="left_semi")
+    # pair generation sees NON-degenerate representatives only: a zero-norm
+    # or null vector can never clear a cosine threshold, and the numpy pair
+    # paths assume dense float arrays — degenerate ids still join the
+    # propagation universe (rep_ids) and come out as singleton clusters
+    rep_docs = base.join(
+        reps_nz.select(F.col("rep_id").alias("id")), on="id", how="left_semi"
+    )
 
     if method == "blocked":
         pairs = embedding_near_dup_pairs_blocked(
@@ -1338,7 +1374,7 @@ def embedding_dedup_clusters(
     )
     out = rep_map.join(comp, on="rep_id")
     w = Window.partitionBy("cluster_id")
-    return scoped_rdd_release(
+    result = scoped_rdd_release(
         out.select(
             "id",
             "cluster_id",
@@ -1347,6 +1383,10 @@ def embedding_dedup_clusters(
         ),
         guard,
     )
+    # rep_map is read twice (rep_ids seed + the final component join) and
+    # its lineage is the vector-wide groupBy + join — persist the narrow
+    # (id, rep_id) table for the result's lifetime so the wide agg runs once
+    return scoped_persist(rep_map, result)
 
 
 # ---------------------------------------------------------------------------
@@ -1643,8 +1683,12 @@ def remove_duplicate_char_spans(
             ),
         ),
     )
+    # coalesce: null text stitches to null — normalize to the word twin's
+    # ('' / 0) contract so the two forms stay interchangeable
     return joined.select(
         "id",
-        F.length(clean).cast("long").alias("clean_chars"),
-        clean.alias("clean_text"),
+        F.coalesce(F.length(clean).cast("long"), F.lit(0)).alias(
+            "clean_chars"
+        ),
+        F.coalesce(clean, F.lit("")).alias("clean_text"),
     )

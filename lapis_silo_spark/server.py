@@ -97,7 +97,18 @@ def _stream_with_timeout(spark, chunks_fn, seconds: int, tag: str):
         try:
             kind, payload = q.get(timeout=seconds)
         except queue_mod.Empty:
+            # full cleanup here, not only in gen()'s finally: a FIRST-chunk
+            # timeout raises before gen() exists, and a producer that got
+            # past cancelJobGroup (prefetched toLocalIterator partitions)
+            # would otherwise block in q.put() forever — leaking the thread
+            # and MAX_BUFFERED_CHUNKS of body per timed-out request
+            state["closed"] = True
             spark.sparkContext.cancelJobGroup(tag)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
             raise QueryTimeoutError(
                 f"Request timed out, no batch within {seconds} seconds."
             ) from None
@@ -281,10 +292,38 @@ def _arrow_ipc_chunks(df):
     written — driver memory holds one batch, never the table. The stream
     header (schema message) is emitted first, so empty results still
     produce a valid, schema-bearing IPC stream."""
+    import datetime as _dt
+
     import pyarrow as pa
+    from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = to_arrow_schema(df.schema)
+    # to_arrow_schema maps TimestampType to timestamp[us, tz=UTC], but
+    # toLocalIterator materializes timestamps via fromInternal's
+    # datetime.fromtimestamp — NAIVE wall time in the driver PROCESS'S OS
+    # zone — and from_pylist would stamp that as UTC, shifting every value
+    # by the host offset on non-UTC hosts. astimezone() on a naive datetime
+    # attaches the OS-local zone (DST-aware per instant, the exact inverse
+    # of fromtimestamp); the result must then be handed over as NAIVE UTC
+    # wall time because pyarrow's from_pylist ignores tzinfo against a
+    # tz-typed field (verified on pyarrow 16: an aware 12:30-05:00 lands as
+    # 12:30Z). (TimestampNTZType stays naive by design; the catalog has no
+    # nested timestamps — struct fields would need a schema walk.)
+    _ts_cols = [
+        f.name for f in df.schema.fields
+        if type(f.dataType) is T.TimestampType
+    ]
+
+    def _localize(d: dict) -> dict:
+        for c in _ts_cols:
+            v = d.get(c)
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                d[c] = (
+                    v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                )
+        return d
+
     sink = io.BytesIO()
     writer = pa.ipc.new_stream(sink, schema)
 
@@ -296,7 +335,7 @@ def _arrow_ipc_chunks(df):
 
     rows: list[dict] = []
     for row in df.toLocalIterator():
-        rows.append(row.asDict(recursive=True))
+        rows.append(_localize(row.asDict(recursive=True)))
         if len(rows) >= ARROW_BATCH_ROWS:
             writer.write_batch(pa.RecordBatch.from_pylist(rows, schema=schema))
             rows = []

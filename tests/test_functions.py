@@ -318,6 +318,66 @@ def test_char_span_dedup_hand_computed(spark):
     assert alt == sorted(map(tuple, stats.values()))
 
 
+def test_cluster_assignment_string_ids_transitive(spark):
+    """String ids: the numeric label-sum convergence signal is no signal
+    (F.sum over strings), so the loop must use the exact changed-row probe.
+    The a~b, b~c chain needs a SECOND propagation round to pull c down to
+    'a' — a premature 'converged' verdict leaves c labeled 'b'."""
+    universe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.dedup_cluster_assignment(universe, pairs, "id").collect()
+    }
+    assert out["a"]["cluster_id"] == "a"
+    assert out["b"]["cluster_id"] == "a"
+    assert out["c"]["cluster_id"] == "a"  # round 2 — the regression case
+    assert out["d"]["cluster_id"] == "d" and out["d"]["cluster_size"] == 1
+    assert out["a"]["is_canonical"] and not out["c"]["is_canonical"]
+
+
+def test_embedding_dedup_clusters_null_and_zero_vectors(spark):
+    """Null vectors, vectors with a null element, and zero-norm vectors all
+    pass through as singleton clusters — one output row per input row, and
+    none of them reaches the numpy pair stage."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),     # exact twin of 1 → same cluster
+        (3, None),           # null vector
+        (4, [0.0, 0.0]),     # zero norm
+        (5, [1.0, None]),    # null element → null square sum
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in dedup.embedding_dedup_clusters(
+            df, "vec_id", "embedding", threshold=0.9, method="blocked"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 2
+    for i in (3, 4, 5):
+        assert out[i]["cluster_id"] == i
+        assert out[i]["cluster_size"] == 1 and out[i]["is_canonical"]
+
+
+def test_remove_duplicate_char_spans_null_text(spark):
+    """Null text normalizes to ('' / 0), matching the word twin's contract."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some perfectly ordinary text")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dedup.remove_duplicate_char_spans(
+        docs, "doc_id", "text", k=50).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["clean_chars"] == 0
+    assert out[2]["clean_text"] == "some perfectly ordinary text"
+
+
 def test_dedup_cluster_assignment_transitive(spark):
     # chain 1~2, 2~3 plus the isolated 4: closure must merge {1,2,3}
     # even though (1,3) was never emitted as a pair.

@@ -117,3 +117,61 @@ def test_http_query_timeout_error_shape(example_db):
         "/query", data="default.groupBy({cnt := count()})"
     )
     assert ok.status_code == 200
+
+
+def test_arrow_stream_timestamps_survive_non_utc_host_tz(spark):
+    """toLocalIterator yields NAIVE local-wall-time datetimes
+    (fromInternal uses datetime.fromtimestamp), while the Arrow schema
+    declares timestamp[us, tz=UTC] — the sink must localize before
+    building batches or every value shifts by the host's UTC offset."""
+    import datetime as dt
+    import io
+    import os
+    import time as time_mod
+
+    import pyarrow as pa
+
+    from lapis_silo_spark.server import _arrow_ipc_chunks
+
+    instant = dt.datetime(2026, 1, 15, 17, 30, 0, tzinfo=dt.timezone.utc)
+    # created BEFORE the TZ switch: aware datetimes convert tz-independently
+    df = spark.createDataFrame([(1, instant)], "id long, ts timestamp")
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        data = b"".join(_arrow_ipc_chunks(df))
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time_mod.tzset()
+
+    tbl = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    [got] = tbl.column("ts").to_pylist()
+    assert got == instant, f"shifted: {got!r} != {instant!r}"
+
+
+def test_stream_first_chunk_timeout_unblocks_producer(spark):
+    """A FIRST-chunk timeout must drain the queue and set the closed flag
+    (gen() never exists to run its cleanup), so a producer that slipped
+    past cancelJobGroup can't block in q.put() forever."""
+    import threading
+
+    finished = threading.Event()
+
+    def chunks():
+        try:
+            time.sleep(1.2)  # outlast the 1 s timeout
+            for _ in range(200):  # >> MAX_BUFFERED_CHUNKS if not stopped
+                yield b"x" * 1024
+        finally:
+            # runs when the producer loop observes the closed flag and
+            # drops the generator (GeneratorExit) — i.e. it did NOT hang
+            finished.set()
+
+    with pytest.raises(QueryTimeoutError):
+        _stream_with_timeout(spark, chunks, 1, "first-chunk-timeout-test")
+    assert finished.wait(10), "producer still blocked after timeout"
