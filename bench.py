@@ -55,8 +55,11 @@ HEADLINE = [
     "dedup_embedding_blocked_pairs",
     # round-6: fused O(docs) embedding near-dup clustering — the pair stage
     # is internal, output is (id, cluster, keep); kills the output-volume
-    # superlinearity the two pair-emitters showed at sf1
+    # superlinearity the two pair-emitters showed at sf1. The _lsh twin
+    # fuses the SUBLINEAR-candidates path (hyperplane buckets over
+    # representatives) into the same O(docs) output.
     "dedup_embedding_clusters",
+    "dedup_embedding_clusters_lsh",
     "decontam_ngram_overlap",
     "decontam_bloom_overlap",
     "decontam_near_dup",

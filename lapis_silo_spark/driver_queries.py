@@ -1372,6 +1372,84 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adopt_guards(out, clusters)
 
 
+#: Shared prelude for the LSH-fused cluster oracle: the identical-vector
+#: short-circuit (rep = min id per distinct non-degenerate vector; zero-norm
+#: ids are their own reps), the md5-derived hyperplanes (same construction
+#: dedup_embedding_lsh_pairs pins against the engine), bucket signatures
+#: over REPRESENTATIVES only, and the cosine-verified candidate pairs.
+_LSH_REP_PRELIM = """dims AS (SELECT unnest(range(64)) AS d),
+    planes AS (SELECT unnest(range(24)) AS p),
+    coef AS (
+      SELECT p, d,
+             ((CAST(('0x' || substr(md5(p || ':' || d), 1, 8)) AS BIGINT)
+               % 2001) - 1000) / 1000.0 AS c
+      FROM planes CROSS JOIN dims),
+    corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+             FROM embeddings),
+    nzc AS (SELECT id, vec FROM corp
+            WHERE list_sum(list_transform(vec, x -> x * x)) > 0),
+    rep AS (SELECT vec, min(id) AS rep_id FROM nzc GROUP BY vec),
+    rmap AS (SELECT n.id, r.rep_id FROM nzc n JOIN rep r ON n.vec = r.vec
+             UNION ALL
+             SELECT id, id AS rep_id FROM corp
+             WHERE id NOT IN (SELECT id FROM nzc)),
+    rcorp AS (SELECT rep_id AS id, vec FROM rep),
+    sig AS (
+      SELECT id, p // 6 AS t, p,
+             CASE WHEN SUM(vec[d + 1] * c) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM rcorp CROSS JOIN coef GROUP BY id, p),
+    buck AS (
+      SELECT id, t || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+      FROM sig GROUP BY id, t),
+    lshp AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buck a JOIN buck b USING (bucket)
+      JOIN rcorp va ON va.id = a.id
+      JOIN rcorp vb ON vb.id = b.id
+      WHERE a.id < b.id
+        AND list_cosine_similarity(va.vec, vb.vec) >= 0.4)"""
+
+_LSH_CC_CTES, _LSH_CC_FINAL = _cc_propagation_ctes(
+    pairs_sql="SELECT id_a AS u, id_b AS v FROM lshp",
+    nodes_sql="SELECT DISTINCT rep_id FROM rmap",
+)
+
+
+@query(
+    "dedup_embedding_clusters_lsh",
+    f"""WITH {_LSH_REP_PRELIM},
+         {_LSH_CC_CTES},
+         comp AS (SELECT node AS rep_id, lbl AS cluster_id
+                  FROM {_LSH_CC_FINAL})
+       SELECT m.id AS vec_id, comp.cluster_id,
+              count(*) OVER (PARTITION BY comp.cluster_id) AS cluster_size,
+              m.id = comp.cluster_id AS is_canonical
+       FROM rmap m JOIN comp USING (rep_id)""",
+)
+def q_dedup_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused embedding near-dup clustering over the LSH candidate path —
+    the SUBLINEAR-candidates twin of dedup_embedding_clusters: identical
+    vectors short-circuit, hyperplane-bucketed candidates (n_tables × rows
+    shuffle, never rows²) verify by exact cosine, min-label propagation
+    collapses them to one O(docs) row per embedding. Unlike the blocked
+    row, components here form over the LSH-FOUND pair set, so the oracle
+    replays the hyperplane buckets over representatives before the
+    unrolled closure."""
+    from lapis_silo_spark.cache import adopt_guards
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    clusters = fdedup.embedding_dedup_clusters(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
+        method="lsh", n_planes=6, n_tables=4, dim=64,
+    )
+    out = clusters.select(
+        F.col("id").alias("vec_id"), "cluster_id", "cluster_size",
+        "is_canonical",
+    )
+    return adopt_guards(out, clusters)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
