@@ -4388,6 +4388,204 @@ def q_update_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: BPE tokenizer training/encoding, line-level dedup, linear
+# quality classifier — LLM-pipeline surface beyond reference parity
+# ---------------------------------------------------------------------------
+
+from lapis_silo_spark.functions.tokenizer import (  # noqa: E402
+    bpe_encode_oracle_sql as _bpe_encode_oracle_sql,
+    bpe_train_oracle_sql as _bpe_train_oracle_sql,
+)
+
+_BPE_MERGES = 12
+
+
+@query("tokenizer_bpe_train", _bpe_train_oracle_sql(n_merges=_BPE_MERGES))
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over the
+    corpus: 12 merge steps, each ONE distributed pair-count aggregation over
+    the O(vocab) word-frequency table plus a 1-row argmax collect; the
+    corpus is scanned exactly once. The returned merge table IS the model
+    artifact (one row per merge). The oracle replays training bit-for-bit
+    as an unrolled (pair-count, argmax, literal-replace) CTE chain — the
+    space-padded double-separator symbol encoding makes a BPE merge a plain
+    ``replace()`` with identical greedy left-to-right semantics in both
+    engines (see functions/tokenizer.py)."""
+    from lapis_silo_spark.functions.tokenizer import bpe_train_df
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    return bpe_train_df(docs, "text", n_merges=_BPE_MERGES)
+
+
+@query("tokenizer_bpe_encode", _bpe_encode_oracle_sql(n_merges=_BPE_MERGES))
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode roundtrip: learn the 12-merge BPE model, then count
+    tokens-after-BPE for every document (chained literal replaces + one
+    split — pure JVM expression, zero shuffle, pipelines with the scan) and
+    total per source. Encoding 100 TB is embarrassingly parallel; only the
+    12-row model crosses the driver."""
+    from lapis_silo_spark.functions.tokenizer import (
+        bpe_encode_count,
+        bpe_train,
+    )
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return (
+        docs.select(
+            "source", bpe_encode_count("text", merges).alias("_n")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+
+
+# Deterministic 8-word line re-segmentation shared by the line-dedup oracle
+# pair (the synthetic corpus has no newlines; reflow_lines gives both
+# engines identical line boundaries to dedup against).
+_LINES_SQL = r"""
+base AS (SELECT doc_id AS id,
+        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+          AS toks
+        FROM documents),
+ln AS (SELECT id, list_transform(
+          generate_series(0, CAST((len(toks)+7)//8 - 1 AS INT)),
+          i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')) AS arr
+       FROM base),
+occ AS (SELECT id, u.pos AS pos, u.line AS line FROM (
+   SELECT id, unnest(list_transform(generate_series(1, len(arr)),
+                     i -> {'pos': i, 'line': arr[i]})) AS u FROM ln))"""
+
+
+@query(
+    "dedup_line_report",
+    f"""WITH {_LINES_SQL}
+       SELECT line, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM occ GROUP BY line HAVING count(DISTINCT id) >= 2""",
+)
+def q_dedup_line_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate detector: every (reflowed) line
+    present in >= 2 distinct documents with doc/occurrence counts
+    (functions.dedup.duplicate_line_report). Two-stage agg — map-side
+    combine collapses within-doc repeats before the shuffle."""
+    from lapis_silo_spark.functions.dedup import duplicate_line_report
+    from lapis_silo_spark.functions.text import reflow_lines
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    lines = docs.select("doc_id", reflow_lines("text", 8).alias("lines"))
+    return duplicate_line_report(
+        lines, "doc_id", lines_col="lines", min_docs=2, normalize=False
+    )
+
+
+@query(
+    "dedup_line_clean",
+    f"""WITH {_LINES_SQL},
+       r AS (SELECT id, pos,
+               row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn,
+               count(*) OVER (PARTITION BY line) AS n_occ
+             FROM occ),
+       d AS (SELECT id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+       kept AS (SELECT o.id, o.pos, o.line FROM occ o LEFT JOIN d
+                ON d.id = o.id AND d.pos = o.pos WHERE d.id IS NULL),
+       rb AS (SELECT id, string_agg(line, chr(10) ORDER BY pos)
+                AS clean_text FROM kept GROUP BY id),
+       dc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dropped
+              FROM d GROUP BY id)
+       SELECT l.id AS doc_id, CAST(len(l.arr) AS BIGINT) AS n_lines,
+              coalesce(dc.n_dropped, 0) AS n_dropped,
+              coalesce(rb.clean_text, '') AS clean_text
+       FROM ln l LEFT JOIN rb ON rb.id = l.id
+       LEFT JOIN dc ON dc.id = l.id""",
+)
+def q_dedup_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the corpus
+    (functions.dedup.remove_duplicate_lines): every line occurring >= 2
+    times keeps only its canonical (min (id, pos)) occurrence; surviving
+    lines re-joined per document. Only (id, pos, 16-byte digest) shuffles —
+    the canonical pick is a skew-safe min-struct agg and the text is
+    filtered in place, so a line duplicated across millions of pages can't
+    single-task a window sort or move document bodies."""
+    from lapis_silo_spark.functions.dedup import remove_duplicate_lines
+    from lapis_silo_spark.functions.text import reflow_lines
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    lines = docs.select("doc_id", reflow_lines("text", 8).alias("lines"))
+    return remove_duplicate_lines(
+        lines, "doc_id", lines_col="lines", min_count=2, normalize=False
+    ).withColumnRenamed("id", "doc_id")
+
+
+# fastText-style quality-classifier weights: dyadic rationals (multiples of
+# 1/8) so the token-weight sum is EXACT in IEEE double regardless of
+# summation order — the oracle's unordered SQL sum() cannot diverge.
+_QUALITY_WEIGHTS = {
+    "slow": -1.25, "fast": 0.75, "big": 0.5, "query": 0.25, "table": 0.125,
+    "scan": -0.5, "merge": 0.375, "spark": 1.0, "batch": 0.25,
+    "stream": 0.625, "filter": 0.25, "join": 0.125, "sort": -0.25,
+    "window": 0.5, "hash": -0.125,
+}
+_QUALITY_BIAS = -0.25
+
+
+@query(
+    "text_quality_classifier",
+    f"""WITH w(tok, wt) AS (VALUES {", ".join(
+        f"('{k}', {v})" for k, v in _QUALITY_WEIGHTS.items())}),
+       base AS (SELECT doc_id, source,
+              string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                'g'))), ' ') AS toks
+              FROM documents),
+       tk AS (SELECT doc_id, source, len(toks) AS n, unnest(toks) AS tok
+              FROM base),
+       j AS (SELECT tk.doc_id, tk.source, tk.n, coalesce(w.wt, 0.0) AS wt
+             FROM tk LEFT JOIN w ON w.tok = tk.tok),
+       per AS (SELECT doc_id, source,
+               round(1.0/(1.0+exp(-({_QUALITY_BIAS} +
+                 sum(wt)/greatest(max(n),1)))), 6) AS s
+               FROM j GROUP BY doc_id, source)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_positive,
+              round(avg(s), 4) AS avg_score
+       FROM per GROUP BY source""",
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier
+    (functions.text.linear_classifier_score — the DCLM/FineWeb-Edu curation
+    gate shape): sigmoid of bias + mean token weight, with the weight table
+    inlined as a map literal. Scoring is a zero-shuffle whole-stage-codegen
+    expression over the scan; only the per-source rollup shuffles. Dyadic
+    weights make the fold bit-deterministic (see _QUALITY_WEIGHTS)."""
+    from lapis_silo_spark.functions.text import linear_classifier_score
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    scored = docs.select(
+        "source",
+        F.round(
+            linear_classifier_score("text", _QUALITY_WEIGHTS, _QUALITY_BIAS),
+            6,
+        ).alias("_s"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("_s") > 0.5).cast("int")).cast("bigint").alias(
+            "n_positive"
+        ),
+        F.round(F.avg("_s"), 4).alias("avg_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate records exactly the FIRST 50 registered

@@ -1692,3 +1692,151 @@ def remove_duplicate_char_spans(
         ),
         F.coalesce(clean, F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def _line_array(
+    docs: DataFrame,
+    id_col: str,
+    *,
+    text_col: str | None,
+    lines_col: str | None,
+    line_sep: str,
+    normalize: bool,
+):
+    """``(id, _arr)`` with the document's lines as an array — either a
+    caller-provided ``array<string>`` column (pre-segmented corpora) or a
+    literal split of ``text_col`` on ``line_sep``. ``normalize`` keys each
+    line on its lowercased/whitespace-collapsed form for the dedup decision
+    while the OUTPUT keeps the raw line text."""
+    from lapis_silo_spark.functions.text import normalized
+
+    if (lines_col is None) == (text_col is None):
+        raise ValueError("exactly one of text_col / lines_col is required")
+    if lines_col is not None:
+        arr = F.col(lines_col)
+    else:
+        # split() takes a regex — \Q...\E-quote the separator so '\n' stays
+        # the common case but '|' or '. ' callers aren't surprised
+        arr = F.split(F.col(text_col), "\\Q" + line_sep + "\\E", -1)
+    out = docs.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+    key = (lambda c: normalized(c)) if normalize else (lambda c: c)
+    return out, key
+
+
+def _line_occurrences(lines: DataFrame, key) -> DataFrame:
+    """Explode ``(id, _arr)`` to ``(id, pos, lh)`` — 1-based line position
+    plus the 16-byte digest of the line's dedup key. Only (id, pos, 16-byte
+    lh) is ever shuffled; line text stays with its document."""
+    return lines.select(
+        "id", F.posexplode("_arr").alias("p0", "_line")
+    ).select(
+        "id",
+        (F.col("p0") + F.lit(1)).alias("pos"),
+        F.unhex(F.md5(key(F.col("_line")))).alias("lh"),
+    )
+
+
+def duplicate_line_report(
+    docs: DataFrame,
+    id_col: str,
+    *,
+    text_col: str | None = None,
+    lines_col: str | None = None,
+    line_sep: str = "\n",
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide duplicated-line report: every line (by dedup key) present
+    in at least ``min_docs`` distinct documents, with document and occurrence
+    counts — the boilerplate detector of CCNet/RefinedWeb-style line dedup
+    (headers, footers, cookie banners are exactly the lines that repeat
+    across many pages).
+
+    Returns ``(line, n_docs, n_occurrences)``.
+
+    Scale shape: same two-stage agg as :func:`duplicate_passages` — stage 1
+    keys on ``(line_key, id)`` so map-side combine collapses within-document
+    repeats before the shuffle; stage 2 re-keys on the line alone over one
+    row per (line, doc). The reference engine has no text surface (SURVEY
+    §2.5); this is LLM-pipeline surface.
+    """
+    lines, key = _line_array(
+        docs, id_col, text_col=text_col, lines_col=lines_col,
+        line_sep=line_sep, normalize=normalize,
+    )
+    occ = lines.select(
+        "id", F.explode("_arr").alias("_line")
+    ).select("id", key(F.col("_line")).alias("line"))
+    per_doc = occ.groupBy("line", "id").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        per_doc.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str,
+    *,
+    text_col: str | None = None,
+    lines_col: str | None = None,
+    line_sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Line-level exact dedup across the corpus: every line whose dedup key
+    occurs at least ``min_count`` times (corpus-wide, within- or across-doc)
+    is dropped from every document except — when ``keep_first`` — its
+    canonical (lexicographically-min ``(id, pos)``) occurrence. The CCNet /
+    RefinedWeb line-dedup pass, as an engine operator.
+
+    Returns ``(id, n_lines, n_dropped, clean_text)`` with ``clean_text`` the
+    surviving lines re-joined by ``line_sep``.
+
+    Scale shape: the shuffle is ``(id, pos, 16-byte digest)`` occurrence rows
+    — O(lines), never text; the canonical pick is a map-side-combinable
+    min-struct agg (the same skew-safe form as the substring-span machinery,
+    so a line duplicated across millions of pages cannot single-task a
+    window sort); the drop-list joins back per document as a short positions
+    array and the text is filtered IN PLACE (``F.filter`` over the original
+    split — the document body never shuffles).
+    """
+    lines, key = _line_array(
+        docs, id_col, text_col=text_col, lines_col=lines_col,
+        line_sep=line_sep, normalize=normalize,
+    )
+    occ = _line_occurrences(lines, key)
+    stats = occ.groupBy("lh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("id", "pos")).alias("c"),
+    )
+    drops = occ.join(stats, "lh").where(F.col("n_occ") >= min_count)
+    if keep_first:
+        drops = drops.where(
+            (F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos"))
+        )
+    per_doc = drops.groupBy("id").agg(
+        F.collect_list("pos").alias("_drops")
+    )
+    joined = lines.join(per_doc, "id", "left")
+    empty = F.array().cast("array<bigint>")
+    dropset = F.coalesce(F.col("_drops").cast("array<bigint>"), empty)
+    kept = F.filter(
+        "_arr",
+        lambda x, i: ~F.array_contains(dropset, (i + F.lit(1)).cast("bigint")),
+    )
+    return joined.select(
+        "id",
+        F.size("_arr").cast("bigint").alias("n_lines"),
+        F.size(dropset).cast("bigint").alias("n_dropped"),
+        F.array_join(kept, line_sep).alias("clean_text"),
+    )

@@ -480,3 +480,97 @@ def pii_redact(col: str | Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def reflow_lines(col: str | Column, words_per_line: int = 8) -> Column:
+    """Deterministic re-segmentation of unstructured text into fixed-width
+    "lines" of ``words_per_line`` whitespace tokens (normalized form).
+
+    Line-level operators (:func:`...dedup.remove_duplicate_lines`) need line
+    boundaries; corpora without them (OCR dumps, single-line JSON text
+    fields, this repo's synthetic tables) get deterministic ones that both
+    engines of an oracle pair can replay exactly. Pure JVM array ops — no
+    shuffle, pipelines with the scan.
+    """
+    toks = tokens(col)
+    w = F.lit(words_per_line)
+    k = F.floor((F.size(toks) + w - F.lit(1)) / w).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * w + F.lit(1), w), " "),
+    )
+
+
+def linear_classifier_score(
+    col: str | Column,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> Column:
+    """fastText-style linear text classifier score: sigmoid of ``bias`` plus
+    the mean token weight (unknown tokens weigh 0) — the shape of the
+    quality / domain classifiers LLM curation pipelines gate documents on
+    (DCLM, FineWeb-Edu). The weight table is inlined as a map literal, so
+    scoring is a zero-shuffle JVM expression over the scan; use
+    :func:`linear_classifier_scores_joined` when the vocabulary is too large
+    to inline (it broadcasts instead).
+
+    The token-weight sum folds in DOCUMENT ORDER (``F.aggregate``), so for
+    dyadic-rational weights the sum is bit-deterministic — replayable by a
+    SQL oracle that walks the token list in order.
+    """
+    toks = tokens(col)
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+    )
+    mean = total / F.greatest(F.size(toks), F.lit(1))
+    z = F.lit(float(bias)) + mean
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def linear_classifier_scores_joined(
+    docs,
+    id_col: str,
+    text_col: str,
+    weights_df,
+    *,
+    bias: float = 0.0,
+    token_col: str = "token",
+    weight_col: str = "weight",
+):
+    """Large-vocabulary form of :func:`linear_classifier_score`: tokens
+    explode, broadcast-join the weight table, and re-aggregate per document
+    — one shuffle of ``(id, weight)``, the weight table never exceeds a
+    broadcast. Returns ``(id, score)``.
+    """
+    from pyspark.sql import functions as _F
+
+    toks = docs.select(
+        _F.col(id_col).alias("id"),
+        _F.size(tokens(text_col)).alias("_n"),
+        _F.explode(tokens(text_col)).alias("_tok"),
+    )
+    joined = toks.join(
+        _F.broadcast(
+            weights_df.select(
+                _F.col(token_col).alias("_tok"),
+                _F.col(weight_col).alias("_w"),
+            )
+        ),
+        "_tok",
+        "left",
+    )
+    agg = joined.groupBy("id", "_n").agg(
+        _F.sum(_F.coalesce("_w", _F.lit(0.0))).alias("_s")
+    )
+    z = _F.lit(float(bias)) + _F.col("_s") / _F.greatest(
+        _F.col("_n"), _F.lit(1)
+    )
+    return agg.select(
+        "id",
+        (_F.lit(1.0) / (_F.lit(1.0) + _F.exp(-z))).alias("score"),
+    )
