@@ -69,11 +69,24 @@ HEADLINE = [
     # round-6: character-gram twin (k=50, Lee et al. threshold) — catches
     # duplication word tokenization splits; O(chars) occurrence rows
     "dedup_substring_char_spans",
+    # round-7: line-level corpus dedup (CCNet/RefinedWeb boilerplate pass)
+    # — report + canonical-keeping removal with in-place text filtering
+    "dedup_line_report",
+    "dedup_line_clean",
     "text_chunk_windows",
     "dedup_duplicate_passages",
     "text_tfidf_top_terms",
     "text_unigram_perplexity",
     "text_encode_token_ids",
+    # round-7: BPE train-then-encode (the encode row retrains the 12-merge
+    # model internally, so it covers tokenizer_bpe_train's work too) and
+    # the zero-shuffle fastText-style quality classifier
+    "tokenizer_bpe_encode",
+    "text_quality_classifier",
+    # round-7: DSIR importance resampling — integer-exact target-vs-source
+    # decision over hashed bigram buckets (one corpus pass for weights,
+    # one broadcast join + per-doc sum for scores)
+    "sample_dsir_importance",
     "sample_dataset_mixture",
     "sketch_kmv_distinct",
     "sketch_count_min_terms",

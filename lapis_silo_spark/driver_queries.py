@@ -4537,6 +4537,74 @@ _QUALITY_BIAS = -0.25
 
 
 @query(
+    "sample_dsir_importance",
+    f"""WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL} AS t
+                     FROM documents),
+       g AS (SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= 2
+                 THEN [('0x' || substr(md5(array_to_string(t[i:i+1], ' ')),
+                         1, 8))::BIGINT % 1024
+                       FOR i IN range(1, len(t))]
+                 ELSE []::BIGINT[] END) AS b
+             FROM toks),
+       cnt AS (SELECT b,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_b,
+               CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS s_b
+               FROM g GROUP BY b),
+       tot AS (SELECT sum(t_b) AS tt, sum(s_b) AS ss FROM cnt),
+       w AS (SELECT b, (t_b + 1)::HUGEINT * (ss + 1024)::HUGEINT
+                      - (s_b + 1)::HUGEINT * (tt + 1024)::HUGEINT AS w
+             FROM cnt, tot),
+       sc AS (SELECT g.doc_id, sum(w.w) AS score
+              FROM g JOIN w ON w.b = g.b GROUP BY 1),
+       per AS (SELECT d.doc_id, d.source,
+                      coalesce(sc.score, 0::HUGEINT) AS score
+               FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              sum(score) AS score_total
+       FROM per GROUP BY source""",
+)
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): hashed word-
+    bigram bucket counts split target (source='src0') vs source, smoothed
+    cross-multiplied INTEGER weights (sign = the log-likelihood-ratio's
+    sign, but bit-exact in any engine — no float summation order, no libm;
+    the oracle replays the whole decision in HUGEINT algebra, Spark carries
+    it in decimal(38,0)), per-document exact integer scores, keep = positive
+    score. One corpus pass for weights (O(1024) state, totals via a fixed-
+    size single-task window), one broadcast join + per-doc sum for scores
+    (functions.sampling.dsir_importance_weights / dsir_scores)."""
+    from lapis_silo_spark.functions.sampling import (
+        dsir_importance_weights,
+        dsir_keep,
+        dsir_scores,
+    )
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    weights = dsir_importance_weights(
+        docs, "text", F.col("source") == "src0", ngram=2, n_buckets=1024
+    )
+    scores = dsir_scores(
+        docs, "doc_id", "text", weights, ngram=2, n_buckets=1024
+    )
+    per = docs.select(F.col("doc_id").alias("id"), "source").join(
+        scores, "id"
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(dsir_keep(F.col("score")).cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("score").alias("score_total"),
+    )
+
+
+@query(
     "text_quality_classifier",
     f"""WITH w(tok, wt) AS (VALUES {", ".join(
         f"('{k}', {v})" for k, v in _QUALITY_WEIGHTS.items())}),

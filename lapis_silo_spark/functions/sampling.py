@@ -133,3 +133,132 @@ def mixture_sample(
     }
     rates = mixture_rates(counts, weights, budget_fraction)
     return df.filter(stratified_hash_sample(key, stratum, rates))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+#
+# DSIR selects raw-corpus documents whose hashed-n-gram feature distribution
+# looks like a small TARGET domain: importance = target vs source likelihood
+# under bucketed n-gram counts. The form here keeps the entire decision in
+# INTEGER arithmetic so it is bit-exact in any engine: instead of
+# log((t_b+1)/(T+B)) - log((s_b+1)/(S+B)) per bucket, the per-bucket weight
+# is the cross-multiplied numerator
+#
+#     w_b = (t_b + 1)·(S + B)  -  (s_b + 1)·(T + B)
+#
+# whose SIGN equals the log-ratio's sign bucket-by-bucket (same Laplace
+# smoothing), and a document's score is the exact integer sum of its gram
+# weights — no float summation order, no libm divergence, a DuckDB oracle
+# replays it with HUGEINT algebra. Spark side uses decimal(38,0): the
+# per-bucket factors are kept in decimal(18,0) so products stay inside the
+# 38-digit cap at any corpus size; at ~1e18 gram occurrences (far past
+# 100 TB of text) the factors would need rescaling, documented here.
+
+
+def _gram_bucket32(gram: Column, n_buckets: int) -> Column:
+    """md5-derived 32-bit bucket id — the engine-portable hash family every
+    dedup operator in this package keys on (dedup.py _hash32)."""
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(n_buckets)).alias("bucket")
+
+
+def _doc_gram_buckets(
+    docs: "DataFrame", id_col: str, text_col: str, *, ngram: int,
+    n_buckets: int,
+) -> "DataFrame":
+    """``(id, bucket)`` — one row per word-``ngram`` occurrence."""
+    from lapis_silo_spark.functions.text import word_ngrams
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, ngram)).alias("_g"),
+    ).select("id", _gram_bucket32(F.col("_g"), n_buckets))
+
+
+def dsir_importance_weights(
+    docs: "DataFrame",
+    text_col: str,
+    target: Column,
+    *,
+    ngram: int = 2,
+    n_buckets: int = 1024,
+) -> "DataFrame":
+    """Per-bucket integer importance weights ``(bucket, w)`` from one pass
+    over the corpus: hashed word-n-gram occurrence counts split into target
+    (rows where ``target`` is true) vs source (the rest), totals via one
+    unpartitioned window over the ``n_buckets``-row count table (B is a
+    fixed constant — a single-task window over 1024 rows at any corpus
+    size), then the cross-multiplied smoothed weight. O(corpus) scan,
+    O(n_buckets) state; nothing is collected."""
+    from pyspark.sql.window import Window
+
+    from lapis_silo_spark.functions.text import word_ngrams
+
+    is_target = F.when(target, F.lit(1)).otherwise(F.lit(0))
+    grams = docs.select(
+        is_target.alias("_t"),
+        F.explode(word_ngrams(text_col, ngram)).alias("_g"),
+    ).select("_t", _gram_bucket32(F.col("_g"), n_buckets))
+    counts = grams.groupBy("bucket").agg(
+        F.sum("_t").cast("bigint").alias("t_b"),
+        F.sum(F.lit(1) - F.col("_t")).cast("bigint").alias("s_b"),
+    )
+    w = Window.partitionBy()
+    dec = "decimal(18,0)"
+    b = F.lit(n_buckets)
+    totals = counts.select(
+        "bucket",
+        "t_b",
+        "s_b",
+        F.sum("t_b").over(w).alias("tt"),
+        F.sum("s_b").over(w).alias("ss"),
+    )
+    return totals.select(
+        "bucket",
+        (
+            (F.col("t_b") + F.lit(1)).cast(dec)
+            * (F.col("ss") + b).cast(dec)
+            - (F.col("s_b") + F.lit(1)).cast(dec)
+            * (F.col("tt") + b).cast(dec)
+        ).alias("w"),
+    )
+
+
+def dsir_scores(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+    weights: "DataFrame",
+    *,
+    ngram: int = 2,
+    n_buckets: int = 1024,
+) -> "DataFrame":
+    """Per-document integer importance score ``(id, score)``: the exact sum
+    of bucket weights over the document's gram occurrences. The weight table
+    is ``n_buckets`` rows — broadcast; the only shuffle is the per-document
+    sum of ``(id, decimal)``. Documents with no grams (under ``ngram``
+    tokens) score 0."""
+    grams = _doc_gram_buckets(
+        docs, id_col, text_col, ngram=ngram, n_buckets=n_buckets
+    )
+    scored = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.sum("w").alias("score"))
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("score"), F.lit(0).cast("decimal(38,0)")).alias(
+            "score"
+        ),
+    )
+
+
+def dsir_keep(score: Column) -> Column:
+    """DSIR keep rule: positive importance (document looks more target-like
+    than source-like under the smoothed bucket model)."""
+    return score > 0
