@@ -148,6 +148,16 @@ def main() -> None:
     for name in HEADLINE:
         if name not in QUERIES:
             continue
+        # JMH-style inter-iteration GC (untimed, ~0.1 s): without it, a
+        # query's timing includes collecting the PREVIOUS queries' garbage —
+        # measured up to 15× inflation on allocation-heavy stages late in
+        # the list (multimodal_decode: 34 s after 50 queries, 2.2 s after a
+        # forced GC, 1.3 s standalone). Each timing should measure the
+        # query, not its position in the schedule.
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — measurement hygiene, never fatal
+            pass
         start = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 4)
