@@ -1717,11 +1717,21 @@ def _line_array(
     if (lines_col is None) == (text_col is None):
         raise ValueError("exactly one of text_col / lines_col is required")
     if lines_col is not None:
-        arr = F.col(lines_col)
+        # null line arrays normalize to a single empty line — the same
+        # contract null text gets below, so n_lines is never null/-1
+        arr = F.coalesce(
+            F.col(lines_col), F.array(F.lit("")).cast("array<string>")
+        )
     else:
         # split() takes a regex — \Q...\E-quote the separator so '\n' stays
-        # the common case but '|' or '. ' callers aren't surprised
-        arr = F.split(F.col(text_col), "\\Q" + line_sep + "\\E", -1)
+        # the common case but '|' or '. ' callers aren't surprised;
+        # null text normalizes to '' (one empty line), mirroring the
+        # ('' / 0) contract of the substring-span operators
+        arr = F.split(
+            F.coalesce(F.col(text_col), F.lit("")),
+            "\\Q" + line_sep + "\\E",
+            -1,
+        )
     out = docs.select(F.col(id_col).alias("id"), arr.alias("_arr"))
     key = (lambda c: normalized(c)) if normalize else (lambda c: c)
     return out, key

@@ -267,3 +267,18 @@ def test_linear_classifier_joined_matches_literal(spark):
     assert set(lit) == set(joined)
     for k in lit:
         assert lit[k] == pytest.approx(joined[k], abs=1e-12)
+
+
+def test_remove_duplicate_lines_null_text(spark):
+    # null text normalizes to one empty line (the substring twins' '' / 0
+    # contract): no nulls or -1 sizes leak into the output
+    docs = spark.createDataFrame(
+        [(1, None), (2, "keep me")], "doc_id int, text string"
+    )
+    got = {
+        r["id"]: (r["n_lines"], r["n_dropped"], r["clean_text"])
+        for r in remove_duplicate_lines(
+            docs, "doc_id", text_col="text", min_count=2
+        ).collect()
+    }
+    assert got == {1: (1, 0, ""), 2: (1, 0, "keep me")}
