@@ -97,6 +97,8 @@ HEADLINE = [
     "pipeline_curation_end_to_end",
     "pipeline_curation_near_dup",
     "pipeline_curation_substring",
+    # round-7: classifier gate -> line dedup -> token accounting, one plan
+    "pipeline_curation_quality",
     "cluster_kmeans_assign",
     "semdedup_prune",
     "ann_brute_force_topk",

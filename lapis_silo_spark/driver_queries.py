@@ -4653,6 +4653,103 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_curation_quality",
+    f"""WITH w(tok, wt) AS (VALUES {", ".join(
+        f"('{k}', {v})" for k, v in _QUALITY_WEIGHTS.items())}),
+       base0 AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks
+                 FROM documents),
+       tk AS (SELECT doc_id, source, len(toks) AS n, unnest(toks) AS tok
+              FROM base0),
+       j AS (SELECT tk.doc_id, tk.source, tk.n, coalesce(w.wt, 0.0) AS wt
+             FROM tk LEFT JOIN w ON w.tok = tk.tok),
+       sc AS (SELECT doc_id, source,
+              round(1.0/(1.0+exp(-({_QUALITY_BIAS} +
+                sum(wt)/greatest(max(n),1)))), 6) AS s
+              FROM j GROUP BY doc_id, source),
+       keepd AS (SELECT b.doc_id AS id, b.source, b.toks
+                 FROM base0 b JOIN sc ON sc.doc_id = b.doc_id
+                 WHERE sc.s > 0.5),
+       ln AS (SELECT id, source, list_transform(
+                 generate_series(0, CAST((len(toks)+7)//8 - 1 AS INT)),
+                 i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' '))
+                 AS arr
+              FROM keepd),
+       occ AS (SELECT id, u.pos AS pos, u.line AS line FROM (
+          SELECT id, unnest(list_transform(generate_series(1, len(arr)),
+                            i -> {{'pos': i, 'line': arr[i]}})) AS u
+          FROM ln)),
+       r AS (SELECT id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn,
+               count(*) OVER (PARTITION BY line) AS n_occ
+             FROM occ),
+       d AS (SELECT id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+       kept AS (SELECT o.id, o.pos, o.line FROM occ o LEFT JOIN d
+                ON d.id = o.id AND d.pos = o.pos WHERE d.id IS NULL),
+       rb AS (SELECT id, string_agg(line, chr(10) ORDER BY pos)
+                AS clean_text FROM kept GROUP BY id),
+       dc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dropped
+              FROM d GROUP BY id),
+       per AS (SELECT l.id, l.source,
+                      CAST(len(l.arr) AS BIGINT) AS n_lines,
+                      coalesce(dc.n_dropped, 0) AS n_dropped,
+                      coalesce(rb.clean_text, '') AS ct
+               FROM ln l LEFT JOIN rb ON rb.id = l.id
+               LEFT JOIN dc ON dc.id = l.id)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+              CAST(sum(n_lines) AS BIGINT) AS n_lines,
+              CAST(sum(n_dropped) AS BIGINT) AS lines_dropped,
+              CAST(sum(len(ct)) AS BIGINT) AS clean_chars,
+              CAST(sum(len(regexp_extract_all(ct,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                AS bpe_ish_tokens
+       FROM per GROUP BY source""",
+)
+def q_pipeline_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 capstone pipeline, ONE lazy plan with no inter-stage
+    materialization: fastText-style classifier gate (zero-shuffle
+    map-literal scoring, keep score > 0.5) → line-level dedup over the
+    survivors (reflowed 8-word lines, canonical-keeping removal, in-place
+    text filtering) → per-source yield accounting (lines dropped, clean
+    chars, BPE-ish token estimate of the cleaned text). Composes all three
+    shuffle shapes the round added — none of the stages collects, and the
+    document text crosses the wire zero times."""
+    from lapis_silo_spark.functions.dedup import remove_duplicate_lines
+    from lapis_silo_spark.functions.text import (
+        bpe_ish_token_count,
+        linear_classifier_score,
+        reflow_lines,
+    )
+
+    db = db_for(spark, sf_dir)
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    survivors = docs.where(
+        F.round(
+            linear_classifier_score("text", _QUALITY_WEIGHTS, _QUALITY_BIAS),
+            6,
+        )
+        > 0.5
+    )
+    lines = survivors.select(
+        "doc_id", "source", reflow_lines("text", 8).alias("lines")
+    )
+    cleaned = remove_duplicate_lines(
+        lines, "doc_id", lines_col="lines", min_count=2, normalize=False
+    )
+    per = cleaned.join(
+        lines.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_dropped").cast("bigint").alias("lines_dropped"),
+        F.sum(F.length("clean_text")).cast("bigint").alias("clean_chars"),
+        F.sum(bpe_ish_token_count("clean_text"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------
