@@ -684,6 +684,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
 
+# Shared replay of the engine's DEFAULT_MAX_BAND_FREQ hot-bucket cap
+# (dedup.banded_rows: buckets with occupancy above the cap are skipped).
+# ONE definition, interpolated by value from the dedup module constant, so
+# the three capped oracles (minhash_clusters, curation_near_dup,
+# incremental_minhash) cannot drift from the engine default or each other.
+from lapis_silo_spark.functions.dedup import (  # noqa: E402
+    DEFAULT_MAX_BAND_FREQ as _DEFAULT_MAX_BAND_FREQ,
+)
+
+_BANDS_CAP_SQL = f"""bands_c AS (
+           SELECT id, sig, band, band_hash FROM (
+             SELECT id, sig, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS _n
+             FROM bands)
+           WHERE _n <= {_DEFAULT_MAX_BAND_FREQ})"""
+
 
 @query(
     "text_token_stats",
@@ -1052,12 +1068,7 @@ def _xxhash_lsh_oracle() -> str:
          -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 hot-bucket cap
          -- (banded_rows: buckets with occupancy > cap are skipped), so the
          -- oracle pins the same semantics the default entry point runs
-         bands_c AS (
-           SELECT id, sig, band, band_hash FROM (
-             SELECT id, sig, band, band_hash,
-                    count(*) OVER (PARTITION BY band, band_hash) AS _n
-             FROM bands)
-           WHERE _n <= 1024),
+         {_BANDS_CAP_SQL},
          cand AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                            a.sig AS sig_a, b.sig AS sig_b
@@ -3071,12 +3082,7 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   md5(array_to_string(sig[(unnest(range(0, 8)) * 8 + 1):(unnest(range(0, 8)) * 8 + 8)], ',')) AS band_hash
            FROM sig),
          -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 hot-bucket cap
-         bands_c AS (
-           SELECT id, sig, band, band_hash FROM (
-             SELECT id, sig, band, band_hash,
-                    count(*) OVER (PARTITION BY band, band_hash) AS _n
-             FROM bands)
-           WHERE _n <= 1024),
+         {_BANDS_CAP_SQL},
          p AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b
            FROM bands_c a JOIN bands_c b
@@ -3263,12 +3269,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          -- replay the engine's DEFAULT_MAX_BAND_FREQ=1024 cap: occupancy
          -- counts DISTINCT (id, band, band_hash) over base+batch together
          -- (incremental_minhash_dedup unions state and new rows)
-         bands_c AS (
-           SELECT id, sig, band, band_hash FROM (
-             SELECT id, sig, band, band_hash,
-                    count(*) OVER (PARTITION BY band, band_hash) AS _n
-             FROM bands)
-           WHERE _n <= 1024),
+         {_BANDS_CAP_SQL},
          base AS (SELECT * FROM bands_c WHERE id % 10 < 8),
          batch AS (SELECT * FROM bands_c WHERE id % 10 >= 8),
          base_hit AS (
@@ -4450,8 +4451,8 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines identical line boundaries to dedup against).
 _LINES_SQL = r"""
 base AS (SELECT doc_id AS id,
-        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
-          AS toks
+        string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+',
+          ' ', 'g'))), ' ') AS toks
         FROM documents),
 ln AS (SELECT id, list_transform(
           generate_series(0, CAST((len(toks)+7)//8 - 1 AS INT)),

@@ -1328,10 +1328,16 @@ def embedding_dedup_clusters(
     # coalesce: a null vector (or one containing a null element) aggregates
     # to a null sum — treat it like zero-norm so the row passes through as
     # its own singleton representative instead of silently vanishing from
-    # both filter branches (the contract is one output row per input row)
+    # both filter branches (the contract is one output row per input row).
+    # NaN sums are degenerate too, and must be excluded EXPLICITLY: Spark
+    # sorts NaN above every double, so `NaN > 0` is TRUE — without the
+    # isnan() a NaN-element vector would enter the groupBy('vec')
+    # short-circuit (Spark treats NaN = NaN as equal) and the LSH pair
+    # stage, whose NaN cosine passes `>= threshold` and over-merges.
     sq = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)
     with_nz = base.withColumn(
-        "_nz", F.coalesce(sq > F.lit(0.0), F.lit(False))
+        "_nz",
+        F.coalesce((sq > F.lit(0.0)) & ~F.isnan(sq), F.lit(False)),
     )
     nz = with_nz.filter(F.col("_nz"))
     reps_nz = nz.groupBy("vec").agg(F.min("id").alias("rep_id"))
@@ -1718,9 +1724,16 @@ def _line_array(
         raise ValueError("exactly one of text_col / lines_col is required")
     if lines_col is not None:
         # null line arrays normalize to a single empty line — the same
-        # contract null text gets below, so n_lines is never null/-1
-        arr = F.coalesce(
-            F.col(lines_col), F.array(F.lit("")).cast("array<string>")
+        # contract null text gets below, so n_lines is never null/-1.
+        # Null ELEMENTS normalize to '' as well: md5(null) would never
+        # equi-join the stats table and array_join silently skips nulls,
+        # so a null line would vanish from clean_text without being
+        # counted in n_dropped — corrupting the yield accounting.
+        arr = F.transform(
+            F.coalesce(
+                F.col(lines_col), F.array(F.lit("")).cast("array<string>")
+            ),
+            lambda x: F.coalesce(x, F.lit("")),
         )
     else:
         # split() takes a regex — \Q...\E-quote the separator so '\n' stays

@@ -240,7 +240,10 @@ def dsir_scores(
     of bucket weights over the document's gram occurrences. The weight table
     is ``n_buckets`` rows — broadcast; the only shuffle is the per-document
     sum of ``(id, decimal)``. Documents with no grams (under ``ngram``
-    tokens) score 0."""
+    tokens) score 0. Buckets absent from ``weights`` contribute nothing —
+    that can only happen when scoring a corpus other than the one the
+    weights were fit on (fit covers every bucket it has seen); fit on the
+    union if cross-corpus scoring needs full coverage."""
     grams = _doc_gram_buckets(
         docs, id_col, text_col, ngram=ngram, n_buckets=n_buckets
     )

@@ -539,8 +539,12 @@ def lsh_candidate_pairs(
         .withColumn("nrm", norm(F.col("vec")))
         # zero-norm vectors have no cosine with anything (the exact
         # baseline's NaN never passes the threshold) and would
-        # divide-by-zero under ANSI mode — drop them before bucketing
-        .filter(F.col("nrm") > 0)
+        # divide-by-zero under ANSI mode — drop them before bucketing.
+        # NaN norms must be dropped EXPLICITLY: Spark orders NaN above
+        # every number, so `NaN > 0` is TRUE and `NaN >= threshold` later
+        # would accept the bogus cosine (numpy's comparisons are false for
+        # NaN — the blocked/exact paths already reject these rows)
+        .filter((F.col("nrm") > 0) & ~F.isnan("nrm"))
     )
 
     # Both sketches feed multiple plan branches — persist once (same

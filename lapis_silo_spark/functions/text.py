@@ -517,8 +517,13 @@ def linear_classifier_score(
     The token-weight sum folds in DOCUMENT ORDER (``F.aggregate``), so for
     dyadic-rational weights the sum is bit-deterministic — replayable by a
     SQL oracle that walks the token list in order.
+
+    Null text scores like empty text (sigmoid of the bias) — the same
+    normalization contract as the dedup operators, and it keeps this form
+    and :func:`linear_classifier_scores_joined` row-for-row consistent.
     """
-    toks = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.coalesce(c, F.lit("")))
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
@@ -545,14 +550,17 @@ def linear_classifier_scores_joined(
     """Large-vocabulary form of :func:`linear_classifier_score`: tokens
     explode, broadcast-join the weight table, and re-aggregate per document
     — one shuffle of ``(id, weight)``, the weight table never exceeds a
-    broadcast. Returns ``(id, score)``.
+    broadcast. Returns ``(id, score)`` — one row per input document: null
+    text normalizes to empty text (explode of a null array would otherwise
+    silently DROP the document from the output).
     """
     from pyspark.sql import functions as _F
 
+    txt = _F.coalesce(_F.col(text_col), _F.lit(""))
     toks = docs.select(
         _F.col(id_col).alias("id"),
-        _F.size(tokens(text_col)).alias("_n"),
-        _F.explode(tokens(text_col)).alias("_tok"),
+        _F.size(tokens(txt)).alias("_n"),
+        _F.explode(tokens(txt)).alias("_tok"),
     )
     joined = toks.join(
         _F.broadcast(

@@ -53,10 +53,16 @@ SEP = "  "
 
 
 def _initial_word_seq(word: Column) -> Column:
-    """`"low"` -> `" l  o  w  </w> "` (padded, double-separated symbols)."""
+    """`"low"` -> `" l  o  w  </w> "` (padded, double-separated symbols).
+
+    ``(?s)``: Java's ``.`` skips line terminators (U+2028/U+2029/U+0085 —
+    which survive the ASCII-only ``\\s+`` normalization into words), while
+    RE2's ``.`` matches them; DOTALL aligns the two so a word containing
+    U+2028 splits into the same symbols in Spark and in the DuckDB oracle.
+    """
     return F.concat(
         F.lit(" "),
-        F.regexp_replace(word, r"(.)", r"$1  "),
+        F.regexp_replace(word, r"(?s)(.)", r"$1  "),
         F.lit(EOW),
         F.lit(" "),
     )

@@ -52,6 +52,34 @@ class QueryTimeoutError(RuntimeError):
     reference's ExecutionError (query_plan.cpp:121)."""
 
 
+class _CleanupStream:
+    """Iterable wrapper whose ``close()`` ALWAYS runs the stream cleanup.
+
+    A bare generator's ``close()`` is a no-op when the generator was never
+    started, so ``finally`` never runs if werkzeug discards the response
+    before its first iteration (teardown error, disconnect before the
+    first write) — leaking the producer thread blocked in ``q.put()`` and
+    leaving the request's Spark jobs running. werkzeug always calls
+    ``close()`` on the response iterable; this wrapper makes that call
+    sufficient on every path."""
+
+    def __init__(self, gen, cleanup):
+        self._gen = gen
+        self._cleanup = cleanup
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._gen)
+
+    def close(self):
+        try:
+            self._gen.close()
+        finally:
+            self._cleanup()
+
+
 def _stream_with_timeout(spark, chunks_fn, seconds: int, tag: str):
     """Stream ``chunks_fn()`` (a generator of response chunks backed by
     ``toLocalIterator``) through a bounded queue with the reference's
@@ -93,22 +121,29 @@ def _stream_with_timeout(spark, chunks_fn, seconds: int, tag: str):
     t = InheritableThread(target=producer, daemon=True)
     t.start()
 
+    def cleanup():
+        # normal end: jobs already finished, cancel is a no-op.
+        # timeout / client disconnect / discarded response: stop the Spark
+        # jobs and drain the queue so a producer blocked in put() can
+        # observe the closed flag and exit.
+        state["closed"] = True
+        spark.sparkContext.cancelJobGroup(tag)
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
+
     def next_chunk():
         try:
             kind, payload = q.get(timeout=seconds)
         except queue_mod.Empty:
-            # full cleanup here, not only in gen()'s finally: a FIRST-chunk
+            # full cleanup here, not only on generator close: a FIRST-chunk
             # timeout raises before gen() exists, and a producer that got
             # past cancelJobGroup (prefetched toLocalIterator partitions)
             # would otherwise block in q.put() forever — leaking the thread
             # and MAX_BUFFERED_CHUNKS of body per timed-out request
-            state["closed"] = True
-            spark.sparkContext.cancelJobGroup(tag)
-            try:
-                while True:
-                    q.get_nowait()
-            except queue_mod.Empty:
-                pass
+            cleanup()
             raise QueryTimeoutError(
                 f"Request timed out, no batch within {seconds} seconds."
             ) from None
@@ -125,19 +160,9 @@ def _stream_with_timeout(spark, chunks_fn, seconds: int, tag: str):
                 yield chunk
                 chunk = next_chunk()
         finally:
-            # normal end: jobs already finished, cancel is a no-op.
-            # client disconnect / mid-stream abort: stop the Spark jobs and
-            # drain the queue so a producer blocked in put() can observe
-            # the closed flag and exit.
-            state["closed"] = True
-            spark.sparkContext.cancelJobGroup(tag)
-            try:
-                while True:
-                    q.get_nowait()
-            except queue_mod.Empty:
-                pass
+            cleanup()
 
-    return gen()
+    return _CleanupStream(gen(), cleanup)
 
 
 def database_info(db: Database) -> dict:

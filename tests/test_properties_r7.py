@@ -248,3 +248,68 @@ def test_dsir_scores_hand_computed(spark):
     assert got[1] > 0 and got[2] > 0, got
     assert got[3] < 0, got
     assert got[4] == 0, got
+
+
+# ---------------------------------------------------------------------------
+# Round-7 review regressions
+# ---------------------------------------------------------------------------
+
+def test_nan_vectors_never_merge(spark):
+    """Spark sorts NaN above every double, so `NaN > 0` is TRUE and a NaN
+    cosine passes `>= threshold` — without explicit isnan() guards a
+    NaN-element vector entered LSH bucketing and over-merged clusters
+    (review finding, confirmed by repro). Both the candidate-pair path and
+    the fused clusters path must treat NaN vectors as degenerate
+    singletons, exactly like numpy's NaN-false comparisons do."""
+    from lapis_silo_spark.functions.dedup import embedding_dedup_clusters
+    from lapis_silo_spark.functions.similarity import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [float("nan"), 1.0, 0.0, 0.0]),
+            (4, [float("nan"), 1.0, 0.0, 0.0]),
+        ],
+        "doc_id bigint, vec array<double>",
+    )
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "vec", threshold=0.9, n_planes=4, n_tables=2, dim=4
+    ).collect()
+    assert pairs == []  # NaN cosine must not pass the threshold
+    for method in ("blocked", "lsh"):
+        out = {
+            r["id"]: (r["cluster_id"], r["cluster_size"])
+            for r in embedding_dedup_clusters(
+                docs, "doc_id", "vec", threshold=0.9, method=method, dim=4
+            ).collect()
+        }
+        assert len(out) == 4
+        # every NaN/orthogonal vector is its own singleton cluster
+        assert all(size == 1 for _, size in out.values()), (method, out)
+
+
+def test_bpe_symbols_align_with_oracle_on_line_terminators(spark):
+    """U+2028 survives both engines' ASCII \\s+ normalization into words,
+    but Java's `.` skips line terminators while RE2's matches them — the
+    (?s) flag keeps Spark's initial symbol split identical to the oracle's
+    (review finding, confirmed by repro)."""
+    import duckdb
+
+    from lapis_silo_spark.functions.tokenizer import (
+        bpe_train,
+        bpe_train_oracle_sql,
+    )
+
+    rows = [(1, "a b a b ab ab")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = bpe_train(docs, "text", n_merges=3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ora = con.execute(bpe_train_oracle_sql(n_merges=3)).fetchall()
+    assert [
+        (m["step"], m["left_sym"], m["right_sym"], m["merged"],
+         m["pair_freq"])
+        for m in merges
+    ] == ora

@@ -175,3 +175,34 @@ def test_stream_first_chunk_timeout_unblocks_producer(spark):
     with pytest.raises(QueryTimeoutError):
         _stream_with_timeout(spark, chunks, 1, "first-chunk-timeout-test")
     assert finished.wait(10), "producer still blocked after timeout"
+
+
+def test_stream_close_before_first_iteration_runs_cleanup(spark):
+    """werkzeug may close() a response iterable it never iterated (teardown
+    error, disconnect before the first write). A bare generator's close()
+    is a no-op before the first next(), so cleanup must live on the
+    wrapper: the producer blocked in q.put() has to observe the closed
+    flag and exit instead of leaking."""
+    from lapis_silo_spark import server as srv
+
+    produced = []
+    done = []
+
+    def chunks():
+        for i in range(srv.MAX_BUFFERED_CHUNKS * 4):
+            produced.append(i)
+            yield str(i)
+        done.append(True)
+
+    gen = _stream_with_timeout(spark, chunks, 30, "t-close-unstarted")
+    # NO iteration of the response body at all — discard it immediately
+    gen.close()
+    deadline = time.time() + 5
+    # producer drains within the deadline: it stops enqueueing (closed
+    # flag observed after the queue drain) and never runs to completion
+    while time.time() < deadline and len(produced) and not done:
+        count = len(produced)
+        time.sleep(0.3)
+        if len(produced) == count:
+            break
+    assert not done  # never ran to completion -> thread exited early
