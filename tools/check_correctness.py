@@ -74,9 +74,20 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time as _time
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # same inter-query hygiene as bench.py: a 127-query sweep in one
+        # JVM otherwise lets late queries thrash in the previous queries'
+        # garbage (measured: minutes-long stalls at sf1 on queries that
+        # run in seconds in isolation)
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
@@ -89,7 +100,10 @@ def main() -> int:
             results[name] = _entry(err=f"spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows={len(srows)} (rows-only, no oracle)")
+            print(
+                f"ok    {name}: rows={len(srows)} (rows-only, no oracle)",
+                flush=True,
+            )
             results[name] = _entry(spark_rows=len(srows), err="no_oracle")
             continue
         try:
@@ -130,7 +144,11 @@ def main() -> int:
             print(f"      spark-only: {diff_s}")
             print(f"      oracle-only: {diff_o}")
             continue
-        print(f"ok    {name}: rows={len(srows)}")
+        print(
+            f"ok    {name}: rows={len(srows)}"
+            f" ({_time.perf_counter() - _t0:.1f}s)",
+            flush=True,
+        )
 
     print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
     if out_path:
