@@ -4618,39 +4618,46 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
        j AS (SELECT tk.doc_id, tk.source, tk.n, coalesce(w.wt, 0.0) AS wt
              FROM tk LEFT JOIN w ON w.tok = tk.tok),
        per AS (SELECT doc_id, source,
-               round(1.0/(1.0+exp(-({_QUALITY_BIAS} +
-                 sum(wt)/greatest(max(n),1)))), 6) AS s
+               ({_QUALITY_BIAS} + sum(wt)/greatest(max(n),1)) AS z
                FROM j GROUP BY doc_id, source)
        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+              CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_positive,
-              round(avg(s), 4) AS avg_score
+              CAST(sum(CAST(floor(z * 4096) AS BIGINT)) AS BIGINT)
+                AS logit_q_total
        FROM per GROUP BY source""",
 )
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier
-    (functions.text.linear_classifier_score — the DCLM/FineWeb-Edu curation
-    gate shape): sigmoid of bias + mean token weight, with the weight table
-    inlined as a map literal. Scoring is a zero-shuffle whole-stage-codegen
-    expression over the scan; only the per-source rollup shuffles. Dyadic
-    weights make the fold bit-deterministic (see _QUALITY_WEIGHTS)."""
-    from lapis_silo_spark.functions.text import linear_classifier_score
+    (functions.text.linear_classifier_logit — the DCLM/FineWeb-Edu curation
+    gate shape): bias + mean token weight, with the weight table inlined as
+    a map literal. Scoring is a zero-shuffle whole-stage-codegen expression
+    over the scan; only the per-source rollup shuffles.
+
+    The oracle comparison runs entirely on the PRE-SIGMOID logit z (round-7
+    advisory): dyadic weights make z bit-deterministic, the keep decision
+    is ``z > 0`` (≡ sigmoid > 0.5 by monotonicity), and the reported total
+    quantizes z to integer 1/4096ths (floor after an exact power-of-two
+    scale) so the aggregate is exact integer arithmetic — no libm exp, no
+    float summation order, in either engine."""
+    from lapis_silo_spark.functions.text import linear_classifier_logit
 
     db = db_for(spark, sf_dir)
     docs = Pipeline.scan(db, "documents").rebalance().df
     scored = docs.select(
         "source",
-        F.round(
-            linear_classifier_score("text", _QUALITY_WEIGHTS, _QUALITY_BIAS),
-            6,
-        ).alias("_s"),
+        linear_classifier_logit(
+            "text", _QUALITY_WEIGHTS, _QUALITY_BIAS
+        ).alias("_z"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum((F.col("_s") > 0.5).cast("int")).cast("bigint").alias(
+        F.sum((F.col("_z") > 0).cast("int")).cast("bigint").alias(
             "n_positive"
         ),
-        F.round(F.avg("_s"), 4).alias("avg_score"),
+        F.sum(F.floor(F.col("_z") * 4096)).cast("bigint").alias(
+            "logit_q_total"
+        ),
     )
 
 
@@ -4665,12 +4672,11 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
        j AS (SELECT tk.doc_id, tk.source, tk.n, coalesce(w.wt, 0.0) AS wt
              FROM tk LEFT JOIN w ON w.tok = tk.tok),
        sc AS (SELECT doc_id, source,
-              round(1.0/(1.0+exp(-({_QUALITY_BIAS} +
-                sum(wt)/greatest(max(n),1)))), 6) AS s
+              ({_QUALITY_BIAS} + sum(wt)/greatest(max(n),1)) AS z
               FROM j GROUP BY doc_id, source),
        keepd AS (SELECT b.doc_id AS id, b.source, b.toks
                  FROM base0 b JOIN sc ON sc.doc_id = b.doc_id
-                 WHERE sc.s > 0.5),
+                 WHERE sc.z > 0),
        ln AS (SELECT id, source, list_transform(
                  generate_series(0, CAST((len(toks)+7)//8 - 1 AS INT)),
                  i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' '))
@@ -4709,7 +4715,8 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 capstone pipeline, ONE lazy plan with no inter-stage
     materialization: fastText-style classifier gate (zero-shuffle
-    map-literal scoring, keep score > 0.5) → line-level dedup over the
+    map-literal scoring, keep logit > 0 — the bit-exact form of
+    score > 0.5, see text_quality_classifier) → line-level dedup over the
     survivors (reflowed 8-word lines, canonical-keeping removal, in-place
     text filtering) → per-source yield accounting (lines dropped, clean
     chars, BPE-ish token estimate of the cleaned text). Composes all three
@@ -4718,18 +4725,15 @@ def q_pipeline_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions.dedup import remove_duplicate_lines
     from lapis_silo_spark.functions.text import (
         bpe_ish_token_count,
-        linear_classifier_score,
+        linear_classifier_logit,
         reflow_lines,
     )
 
     db = db_for(spark, sf_dir)
     docs = Pipeline.scan(db, "documents").rebalance().df
     survivors = docs.where(
-        F.round(
-            linear_classifier_score("text", _QUALITY_WEIGHTS, _QUALITY_BIAS),
-            6,
-        )
-        > 0.5
+        linear_classifier_logit("text", _QUALITY_WEIGHTS, _QUALITY_BIAS)
+        > 0
     )
     lines = survivors.select(
         "doc_id", "source", reflow_lines("text", 8).alias("lines")

@@ -1163,12 +1163,19 @@ def dedup_cluster_assignment(
         ids, pairs, pair_a, pair_b, max_iterations
     )
 
-    w = Window.partitionBy("label")
+    # cluster_size via groupBy + join, NOT a cluster-keyed window: a
+    # mega-cluster (billions of twins of one boilerplate doc — the corpus
+    # this operator exists for) would make the window a single task AQE
+    # cannot split, while the join's one-row-per-cluster build side is
+    # skew-splittable (round-7 verdict #3; same doctrine as substring dedup).
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return scoped_rdd_release(
-        labels.select(
+        labels.join(sizes, on="label").select(
             F.col("id"),
             F.col("label").alias("cluster_id"),
-            F.count("*").over(w).alias("cluster_size"),
+            F.col("cluster_size"),
             (F.col("id") == F.col("label")).alias("is_canonical"),
         ),
         guard,
@@ -1215,8 +1222,9 @@ def minhash_dedup_clusters(
 
     ``is_canonical`` marks the one row per cluster a dedup pipeline keeps.
     Shuffle inventory: one digest agg, the banded LSH join over reps, the
-    propagation rounds (rep-sized), and two digest/rep-keyed hash joins +
-    one cluster-keyed window over the full corpus — all linear in docs
+    propagation rounds (rep-sized), and digest/rep/cluster-keyed hash joins
+    over the full corpus (cluster sizes come from an O(reps)-side aggregate,
+    never a cluster-keyed window) — all linear in docs
     except the LSH join, which is banded, rep-bounded, and shuffles ids
     only. A slice of near-identical-but-NOT-identical docs (one char of
     drift) survives the digest and can still go quadratic inside its band
@@ -1254,13 +1262,29 @@ def minhash_dedup_clusters(
         F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
     )
 
-    out = digests.join(reps, on="digest").join(comp, on="rep_id")
-    w = Window.partitionBy("cluster_id")
+    # cluster_size = Σ digest-group sizes over the component — computed on
+    # the O(reps) side and joined back, never a cluster-keyed window over
+    # the full corpus (a boilerplate mega-cluster would single-task it;
+    # the join's one-row-per-cluster side is AQE skew-splittable).
+    digest_sizes = digests.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    sizes = (
+        digest_sizes.join(reps, on="digest")
+        .join(comp, on="rep_id")
+        .groupBy("cluster_id")
+        .agg(F.sum("_n").alias("cluster_size"))
+    )
+    out = (
+        digests.join(reps, on="digest")
+        .join(comp, on="rep_id")
+        .join(sizes, on="cluster_id")
+    )
     return scoped_rdd_release(
         out.select(
             "id",
             "cluster_id",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            "cluster_size",
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         ),
         guard,
@@ -1313,9 +1337,10 @@ def embedding_dedup_clusters(
 
     Shuffle inventory: one vec-keyed agg + one vec-keyed join (vector-wide,
     same width the pair stage already shuffles), pair generation bounded
-    by distinct vectors, rep-sized propagation rounds, one rep-keyed join
-    and one cluster-keyed window over the full corpus — all O(docs) except
-    the pair stage, whose OUTPUT no longer leaves the plan.
+    by distinct vectors, rep-sized propagation rounds, and rep/cluster-keyed
+    joins over the full corpus (cluster sizes from an O(reps)-side
+    aggregate, never a cluster-keyed window) — all O(docs) except the pair
+    stage, whose OUTPUT no longer leaves the plan.
     """
     from lapis_silo_spark.cache import scoped_rdd_release
     from lapis_silo_spark.functions.similarity import lsh_candidate_pairs
@@ -1378,13 +1403,21 @@ def embedding_dedup_clusters(
     comp = labels.select(
         F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
     )
-    out = rep_map.join(comp, on="rep_id")
-    w = Window.partitionBy("cluster_id")
+    # cluster_size = Σ rep-group sizes over the component (O(reps) agg +
+    # skew-splittable join), not a cluster-keyed window over the corpus —
+    # see minhash_dedup_clusters for the mega-cluster rationale.
+    rep_sizes = rep_map.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = (
+        rep_sizes.join(comp, on="rep_id")
+        .groupBy("cluster_id")
+        .agg(F.sum("_n").alias("cluster_size"))
+    )
+    out = rep_map.join(comp, on="rep_id").join(sizes, on="cluster_id")
     result = scoped_rdd_release(
         out.select(
             "id",
             "cluster_id",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            "cluster_size",
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         ),
         guard,

@@ -491,14 +491,55 @@ def reflow_lines(col: str | Column, words_per_line: int = 8) -> Column:
     fields, this repo's synthetic tables) get deterministic ones that both
     engines of an oracle pair can replay exactly. Pure JVM array ops — no
     shuffle, pipelines with the scan.
+
+    Null text is coalesced to ``''`` (one empty line, the oracle's
+    ``string_split`` semantics) BEFORE tokenizing: under non-ANSI Spark
+    (a cluster-level ``spark.sql.ansi.enabled=false`` overrides the Spark 4
+    default) ``size(null)`` is -1 and ``F.sequence(0, -1)`` DESCENDS,
+    which would yield ``[null, null]`` lines and silently corrupt
+    line-dedup counts (round-7 advisory).
     """
-    toks = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.coalesce(c, F.lit("")))
     w = F.lit(words_per_line)
     k = F.floor((F.size(toks) + w - F.lit(1)) / w).cast("int")
     return F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),
         lambda i: F.array_join(F.slice(toks, i * w + F.lit(1), w), " "),
     )
+
+
+def linear_classifier_logit(
+    col: str | Column,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> Column:
+    """Pre-sigmoid score of the fastText-style linear classifier:
+    ``bias + mean token weight`` (unknown tokens weigh 0).
+
+    The token-weight sum folds in DOCUMENT ORDER (``F.aggregate``), so for
+    dyadic-rational weights the sum is EXACT (hence order-free) and the
+    logit is bit-deterministic across engines — no libm involved.  Oracle
+    comparisons and keep-gates should run on this value (``z > 0`` ≡
+    ``sigmoid(z) > 0.5`` by monotonicity); the round-7 advisory showed the
+    sigmoid form can flip a 6th-decimal rounding (or the gate itself, near
+    z = 0) on a 1-ulp ``exp`` divergence between JVM and DuckDB libm.
+
+    Null text scores like empty text (the bias alone) — the same
+    normalization contract as the dedup operators.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.coalesce(c, F.lit("")))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+    )
+    mean = total / F.greatest(F.size(toks), F.lit(1))
+    return F.lit(float(bias)) + mean
 
 
 def linear_classifier_score(
@@ -512,28 +553,11 @@ def linear_classifier_score(
     (DCLM, FineWeb-Edu). The weight table is inlined as a map literal, so
     scoring is a zero-shuffle JVM expression over the scan; use
     :func:`linear_classifier_scores_joined` when the vocabulary is too large
-    to inline (it broadcasts instead).
-
-    The token-weight sum folds in DOCUMENT ORDER (``F.aggregate``), so for
-    dyadic-rational weights the sum is bit-deterministic — replayable by a
-    SQL oracle that walks the token list in order.
-
-    Null text scores like empty text (sigmoid of the bias) — the same
-    normalization contract as the dedup operators, and it keeps this form
-    and :func:`linear_classifier_scores_joined` row-for-row consistent.
+    to inline (it broadcasts instead), and
+    :func:`linear_classifier_logit` when the value feeds a bit-exact
+    comparison or a keep-gate (sigmoid is monotone, libm is not portable).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(F.coalesce(c, F.lit("")))
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
-    )
-    total = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
-    )
-    mean = total / F.greatest(F.size(toks), F.lit(1))
-    z = F.lit(float(bias)) + mean
+    z = linear_classifier_logit(col, weights, bias)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

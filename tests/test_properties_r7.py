@@ -16,6 +16,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from lapis_silo_spark.functions.tokenizer import EOW
+
 SETTINGS = settings(
     max_examples=5,
     deadline=None,
@@ -57,7 +59,7 @@ def _apply_merge(seq: list[str], a: str, b: str) -> list[str]:
 
 def _ref_bpe_train(texts: list[str], n_merges: int, min_freq: int = 2):
     freqs = Counter(_norm_words(texts))
-    seqs = {w: list(w) + ["</w>"] for w in freqs}
+    seqs = {w: list(w) + [EOW] for w in freqs}
     merges = []
     for _ in range(n_merges):
         pc: Counter = Counter()
@@ -83,7 +85,7 @@ def _ref_bpe_encode_count(text: str, merges) -> int:
     n = 0
     norm = " ".join(text.lower().split())
     for w in norm.split(" "):
-        s = list(w) + ["</w>"]
+        s = list(w) + [EOW]
         for a, b in pairs:
             s = _apply_merge(s, a, b)
         n += len(s)

@@ -24,6 +24,7 @@ from lapis_silo_spark.functions.text import (
     reflow_lines,
 )
 from lapis_silo_spark.functions.tokenizer import (
+    EOW,
     bpe_doc_seq,
     bpe_encode_count,
     bpe_encode_oracle_sql,
@@ -38,15 +39,15 @@ from lapis_silo_spark.functions.tokenizer import (
 # ---------------------------------------------------------------------------
 
 def test_bpe_train_hand_computed(spark):
-    # 'aab' x3, 'ab' x2: pairs (a,a)=3, (a,b)=5, (b,</w>)=5 -> tie on 5
+    # 'aab' x3, 'ab' x2: pairs (a,a)=3, (a,b)=5, (b,EOW)=5 -> tie on 5
     # breaks lexicographically: (a,b) wins step 1.  After merging 'ab':
-    # (a,ab)=3, (ab,</w>)=5 -> 'ab</w>' step 2; then (a,ab</w>)=3 step 3.
+    # (a,ab)=3, (ab,EOW)=5 -> 'ab'+EOW step 2; then (a,'ab'+EOW)=3 step 3.
     docs = spark.createDataFrame(
         [("aab",)] * 3 + [("ab",)] * 2, "text string"
     )
     merges = bpe_train(docs, "text", n_merges=3)
     got = [(m["left_sym"], m["right_sym"], m["pair_freq"]) for m in merges]
-    assert got == [("a", "b", 5), ("ab", "</w>", 5), ("a", "ab</w>", 3)]
+    assert got == [("a", "b", 5), ("ab", EOW, 5), ("a", "ab" + EOW, 3)]
 
 
 def test_bpe_train_stops_when_exhausted(spark):
@@ -58,40 +59,91 @@ def test_bpe_train_stops_when_exhausted(spark):
 def test_merge_replace_greedy_left_to_right(spark):
     # 'aaaa' -> merge (a,a) must give 'aa aa', not 'aaa a' or overlap
     row = spark.range(1).select(
-        merge_replace(F.lit(" a  a  a  a  </w> "), "a", "a").alias("s")
+        merge_replace(F.lit(f" a  a  a  a  {EOW} "), "a", "a").alias("s")
     ).first()
-    assert row["s"] == " aa  aa  </w> "
+    assert row["s"] == f" aa  aa  {EOW} "
 
 
 def test_merge_replace_symbol_boundary_safe(spark):
     # symbols ('xa', 'b'): merging (a, b) must NOT match inside 'xa  b'
     row = spark.range(1).select(
-        merge_replace(F.lit(" xa  b  </w> "), "a", "b").alias("s")
+        merge_replace(F.lit(f" xa  b  {EOW} "), "a", "b").alias("s")
     ).first()
-    assert row["s"] == " xa  b  </w> "
+    assert row["s"] == f" xa  b  {EOW} "
 
 
 def test_bpe_encode_count_matches_manual(spark):
-    # doc 'aab ab aab': after merges [(a,b), (ab,</w>)]:
-    #   'aab' -> a ab</w>? no: ' a  a  b  </w> ' -(a,b)-> ' a  ab  </w> '
-    #            -(ab,</w>)-> ' a  ab</w> '            = 2 symbols
-    #   'ab'  -> ' ab  </w> ' -> ' ab</w> '            = 1 symbol
+    # doc 'aab ab aab': after merges [(a,b), (ab,EOW)]:
+    #   'aab' -> ' a  a  b  EOW ' -(a,b)-> ' a  ab  EOW '
+    #            -(ab,EOW)-> ' a  abEOW '              = 2 symbols
+    #   'ab'  -> ' ab  EOW ' -> ' abEOW '              = 1 symbol
     # total = 2 + 1 + 2 = 5
     docs = spark.createDataFrame([("aab ab aab",)], "text string")
     n = docs.select(
-        bpe_encode_count("text", [("a", "b"), ("ab", "</w>")]).alias("n")
+        bpe_encode_count("text", [("a", "b"), ("ab", EOW)]).alias("n")
     ).first()["n"]
     assert n == 5
 
 
 def test_bpe_doc_seq_word_concat_has_no_false_pairs(spark):
-    # across-word boundary renders as '</w>  x' — a pair whose left symbol
-    # is '</w>' is never learned, so no cross-word merge can fire; check
-    # the rendering contract the argument rests on
+    # across-word boundary renders as 'EOW  x' — a pair whose left symbol
+    # ends in EOW is never learned (the marker is sanitized out of text,
+    # so it only ever appears word-final), hence no cross-word merge can
+    # fire; check the rendering contract the argument rests on
     row = spark.range(1).select(
         bpe_doc_seq(F.lit("ab cd")).alias("s")
     ).first()
-    assert row["s"] == " a  b  </w>  c  d  </w> "
+    assert row["s"] == f" a  b  {EOW}  c  d  {EOW} "
+
+
+def test_bpe_marker_cannot_be_assembled_from_text(spark):
+    # round-7 advisory: with a TEXTUAL marker ('</w>'), a document
+    # containing those literal characters could assemble a marker symbol
+    # mid-word and later merge across word boundaries.  The control-char
+    # marker + sanitization closes this: '</w>' in text is just four
+    # ordinary symbols, and a literal \x01 in text is stripped before
+    # word splitting in BOTH engines.
+    rows = [(1, "x</w>y x</w>y a\x01b a\x01b", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    merges = bpe_train(docs, "text", n_merges=2)
+    # '\x01' stripped -> word 'ab'; '</w>' chars survive as symbols
+    assert all(EOW not in m["left_sym"][:-1] for m in merges)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id INT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    ora = con.execute(bpe_train_oracle_sql(n_merges=2)).fetchall()
+    assert [
+        (m["step"], m["left_sym"], m["right_sym"], m["merged"], m["pair_freq"])
+        for m in merges
+    ] == ora
+
+
+def test_bpe_train_many_merges_is_local(spark):
+    # round-7 verdict #3: training wall must be independent of the
+    # per-merge Spark job floor.  300 distinct 4-symbol words (disjoint
+    # alphabets, freq 2 each) admit 4 merges apiece = 1200 learnable
+    # merges; a per-merge driver round-trip would cost >1000 Spark jobs
+    # (minutes) — the local learner does it in one job + milliseconds.
+    words = [
+        "".join(chr(0x4E00 + 4 * i + k) for k in range(4)) for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(" ".join(words),), (" ".join(words),)], "text string"
+    )
+    import time
+
+    t0 = time.monotonic()
+    merges = bpe_train(docs, "text", n_merges=1000)
+    wall = time.monotonic() - t0
+    assert len(merges) == 1000
+    # every word contributes pair_freq=2 merges; steps strictly ordered
+    assert all(m["pair_freq"] == 2 for m in merges)
+    assert [m["step"] for m in merges] == list(range(1, 1001))
+    assert wall < 60  # one aggregation + local learning, not 1000 jobs
 
 
 def test_bpe_oracles_replay_training_and_encoding(spark):
@@ -227,6 +279,21 @@ def test_reflow_lines(spark):
         reflow_lines("text", 4).alias("l")
     ).first()
     assert row["l"] == [""]
+
+
+def test_reflow_lines_null_text_non_ansi(spark):
+    # round-7 advisory: under ansi=false, size(null) = -1 makes
+    # sequence(0, -1) DESCEND -> [null, null] lines unless the input is
+    # coalesced; pin one empty line under BOTH ansi settings
+    docs = spark.createDataFrame([(None,)], "text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            row = docs.select(reflow_lines("text", 4).alias("l")).first()
+            assert row["l"] == [""], ansi
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 # ---------------------------------------------------------------------------
