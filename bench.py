@@ -4,6 +4,18 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Run: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Contention-robust protocol (round-8, after the round-7 artifacts were
+contaminated by host contention — uniform +42..62% inflation across
+untouched trivial queries, a 4× opposite-direction swing on identical
+code): the Spark pass and the DuckDB-oracle pass are INTERLEAVED and the
+whole pair repeats ``SPARK_GRAFT_BENCH_RUNS`` times (default 3, budget-
+gated).  The reported per-query number is the MIN across passes — the
+run least polluted by external load — for BOTH engines, so the
+Spark/oracle ratio compares two clean runs instead of two noise draws.
+The 1-minute load average is recorded per pass and at each per-query
+minimum, so a contaminated artifact is self-evident instead of silently
+standing as the record.
 """
 
 from __future__ import annotations
@@ -119,14 +131,94 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — non-POSIX
+        return -1.0
+
+
+def _spark_pass(spark, sf_dir, queries) -> dict[str, tuple[float, float]]:
+    """One timed pass over the headline list.
+
+    Returns ``{name: (sec, loadavg_1m_at_start)}``.
+    """
+    timings: dict[str, tuple[float, float]] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        # JMH-style inter-iteration GC (untimed, ~0.1 s): without it, a
+        # query's timing includes collecting the PREVIOUS queries' garbage —
+        # measured up to 15× inflation on allocation-heavy stages late in
+        # the list (multimodal_decode: 34 s after 50 queries, 2.2 s after a
+        # forced GC, 1.3 s standalone). Each timing should measure the
+        # query, not its position in the schedule.
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — measurement hygiene, never fatal
+            pass
+        load = _loadavg()
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = (round(time.perf_counter() - start, 4), load)
+    return timings
+
+
+def _oracle_pass(con, oracles, budget: float) -> tuple[dict, bool]:
+    """One timed DuckDB pass (budget-gated). Returns (timings, truncated)."""
+    timings: dict[str, tuple[float, float]] = {}
+    truncated = False
+
+    # cheap oracles first so a tight budget still yields broad coverage;
+    # the expensive ones — anything recomputing minhash signatures (DuckDB
+    # serializes the per-shingle list math) or walking a recursive closure
+    # — run last
+    def oracle_cost(name: str) -> int:
+        sql = oracles[name]
+        return ("list_min([((2*i + 1)" in sql) + ("RECURSIVE" in sql)
+
+    ordered = sorted((n for n in HEADLINE if n in oracles), key=oracle_cost)
+    phase_start = time.perf_counter()
+    for name in ordered:
+        if time.perf_counter() - phase_start > budget:
+            truncated = True
+            break
+        try:
+            load = _loadavg()
+            start = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            timings[name] = (round(time.perf_counter() - start, 4), load)
+        except Exception:  # noqa: BLE001 — oracle uses engine setup
+            continue
+    return timings, truncated
+
+
+def _min_over_passes(passes) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (min_sec, loadavg at the pass that achieved the min)."""
+    mins: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    for p in passes:
+        for name, (sec, load) in p.items():
+            if name not in mins or sec < mins[name]:
+                mins[name] = sec
+                loads[name] = load
+    return mins, loads
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    run_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    oracle_on = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
+    oracle_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "90")
+    )
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from lapis_silo_spark.session import get_spark
-    from lapis_silo_spark.driver_queries import QUERIES, db_for
+    from lapis_silo_spark.driver_queries import ORACLES, QUERIES, db_for
 
     spark = get_spark()
     db_for(spark, sf_dir)  # warm: register tables once, outside the timings
@@ -146,45 +238,10 @@ def main() -> None:
         side.count()
     QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        # JMH-style inter-iteration GC (untimed, ~0.1 s): without it, a
-        # query's timing includes collecting the PREVIOUS queries' garbage —
-        # measured up to 15× inflation on allocation-heavy stages late in
-        # the list (multimodal_decode: 34 s after 50 queries, 2.2 s after a
-        # forced GC, 1.3 s standalone). Each timing should measure the
-        # query, not its position in the schedule.
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — measurement hygiene, never fatal
-            pass
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
-
-    total = round(sum(timings.values()), 4)
-    result = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-
-    # Same-machine positioning baseline: time each headline query's DuckDB
-    # oracle on the identical parquet (single-node engine, same data, same
-    # box). Best-effort metadata — a failure here never breaks the bench,
-    # and the phase stops at a wall-clock budget so it can never push the
-    # whole bench past an external timeout (round 1 shipped with NO bench
-    # numbers; nothing is allowed to risk that again).
-    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "90"))
+    con = None
+    if oracle_on:
         try:
             import duckdb
-
-            from lapis_silo_spark.driver_queries import ORACLES
 
             con = duckdb.connect()
             for t in ("region", "nation", "customer", "supplier", "part",
@@ -196,48 +253,71 @@ def main() -> None:
                         f"CREATE VIEW {t} AS "
                         f"SELECT * FROM read_parquet('{path}')"
                     )
-            oracle_timings: dict[str, float] = {}
-            truncated = False
-            # cheap oracles first so a tight budget still yields broad
-            # coverage; the expensive ones — anything recomputing minhash
-            # signatures (DuckDB serializes the per-shingle list math) or
-            # walking a recursive closure — run last
-            def oracle_cost(name: str) -> int:
-                sql = ORACLES[name]
-                return (
-                    ("list_min([((2*i + 1)" in sql)
-                    + ("RECURSIVE" in sql)
-                )
+        except Exception:  # noqa: BLE001 — oracle is best-effort metadata
+            con = None
 
-            ordered = sorted(
-                (n for n in HEADLINE if n in ORACLES), key=oracle_cost
-            )
-            phase_start = time.perf_counter()
-            for name in ordered:
-                if time.perf_counter() - phase_start > budget:
-                    truncated = True
-                    break
-                try:
-                    start = time.perf_counter()
-                    con.execute(ORACLES[name]).fetchall()
-                    oracle_timings[name] = round(
-                        time.perf_counter() - start, 4
-                    )
-                except Exception:  # noqa: BLE001 — oracle uses engine setup
-                    continue
-            shared = set(oracle_timings)
-            result["duckdb_oracle"] = {
-                "queries": oracle_timings,
-                "truncated": truncated,
-                "total_shared": round(
-                    sum(oracle_timings[q] for q in shared), 4
-                ),
-                "spark_total_shared": round(
-                    sum(timings[q] for q in shared if q in timings), 4
-                ),
-            }
-        except Exception:  # noqa: BLE001
-            pass
+    # Interleaved repetition: [spark, oracle] × n_runs, so a contention
+    # burst hits the SAME neighborhood of both engines' schedules instead
+    # of one engine's whole measurement. Run 1 is mandatory; later runs
+    # are skipped once the budget is spent (the protocol degrades to the
+    # old single-pass bench, flagged in the output, never a timeout).
+    spark_passes: list[dict] = []
+    oracle_passes: list[dict] = []
+    oracle_truncated = False
+    loadavg_per_run: list[float] = []
+    bench_start = time.perf_counter()
+    for r in range(n_runs):
+        if r > 0 and time.perf_counter() - bench_start > run_budget:
+            break
+        loadavg_per_run.append(_loadavg())
+        spark_passes.append(_spark_pass(spark, sf_dir, QUERIES))
+        if con is not None:
+            ot, trunc = _oracle_pass(con, ORACLES, oracle_budget)
+            oracle_passes.append(ot)
+            oracle_truncated = oracle_truncated or trunc
+
+    timings, load_at_min = _min_over_passes(spark_passes)
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "protocol": {
+            "runs_requested": n_runs,
+            "runs_completed": len(spark_passes),
+            "per_query": "min",
+            "interleaved_with_oracle": con is not None,
+            "loadavg_1m_per_run": loadavg_per_run,
+            "loadavg_1m_at_min": load_at_min,
+            "per_run_totals": [
+                round(sum(sec for sec, _ in p.values()), 4)
+                for p in spark_passes
+            ],
+        },
+    }
+
+    # Same-machine positioning baseline: each headline query's DuckDB
+    # oracle on the identical parquet (single-node engine, same data, same
+    # box), min across the interleaved passes. Best-effort metadata — a
+    # failure here never breaks the bench (round 1 shipped with NO bench
+    # numbers; nothing is allowed to risk that again).
+    if oracle_passes:
+        oracle_timings, oracle_load = _min_over_passes(oracle_passes)
+        shared = set(oracle_timings)
+        result["duckdb_oracle"] = {
+            "queries": oracle_timings,
+            "truncated": oracle_truncated,
+            "runs_completed": len(oracle_passes),
+            "loadavg_1m_at_min": oracle_load,
+            "total_shared": round(
+                sum(oracle_timings[q] for q in shared), 4
+            ),
+            "spark_total_shared": round(
+                sum(timings[q] for q in shared if q in timings), 4
+            ),
+        }
 
     print(json.dumps(result))
 
