@@ -2639,6 +2639,101 @@ def q_genomic_adapted_symbol_equals(
     )
 
 
+# --- full-genome (4,000-nt) scale store: reconstruction oracle ------------
+#
+# The reference's own headline benchmark runs against a 4,000-nt repeated
+# ACGT reference (performance/sequence_generator.h:432). This store derives
+# a full-length 4,000-nt sequence per document (125 chained md5 blocks ->
+# ACGT translation, same N@5 wrinkle as the 40-nt store) and ingests it
+# through the REAL diffing pipeline, so sequence reconstruction
+# (operators/reconstruct.py ≙ exec_node/table_scan.cpp's index rebuild)
+# gets a DuckDB value gate at genome scale instead of the 40-nt toy.
+
+_GENOMIC_SCALE_REF = "ACGT" * 1000  # 4,000 nt, mutation_benchmark's reference
+_GENOMIC_SCALE_DB_CACHE: dict[str, object] = {}
+
+_SCALE_SEQ_SQL = """CASE WHEN doc_id % 7 = 0
+          THEN substr(t, 1, 4) || 'N' || substr(t, 6, 3995)
+          ELSE t END"""
+_SCALE_SEQ_CTE = f"""(SELECT doc_id, {_SCALE_SEQ_SQL} AS s
+        FROM (SELECT doc_id,
+                     translate(array_to_string(list_transform(
+                         generate_series(0, 124),
+                         i -> md5(text || ':' || CAST(i AS VARCHAR))), ''),
+                       '0123456789abcdef', 'ACGTACGTACGTACGT') AS t
+              FROM documents))"""
+
+
+def genomic_scale_db(spark: SparkSession, sf_dir: str):
+    """4,000-nt derived sequences through the real ingest, cached per sf."""
+    cached = _GENOMIC_SCALE_DB_CACHE.get(sf_dir)
+    if cached is not None and cached.spark is spark:
+        return cached
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+
+    docs = db_for(spark, sf_dir).table("documents")
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(124)),
+        lambda i: F.md5(F.concat(F.col("text"), F.lit(":"),
+                                 i.cast("string"))),
+    )
+    t = F.translate(
+        F.array_join(blocks, ""), "0123456789abcdef", "ACGTACGTACGTACGT"
+    )
+    seq = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.substring(t, 1, 4), F.lit("N"), F.substring(t, 6, 3995)),
+    ).otherwise(t)
+    records = docs.select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.struct(
+            seq.alias("sequence"),
+            F.lit(None).cast("string").alias("sequenceCompressed"),
+            F.array().cast("array<string>").alias("insertions"),
+            F.lit(None).cast("int").alias("offset"),
+        ).alias("main"),
+    )
+    config = TableConfig(
+        name="default", primary_key="primary_key",
+        metadata={}, nuc_sequences={"main": _GENOMIC_SCALE_REF},
+    )
+    # the parquet source is a single small file -> one task; 4,000-nt
+    # diffing and reconstruction must fan out across the executor threads
+    records = records.repartition(spark.sparkContext.defaultParallelism)
+    main, store = ingest_records(spark, records, config)
+    db = Database(spark)
+    db.register_table("default", main.persist(), primary_key="primary_key")
+    for side in (store.mutations, store.coverage, store.missing,
+                 store.insertions):
+        side.persist()
+    db.register_sequence_store("default", store)
+    _GENOMIC_SCALE_DB_CACHE[sf_dir] = db
+    return db
+
+
+@query(
+    "genomic_reconstruct_full",
+    f"""SELECT doc_id, md5(s) AS seq_md5 FROM {_SCALE_SEQ_CTE}""",
+)
+def q_genomic_reconstruct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-genome sequence reconstruction at the reference benchmark's
+    4,000-nt scale: rebuild every row's aligned sequence from the index
+    side tables (mutation map + coverage ranges + missing set, one JVM
+    expression — operators/reconstruct.py) and hash it; the oracle hashes
+    the independently derived input sequence. Equality proves the
+    diff-ingest → index → reconstruct round-trip is lossless at genome
+    length, including interior-N restoration."""
+    from lapis_silo_spark.operators.reconstruct import with_sequence_column
+
+    db = genomic_scale_db(spark, sf_dir)
+    pipe = with_sequence_column(Pipeline.scan(db, "default"), "main")
+    return pipe.df.select(
+        F.col("primary_key").cast("int").alias("doc_id"),
+        F.md5(F.col("main")).alias("seq_md5"),
+    )
+
+
 @query(
     "genomic_mutation_profile",
     f"""SELECT doc_id FROM {_SEQ_CTE}
