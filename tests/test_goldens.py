@@ -58,19 +58,20 @@ def golden_db(spark) -> Database:
     return build_golden_db(spark)
 
 
-def _normalize(rows: list[dict]) -> list[tuple]:
-    def norm_val(v):
-        if v is None:
-            return "\0None"
-        if isinstance(v, bool):
-            return repr(v)
-        if isinstance(v, float):
-            return repr(round(v, 9))
-        if isinstance(v, (dt.date, dt.datetime)):
-            return v.strftime("%Y-%m-%d")
-        return repr(v) if not isinstance(v, str) else v
+def _norm_val(v):
+    if v is None:
+        return "\0None"
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, (dt.date, dt.datetime)):
+        return v.strftime("%Y-%m-%d")
+    return repr(v) if not isinstance(v, str) else v
 
-    return sorted(tuple(sorted((k, norm_val(v)) for k, v in r.items()))
+
+def _normalize(rows: list[dict]) -> list[tuple]:
+    return sorted(tuple(sorted((k, _norm_val(v)) for k, v in r.items()))
                   for r in rows)
 
 
@@ -147,6 +148,97 @@ def test_golden_query(golden_db, case):
 def test_golden_invalid_query(golden_db, case):
     with pytest.raises(QueryCompileError):
         execute_query(golden_db, case["query"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# Multi-partition replay (round-7 verdict #5): the corpus above runs on a
+# 1-partition golden db, where Spark can never reorder rows — the orderBy
+# null-placement contract (order_by_node.cpp:90-101) and the limit-on-
+# unordered arbitrary-subset contract (fetch_node.cpp:63-102) were only
+# exercised trivially. Re-run all 134 cases on the SAME dataset
+# repartitioned to 8 partitions, where exchanges genuinely shuffle row
+# order. Limit/offset cases relax exactly to the reference's contract:
+# right row COUNT, rows drawn from the full (limit-stripped) result, the
+# orderBy KEY multiset identical to the golden one (tie rows may swap),
+# and output sorted — everything the reference promises, nothing more.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_PARTITIONS = 8
+_LIMIT_RE = re.compile(r"\.(?:limit|offset)\(\d+\)")
+
+
+@pytest.fixture(scope="session")
+def golden_db_repart(spark, golden_db) -> Database:
+    from lapis_silo_spark.catalog import SequenceStore
+
+    n = _GOLDEN_PARTITIONS
+    db = Database(spark)
+    db.data_version = golden_db.data_version
+    for name, df in golden_db.tables.items():
+        db.register_table(
+            name, df.repartition(n), primary_key=golden_db.primary_key(name)
+        )
+    for t, s in golden_db.sequence_stores.items():
+        db.register_sequence_store(
+            t,
+            SequenceStore(
+                mutations=s.mutations.repartition(n),
+                coverage=s.coverage.repartition(n),
+                missing=s.missing.repartition(n),
+                insertions=s.insertions.repartition(n),
+                reference=s.reference,
+                local_reference=s.local_reference,
+                insertion_trigrams=(
+                    s.insertion_trigrams.repartition(n)
+                    if s.insertion_trigrams is not None else None
+                ),
+            ),
+        )
+    db.lineage_closures = dict(golden_db.lineage_closures)
+    db.lineage_definitions = dict(golden_db.lineage_definitions)
+    db.lineage_relations = dict(golden_db.lineage_relations)
+    db.phylo_nodes = dict(golden_db.phylo_nodes)
+    return db
+
+
+@pytest.mark.parametrize("case", _load_cases("queries"))
+def test_golden_query_multipartition(golden_db_repart, case):
+    from collections import Counter
+
+    q = case["query"]
+    df = execute_query(golden_db_repart, q)
+    rows = [r.asDict() for r in df.collect()]
+    expected = case.get("expectedQueryResult") or []
+    keys = _order_keys(q)
+
+    if _LIMIT_RE.search(q):
+        # fetch contract: an arbitrary subset of the full result of the
+        # right size, sorted, with the orderBy-key multiset pinned
+        assert len(rows) == len(expected)
+        full = [
+            r.asDict()
+            for r in execute_query(
+                golden_db_repart, _LIMIT_RE.sub("", q)
+            ).collect()
+        ]
+        extra = Counter(_normalize(rows)) - Counter(_normalize(full))
+        assert not extra, f"rows outside the full result: {extra}"
+        if keys:
+            kcols = [k for k, _ in keys if any(k in r for r in rows[:1])]
+            if kcols:
+                def key_ms(rs):
+                    return sorted(
+                        tuple(_norm_val(r.get(c)) for c in kcols) for r in rs
+                    )
+
+                assert key_ms(rows) == key_ms(expected)
+    else:
+        assert _normalize(rows) == _normalize(expected)
+
+    if keys:
+        present = [k for k in keys if all(k[0] in r for r in rows[:1])]
+        if present:
+            _assert_sorted(rows, present)
 
 
 def test_full_genome_mutation_profile(golden_db):
