@@ -3529,8 +3529,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM perplexity per document — the CCNet-style quality
-    proxy (functions.text.unigram_perplexity: term-keyed frequency window +
-    one scalar broadcast + per-doc re-agg)."""
+    proxy (functions.text.unigram_perplexity: skew-safe term-frequency
+    groupBy+join + one scalar broadcast + per-doc re-agg)."""
     from lapis_silo_spark.functions.text import unigram_perplexity
 
     db = db_for(spark, sf_dir)

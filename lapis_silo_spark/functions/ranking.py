@@ -103,12 +103,16 @@ def tfidf_top_terms(
     deterministic across engines.
 
     Scale shape: tokens explode once; term frequencies are a ``(id, term)``
-    hash aggregation (map-side combined); document frequency is a window
-    count over ``term`` — ONE shuffle keyed on the term, no join against a
-    materialized df table; the corpus size is a single scalar row broadcast
-    back via crossJoin (same device as :func:`bm25_topk`); the per-document
-    top-k is a window rank over ``id``. Every stage is keyed aggregation or
-    window — nothing pairwise, nothing driver-side.
+    hash aggregation (map-side combined); document frequency is a
+    ``groupBy(term).count()`` — partial aggregation combines a hot term
+    map-side, and the join back onto ``tf`` has one build row per term so
+    AQE can split a skewed probe side. (A ``count() OVER (PARTITION BY
+    term)`` window would funnel every posting of a web-scale-hot term —
+    a stopword — into ONE task; see docs/WINDOW_AUDIT.md.) The corpus size
+    is a single scalar row broadcast back via crossJoin (same device as
+    :func:`bm25_topk`); the per-document top-k is a window rank over ``id``
+    (bounded by per-document distinct terms). Nothing pairwise, nothing
+    driver-side.
     """
     from pyspark.sql import Window
 
@@ -116,8 +120,8 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_term = Window.partitionBy("term")
-    with_df = tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    with_df = tf.join(dfreq, on="term", how="inner")
     n_row = docs.agg(F.count(F.lit(1)).alias("_n"))
     scored = with_df.crossJoin(F.broadcast(n_row)).withColumn(
         "score",

@@ -38,10 +38,19 @@ def kmv_distinct(
     group_col: str,
     value_col: str | Column,
     k: int = 16,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate:
     ``(group, n_kept, est_distinct)`` — exact when a group has < k distinct
-    values, else ``(k-1)/h_k`` rounded to 4 decimals."""
+    values, else ``(k-1)/h_k`` rounded to 4 decimals.
+
+    Skew shape: the k-smallest-hash cut runs as a SALTED two-level top-k —
+    first within ``(grp, salt)`` (a web-scale-hot group's rows spread over
+    ``salt_buckets`` tasks), then over the ≤ ``salt_buckets × k`` survivors
+    per group. Any hash in a group's global top-k is in its salt bucket's
+    top-k, so the result is identical to the single-window form the
+    unsalted shape would compute (see docs/WINDOW_AUDIT.md).
+    """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     # NULL values must not reach the window: a NULL hash sorts FIRST in
     # Spark's ascending window (consuming a kept slot, ignored by max) but
@@ -51,11 +60,21 @@ def kmv_distinct(
         df.select(F.col(group_col).alias("grp"), value.alias("val"))
         .filter(F.col("val").isNotNull())
         .distinct()
-        .select("grp", kmv_hash(F.col("val")).alias("h"))
+        .select(
+            "grp",
+            kmv_hash(F.col("val")).alias("h"),
+            F.pmod(F.xxhash64(F.col("val").cast("string")), F.lit(salt_buckets)).alias(
+                "_salt"
+            ),
+        )
+    )
+    w_salted = Window.partitionBy("grp", "_salt").orderBy(F.col("h").asc())
+    pre = hashed.withColumn("rn", F.row_number().over(w_salted)).filter(
+        F.col("rn") <= k
     )
     w = Window.partitionBy("grp").orderBy(F.col("h").asc())
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    kept = pre.withColumn("rn2", F.row_number().over(w)).filter(
+        F.col("rn2") <= k
     )
     return (
         kept.groupBy("grp")
@@ -187,19 +206,29 @@ def hash_topk_per_group(
     group_col: str,
     key_col: str,
     k: int,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Deterministic per-group sample: the ``k`` rows whose md5 key hashes
     rank smallest within each group — the content-addressed replacement for
     per-group reservoir sampling (re-runs, backfills, and engines all agree
-    on the winners). One window over the group key; ties broken by the key
-    itself."""
-    w = Window.partitionBy(group_col).orderBy(
-        kmv_hash(key_col).asc(), F.col(key_col).asc()
-    )
+    on the winners). Ties broken by the key itself.
+
+    Skew shape: salted two-level top-k — first within ``(group, salt)`` so
+    a web-scale-hot group spreads over ``salt_buckets`` tasks, then over
+    the ≤ ``salt_buckets × k`` survivors per group. Any row in a group's
+    global top-k ranks ≤ k inside its salt bucket, so the output is
+    identical to a single group-wide window (see docs/WINDOW_AUDIT.md)."""
+    order = [kmv_hash(key_col).asc(), F.col(key_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(salt_buckets))
+    w_salted = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w_salted))
         .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        .withColumn("_rn2", F.row_number().over(w))
+        .filter(F.col("_rn2") <= k)
+        .drop("_salt", "_rn", "_rn2")
     )
 
 

@@ -238,15 +238,16 @@ def gram_novelty(
     earlier text — the curation signal dedup-aware sampling pipelines rank
     on. Documents with no n-grams (< n tokens) score 0.0.
 
-    Scale shape: one explode over distinct per-doc grams, ONE shuffle keyed
-    on the gram (an unbounded ``min(id)`` window marks first occurrences
-    in place — no join back, which would re-shuffle the exploded set), and
-    a per-doc re-aggregation. Shuffle volume is the corpus' total per-doc
-    distinct-gram count, never pairwise. Returns
+    Scale shape: one explode over distinct per-doc grams, a
+    ``groupBy(gram).min(id)`` first-occurrence table (partial aggregation
+    combines a web-scale-hot boilerplate gram map-side), joined back onto
+    the exploded set — one build row per gram, so AQE can split a skewed
+    probe side. (The earlier ``min(id) OVER (PARTITION BY gram)`` window
+    saved the join's shuffle but funneled every occurrence of a hot gram
+    into ONE task; see docs/WINDOW_AUDIT.md.) Shuffle volume is the
+    corpus' total per-doc distinct-gram count, never pairwise. Returns
     ``(id, n_grams, novel_grams, novelty)``.
     """
-    from pyspark.sql import Window
-
     # ONE select, explode inlined with the gram expression: codegen's
     # subexpression elimination computes the token split once per row, and
     # the Generate stays inside the whole-stage-codegen'd 32-wide stage.
@@ -258,9 +259,9 @@ def gram_novelty(
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
     base = docs.select(F.col(id_col).alias("id"))
-    w = Window.partitionBy("gram")
+    firsts = exploded.groupBy("gram").agg(F.min("id").alias("first_id"))
     per_doc = (
-        exploded.withColumn("first_id", F.min("id").over(w))
+        exploded.join(firsts, on="gram", how="inner")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -365,18 +366,21 @@ def unigram_perplexity(docs, id_col: str, text_col: str):
     are what a curation pipeline inspects. Returns
     ``(id, n_tokens, ppl)`` with ppl rounded to 6 decimals.
 
-    Scale shape: one explode, one term-keyed window for the frequency
-    (shuffle keyed on the term), ONE scalar-row broadcast for the corpus
-    token total, and a per-doc re-aggregation — the same three-stage shape
-    as TF-IDF, nothing pairwise.
+    Scale shape: one explode, a ``groupBy(term).count()`` frequency table
+    (partial aggregation combines a web-scale-hot stopword map-side)
+    joined back onto the token stream — one build row per term, so AQE can
+    split a skewed probe side where a ``count() OVER (PARTITION BY term)``
+    window would funnel every occurrence of a hot term into ONE task (see
+    docs/WINDOW_AUDIT.md) — ONE scalar-row broadcast for the corpus token
+    total, and a per-doc re-aggregation. The per-token arithmetic
+    (``avg`` over token rows of the log-probability) is unchanged from the
+    window form, so oracle equality is untouched.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
-    w_term = Window.partitionBy("term")
-    with_cnt = toks.withColumn("_cnt", F.count(F.lit(1)).over(w_term))
+    term_cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cnt"))
+    with_cnt = toks.join(term_cnt, on="term", how="inner")
     total_row = toks.agg(F.count(F.lit(1)).alias("_total"))
     return (
         with_cnt.crossJoin(F.broadcast(total_row))
