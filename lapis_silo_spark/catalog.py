@@ -125,6 +125,14 @@ class Database:
         self.lineage_relations: dict[str, DataFrame] = {}
         # phylo column name -> nodes DataFrame (node, parent, depth, euler_in, euler_out, branch_length)
         self.phylo_nodes: dict[str, DataFrame] = {}
+        # model artifact name -> DataFrame (k-means centroids, PQ codebooks,
+        # BPE merge tables, ...). Train-once artifacts version with the data
+        # they were trained on — same lifecycle discipline as the minhash
+        # band state and the lineage closures (reference instinct: every
+        # derived index lives in the version directory, storage.py).
+        self.models: dict[str, DataFrame] = {}
+        # model artifact name -> free-form metadata dict (kind, params)
+        self.model_meta: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
     def register_table(
@@ -151,6 +159,16 @@ class Database:
     def register_phylo_tree(self, column: str, nodes: DataFrame) -> None:
         self.phylo_nodes[column] = nodes
 
+    def register_model(
+        self, name: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
+        """Register a train-once model artifact (a small DataFrame: k-means
+        centroid table, PQ codebook table, BPE merge table) so
+        :func:`lapis_silo_spark.storage.save_version` persists it and
+        ``load_version`` restores it with the data it was trained on."""
+        self.models[name] = df
+        self.model_meta[name] = dict(meta or {})
+
     # -- access -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         try:
@@ -160,6 +178,12 @@ class Database:
 
     def primary_key(self, name: str) -> str:
         return self.primary_keys.get(name, "primary_key")
+
+    def model(self, name: str) -> DataFrame:
+        try:
+            return self.models[name]
+        except KeyError:
+            raise KeyError(f"unknown model artifact: {name!r}") from None
 
     def sequence_store(self, table: str) -> SequenceStore:
         try:

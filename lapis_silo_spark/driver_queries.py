@@ -2996,20 +2996,34 @@ def q_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
        QUALIFY rank <= 10""",
 )
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k against a TRAINED k-means codebook
-    (clustering.kmeans_centroids → similarity.ivf_topk_with_centroids):
-    train once, persist k rows of codebook, assign at ingest, probe at
-    query time — the production lifecycle, with the search path unchanged
-    from the seeded ann_ivf_topk."""
+    """IVF top-k against a TRAINED k-means codebook — the FULL production
+    lifecycle: clustering.kmeans_centroids trains it, Database.register_model
+    + storage.save_version persist it in a version directory, and the probe
+    runs against the LOADED copy (storage.load_version), so this oracle row
+    gates train→persist→load→search end to end. Parquet round-trips doubles
+    exactly, so the loaded codebook is bit-identical to the trained one."""
+    import tempfile
+
+    from lapis_silo_spark.catalog import Database
     from lapis_silo_spark.functions import similarity as fsim
     from lapis_silo_spark.functions.clustering import kmeans_centroids
+    from lapis_silo_spark.storage import load_version, save_version
 
     db = db_for(spark, sf_dir)
     emb = db.table("embeddings")
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=10, iterations=4)
+
+    model_db = Database(spark)
+    model_db.register_model(
+        "ivf_centroids", cent, meta={"kind": "kmeans_centroids", "k": 10}
+    )
+    root = tempfile.mkdtemp(prefix="lss_models_")
+    save_version(model_db, root)
+    loaded = load_version(spark, root).model("ivf_centroids")
+
     return fsim.ivf_topk_with_centroids(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        "vec_id", "embedding", cent, cid_col="cluster", cvec_col="cvec",
+        "vec_id", "embedding", loaded, cid_col="cluster", cvec_col="cvec",
         k=10, n_probe=3,
     )
 

@@ -673,6 +673,47 @@ def pq_train_codebooks(
     return books
 
 
+def pq_codebooks_to_df(spark, codebooks) -> DataFrame:
+    """PQ codebooks (numpy ``(m, n_codes, sub)``) as a persistable model
+    table ``(subspace int, code int, cvec array<double>)`` — the shape
+    :meth:`lapis_silo_spark.catalog.Database.register_model` +
+    ``storage.save_version`` store in the version directory (train once,
+    version with the data, load at ingest/query time)."""
+    rows = [
+        (j, c, [float(v) for v in codebooks[j, c]])
+        for j in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, cvec array<double>"
+    )
+
+
+def pq_codebooks_from_df(df: DataFrame):
+    """Inverse of :func:`pq_codebooks_to_df`: rebuild the numpy
+    ``(m, n_codes, sub)`` codebook array from a loaded model table. The
+    table is KB-scale by construction (m·n_codes rows), so the collect is
+    the same broadcast-sized driver hop the training path already makes."""
+    import numpy as np
+
+    rows = df.select("subspace", "code", "cvec").collect()
+    if not rows:
+        raise ValueError("pq_codebooks_from_df: empty codebook table")
+    m = max(r["subspace"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    sub = len(rows[0]["cvec"])
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    seen = 0
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["cvec"]
+        seen += 1
+    if seen != m * n_codes:
+        raise ValueError(
+            f"pq_codebooks_from_df: expected {m * n_codes} rows, got {seen}"
+        )
+    return books
+
+
 def pq_encode(
     corpus: DataFrame, id_col: str, vec_col: str, codebooks
 ) -> DataFrame:

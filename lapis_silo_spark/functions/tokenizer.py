@@ -277,6 +277,17 @@ def bpe_train_df(
     return spark.createDataFrame(merges, schema=schema)
 
 
+def bpe_merges_from_df(df: DataFrame) -> list[dict]:
+    """Inverse of :func:`bpe_train_df`: rebuild the ordered merge list from
+    a loaded model table (``storage.load_version`` restores it via
+    ``Database.models``). One O(n_merges) collect — the merge table is the
+    driver-sized artifact by construction."""
+    rows = df.select(
+        "step", "left_sym", "right_sym", "merged", "pair_freq"
+    ).orderBy("step").collect()
+    return [r.asDict() for r in rows]
+
+
 def bpe_doc_seq(text_col: str | Column, *, lowercase: bool = True) -> Column:
     """Whole document as ONE padded symbol sequence (per-word sequences
     concatenated — provably equal to per-word encoding, see module

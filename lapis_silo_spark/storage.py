@@ -182,6 +182,14 @@ def save_version(
         _write(nodes, os.path.join(vdir, "phylo", col))
         manifest["phylo"].append(col)
 
+    # train-once model artifacts (k-means centroids, PQ codebooks, BPE merge
+    # tables): KB-scale by construction — coalesce(1) so each loads back as a
+    # single broadcast-friendly file instead of shuffle-partition shards
+    manifest["models"] = {}
+    for name, mdf in db.models.items():
+        _write(mdf.coalesce(1), os.path.join(vdir, "models", name))
+        manifest["models"][name] = db.model_meta.get(name, {})
+
     with open(os.path.join(vdir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
 
@@ -245,6 +253,13 @@ def load_version(
     for col in manifest["phylo"]:
         db.register_phylo_tree(
             col, spark.read.parquet(os.path.join(vdir, "phylo", col))
+        )
+    # "models" is absent from pre-round-8 manifests
+    for name, meta in manifest.get("models", {}).items():
+        db.register_model(
+            name,
+            spark.read.parquet(os.path.join(vdir, "models", name)),
+            meta=meta,
         )
     return db
 
