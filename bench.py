@@ -117,6 +117,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_pq_topk",
+    # round-8: fused IVF-PQ through the persisted-index lifecycle (coarse
+    # cells prune the scan via cid-partitioned storage, ADC scores m-byte
+    # codes; the row itself builds+saves+reloads the index, so its wall
+    # includes the one-time index build)
+    "ann_ivfpq_topk",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_audio_features",

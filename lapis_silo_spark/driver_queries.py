@@ -2925,6 +2925,70 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    from lapis_silo_spark.functions.similarity import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        table="embeddings", id_col="vec_id", vec_col="embedding",
+        query_pred="vec_id < 5", k=10, n_probe=3, k_coarse=10,
+        coarse_iterations=4, m=8, n_codes=16, train_rows=256,
+        pq_iterations=10,
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    # FAISS-style IVF,PQ (by_residual=false): the coarse Lloyd chain prunes
+    # the scan to the probed Voronoi cells, the PQ chain ADC-scores only
+    # those cells' codes. The oracle composes kmeans_oracle_ctes + the
+    # pq-prefixed _pq_training_parts + a cell-FILTERED adc — candidate set
+    # is exactly assignment.cid IN probes(query).
+    _ivfpq_oracle(),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused IVF-PQ ANN through the FULL persisted-index lifecycle: build
+    (similarity.build_ivfpq_index — coarse k-means + PQ codebooks + one
+    zero-shuffle assign-and-encode scan), persist (centroids + codebooks as
+    model artifacts, the codes table PARTITIONED BY cid), reload, query
+    (similarity.ivfpq_topk — probed cells become a literal cid IN (...)
+    filter, so the scan prunes to n_probe/K of the corpus and reads m-byte
+    codes instead of raw vectors)."""
+    import tempfile
+
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.functions import similarity as fsim
+    from lapis_silo_spark.storage import load_version, save_version
+
+    db = db_for(spark, sf_dir)
+    emb = db.table("embeddings")
+    cent, books, coded = fsim.build_ivfpq_index(
+        emb, "vec_id", "embedding", k_coarse=10, coarse_iterations=4,
+        m=8, n_codes=16, train_rows=256, pq_iterations=10,
+    )
+
+    index_db = Database(spark)
+    index_db.register_model(
+        "ivfpq_centroids", cent, meta={"kind": "kmeans_centroids", "k": 10}
+    )
+    index_db.register_model(
+        "ivfpq_codebooks",
+        fsim.pq_codebooks_to_df(spark, books),
+        meta={"kind": "pq_codebooks", "m": 8, "n_codes": 16},
+    )
+    index_db.register_table("ivfpq_codes", coded, primary_key="id")
+    root = tempfile.mkdtemp(prefix="lss_ivfpq_")
+    save_version(index_db, root, table_partitions={"ivfpq_codes": ["cid"]})
+    loaded = load_version(spark, root)
+
+    return fsim.ivfpq_topk(
+        loaded.table("ivfpq_codes"),
+        loaded.model("ivfpq_centroids"),
+        fsim.pq_codebooks_from_df(loaded.model("ivfpq_codebooks")),
+        emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=10, n_probe=3,
+    )
+
+
 def _kmeans_oracle_parts() -> tuple[str, str]:
     from lapis_silo_spark.functions.clustering import kmeans_oracle_ctes
 

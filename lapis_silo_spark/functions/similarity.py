@@ -715,13 +715,16 @@ def pq_codebooks_from_df(df: DataFrame):
 
 
 def pq_encode(
-    corpus: DataFrame, id_col: str, vec_col: str, codebooks
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` uint8 codes (nearest centroid per
-    subspace): ``(id, codes array<int>)``. One matmul-free numpy distance
-    per subspace per Arrow batch; no shuffle — at 100 TB this runs once at
-    ingest and the codes column (m bytes/row vs 4·dim) is what queries
-    scan."""
+    subspace): ``(id, *carry_cols, codes array<int>)``. One matmul-free
+    numpy distance per subspace per Arrow batch; no shuffle — at 100 TB
+    this runs once at ingest and the codes column (m bytes/row vs 4·dim)
+    is what queries scan. ``carry_cols`` ride along unchanged (e.g. the
+    IVF cell id, so :func:`build_ivfpq_index` assigns AND encodes in one
+    zero-shuffle scan)."""
     import numpy as np
     import pandas as pd
 
@@ -750,6 +753,7 @@ def pq_encode(
 
     return corpus.select(
         F.col(id_col).alias("id"),
+        *carry_cols,
         _encode(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
@@ -930,6 +934,94 @@ def pq_topk(
     )
 
 
+def _pq_training_parts(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    train_rows: int,
+    iterations: int,
+    cd: int,
+    dd: int,
+    p: str = "",
+) -> tuple[list[str], dict[str, str]]:
+    """The PQ-training CTE chain (raw vectors → per-subspace Lloyd codebooks
+    → corpus codes), every CTE name prefixed with ``p`` so the chain composes
+    into larger WITH clauses (:func:`ivfpq_oracle_sql` also embeds the coarse
+    k-means chain, whose ``v``/``ve``/``c{i}`` names would otherwise clash).
+    Returns ``(parts, names)`` with ``names`` mapping the logical CTEs the
+    callers reference (``v``, ``ve``, ``sve``, ``codes``, ``book``)."""
+    sq = "(x.val - c.val) * (x.val - c.val)"
+    v, ve, sve = f"{p}v", f"{p}ve", f"{p}sve"
+    samp, tsv, subv = f"{p}samp", f"{p}tsv", f"{p}subv"
+    firstocc, seeds, ed, codes = (
+        f"{p}firstocc", f"{p}seeds", f"{p}ed", f"{p}codes",
+    )
+    c = lambda i: f"{p}c{i}"  # noqa: E731 — tiny local name builders
+    td = lambda i: f"{p}td{i}"  # noqa: E731
+    ta = lambda i: f"{p}ta{i}"  # noqa: E731
+    tr = lambda i: f"{p}tr{i}"  # noqa: E731
+    parts = [
+        f"{v} AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec "
+        f"FROM {table})",
+        f"{ve} AS MATERIALIZED (SELECT id, unnest(vec) AS val, "
+        f"unnest(range(len(vec))) AS dim FROM {v})",
+        f"{sve} AS MATERIALIZED (SELECT id, dim // (len_sub) AS j, "
+        f"dim % (len_sub) AS jd, "
+        f"val FROM {ve}, (SELECT len(vec) // {m} AS len_sub FROM {v} LIMIT 1))",
+        f"{samp} AS (SELECT id, row_number() OVER (ORDER BY id) AS pos "
+        f"FROM {v} QUALIFY pos <= {train_rows})",
+        f"{tsv} AS MATERIALIZED (SELECT s.pos, e.j, e.jd, e.val "
+        f"FROM {samp} s JOIN {sve} e USING (id))",
+        f"{subv} AS (SELECT pos, j, list(val ORDER BY jd) AS sv "
+        f"FROM {tsv} GROUP BY pos, j)",
+        f"{firstocc} AS (SELECT j, sv, min(pos) AS fpos "
+        f"FROM {subv} GROUP BY j, sv)",
+        f"{seeds} AS (SELECT j, sv, row_number() OVER "
+        f"(PARTITION BY j ORDER BY fpos) - 1 AS code "
+        f"FROM {firstocc} QUALIFY code < {n_codes})",
+        f"{c(0)} AS MATERIALIZED (SELECT j, code, unnest(range(len(sv))) AS jd, "
+        f"round(unnest(sv), {cd}) AS val FROM {seeds})",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"{td(i)} AS (SELECT x.pos, x.j, c.code, "
+            f"round(sum({sq}), {dd}) AS dist "
+            f"FROM {tsv} x JOIN {c(i)} c ON c.j = x.j AND c.jd = x.jd "
+            f"GROUP BY x.pos, x.j, c.code)"
+        )
+        parts.append(
+            f"{ta(i)} AS (SELECT pos, j, code FROM ("
+            f"SELECT pos, j, code, row_number() OVER "
+            f"(PARTITION BY pos, j ORDER BY dist, code) AS rn FROM {td(i)}) "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"{tr(i + 1)} AS (SELECT a.j, a.code, t.jd, "
+            f"round(avg(t.val), {cd}) AS val "
+            f"FROM {ta(i)} a JOIN {tsv} t ON t.pos = a.pos AND t.j = a.j "
+            f"GROUP BY a.j, a.code, t.jd)"
+        )
+        parts.append(
+            f"{c(i + 1)} AS MATERIALIZED (SELECT c.j, c.code, c.jd, "
+            f"coalesce(r.val, c.val) AS val FROM {c(i)} c "
+            f"LEFT JOIN {tr(i + 1)} r "
+            f"ON r.j = c.j AND r.code = c.code AND r.jd = c.jd)"
+        )
+    book = c(iterations)
+    parts += [
+        f"{ed} AS (SELECT x.id, x.j, c.code, round(sum({sq}), {dd}) AS dist "
+        f"FROM {sve} x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
+        f"GROUP BY x.id, x.j, c.code)",
+        f"{codes} AS (SELECT id, j, code FROM ("
+        f"SELECT id, j, code, row_number() OVER "
+        f"(PARTITION BY id, j ORDER BY dist, code) AS rn FROM {ed}) "
+        f"WHERE rn = 1)",
+    ]
+    return parts, {"v": v, "ve": ve, "sve": sve, "codes": codes, "book": book}
+
+
 def pq_oracle_ctes(
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -958,84 +1050,366 @@ def pq_oracle_ctes(
     cd, dd = centroid_decimals, distance_decimals
     width = max(k, refine)
     sq = "(x.val - c.val) * (x.val - c.val)"
-    parts = [
-        f"v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec "
-        f"FROM {table})",
-        "ve AS MATERIALIZED (SELECT id, unnest(vec) AS val, "
-        "unnest(range(len(vec))) AS dim FROM v)",
-        f"sve AS MATERIALIZED (SELECT id, dim // (len_sub) AS j, "
-        f"dim % (len_sub) AS jd, "
-        f"val FROM ve, (SELECT len(vec) // {m} AS len_sub FROM v LIMIT 1))",
-        f"samp AS (SELECT id, row_number() OVER (ORDER BY id) AS pos "
-        f"FROM v QUALIFY pos <= {train_rows})",
-        "tsv AS MATERIALIZED (SELECT s.pos, e.j, e.jd, e.val "
-        "FROM samp s JOIN sve e USING (id))",
-        "subv AS (SELECT pos, j, list(val ORDER BY jd) AS sv "
-        "FROM tsv GROUP BY pos, j)",
-        "firstocc AS (SELECT j, sv, min(pos) AS fpos "
-        "FROM subv GROUP BY j, sv)",
-        f"seeds AS (SELECT j, sv, row_number() OVER "
-        f"(PARTITION BY j ORDER BY fpos) - 1 AS code "
-        f"FROM firstocc QUALIFY code < {n_codes})",
-        f"c0 AS MATERIALIZED (SELECT j, code, unnest(range(len(sv))) AS jd, "
-        f"round(unnest(sv), {cd}) AS val FROM seeds)",
-    ]
-    for i in range(iterations):
-        parts.append(
-            f"td{i} AS (SELECT x.pos, x.j, c.code, "
-            f"round(sum({sq}), {dd}) AS dist "
-            f"FROM tsv x JOIN c{i} c ON c.j = x.j AND c.jd = x.jd "
-            f"GROUP BY x.pos, x.j, c.code)"
-        )
-        parts.append(
-            f"ta{i} AS (SELECT pos, j, code FROM ("
-            f"SELECT pos, j, code, row_number() OVER "
-            f"(PARTITION BY pos, j ORDER BY dist, code) AS rn FROM td{i}) "
-            f"WHERE rn = 1)"
-        )
-        parts.append(
-            f"tr{i + 1} AS (SELECT a.j, a.code, t.jd, "
-            f"round(avg(t.val), {cd}) AS val "
-            f"FROM ta{i} a JOIN tsv t ON t.pos = a.pos AND t.j = a.j "
-            f"GROUP BY a.j, a.code, t.jd)"
-        )
-        parts.append(
-            f"c{i + 1} AS MATERIALIZED (SELECT c.j, c.code, c.jd, "
-            f"coalesce(r.val, c.val) AS val FROM c{i} c "
-            f"LEFT JOIN tr{i + 1} r "
-            f"ON r.j = c.j AND r.code = c.code AND r.jd = c.jd)"
-        )
-    book = f"c{iterations}"
+    parts, nm = _pq_training_parts(
+        table, id_col, vec_col, m, n_codes, train_rows, iterations, cd, dd
+    )
+    book = nm["book"]
     parts += [
-        f"ed AS (SELECT x.id, x.j, c.code, round(sum({sq}), {dd}) AS dist "
-        f"FROM sve x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
-        f"GROUP BY x.id, x.j, c.code)",
-        "codes AS (SELECT id, j, code FROM ("
-        "SELECT id, j, code, row_number() OVER "
-        "(PARTITION BY id, j ORDER BY dist, code) AS rn FROM ed) "
-        "WHERE rn = 1)",
-        f"q AS (SELECT id AS query_id FROM v WHERE "
+        f"q AS (SELECT id AS query_id FROM {nm['v']} WHERE "
         f"{query_pred.replace(id_col, 'id')})",
-        "qsv AS (SELECT q.query_id, e.j, e.jd, e.val AS val "
-        "FROM q JOIN sve e ON e.id = q.query_id)",
+        f"qsv AS (SELECT q.query_id, e.j, e.jd, e.val AS val "
+        f"FROM q JOIN {nm['sve']} e ON e.id = q.query_id)",
         f"lut AS (SELECT x.query_id, x.j, c.code, "
         f"round(sum({sq}), {dd}) AS lv "
         f"FROM qsv x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
         f"GROUP BY x.query_id, x.j, c.code)",
-        "adc AS (SELECT l.query_id, kk.id, round(sum(l.lv), 6) AS ad "
-        "FROM codes kk JOIN lut l ON l.j = kk.j AND l.code = kk.code "
-        "WHERE kk.id <> l.query_id GROUP BY l.query_id, kk.id)",
+        f"adc AS (SELECT l.query_id, kk.id, round(sum(l.lv), 6) AS ad "
+        f"FROM {nm['codes']} kk JOIN lut l ON l.j = kk.j AND l.code = kk.code "
+        f"WHERE kk.id <> l.query_id GROUP BY l.query_id, kk.id)",
         f"cand AS (SELECT query_id, id FROM ("
         f"SELECT query_id, id, row_number() OVER "
         f"(PARTITION BY query_id ORDER BY ad, id) AS rn FROM adc) "
         f"WHERE rn <= {width})",
-        "exact AS (SELECT c.query_id, c.id, "
-        "round(sum((qe.val - ce.val) * (qe.val - ce.val)), 6) AS dist "
-        "FROM cand c "
-        "JOIN ve qe ON qe.id = c.query_id "
-        "JOIN ve ce ON ce.id = c.id AND ce.dim = qe.dim "
-        "GROUP BY c.query_id, c.id)",
+        f"exact AS (SELECT c.query_id, c.id, "
+        f"round(sum((qe.val - ce.val) * (qe.val - ce.val)), 6) AS dist "
+        f"FROM cand c "
+        f"JOIN {nm['ve']} qe ON qe.id = c.query_id "
+        f"JOIN {nm['ve']} ce ON ce.id = c.id AND ce.dim = qe.dim "
+        f"GROUP BY c.query_id, c.id)",
     ]
+    ctes = ",\n        ".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"       SELECT query_id, id, dist, "
+        f"CAST(row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY dist, id) AS INT) AS rank "
+        f"FROM exact QUALIFY rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: fused coarse-cell pruning + compact-code ADC scoring
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k_coarse: int = 10,
+    coarse_iterations: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    pq_iterations: int = 10,
+):
+    """Build a FAISS-style ``IVF,PQ`` index (``by_residual=false`` variant:
+    raw vectors PQ-encoded, coarse cells prune the scan): returns
+    ``(centroids_df, codebooks, coded_df)`` —
+
+    - ``centroids_df``: the trained coarse codebook ``(cid, cvec)``
+      (:func:`lapis_silo_spark.functions.clustering.kmeans_centroids`,
+      deterministic Lloyd, K rows — a model artifact for
+      ``Database.register_model``),
+    - ``codebooks``: the numpy ``(m, n_codes, sub)`` PQ codebooks
+      (:func:`pq_train_codebooks`; persist via :func:`pq_codebooks_to_df`),
+    - ``coded_df``: ``(id, cid, codes)`` — the corpus-sized index table.
+      Persist it PARTITIONED BY ``cid`` (``save_version(...,
+      table_partitions={...: ["cid"]})``): a query's probed cells become a
+      literal ``cid IN (...)`` filter, so the scan reads ONLY the probed
+      cells' files — the 100 TB contract (n_probe/K of the corpus touched,
+      m bytes per vector instead of 4·dim).
+
+    Assignment and encoding run in ONE zero-shuffle scan (``ivf_assign``
+    carries the vector into ``pq_encode``); both training passes touch
+    constant-size state (K·dim and m·n_codes·sub doubles).
+    """
+    from lapis_silo_spark.functions.clustering import kmeans_centroids
+
+    cent = kmeans_centroids(
+        corpus, id_col, vec_col, k=k_coarse, iterations=coarse_iterations
+    ).select(F.col("cluster").cast("long").alias("cid"), "cvec")
+    books = pq_train_codebooks(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes,
+        train_rows=train_rows, iterations=pq_iterations,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    assigned = ivf_assign(c, cent, carry_cols=("vec",))
+    coded = pq_encode(assigned, "id", "vec", books, carry_cols=("cid",))
+    return cent, books, coded
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    refine: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    max_query_rows: int = 1024,
+) -> DataFrame:
+    """Query an IVF-PQ index (:func:`build_ivfpq_index`, possibly LOADED
+    from a version directory): per query, probe the ``n_probe``
+    cosine-nearest coarse cells and ADC-score ONLY those cells' PQ codes.
+    Returns ``(query_id, id, dist, rank)`` — ``dist`` is the rounded ADC
+    approximation, or exact L2 when ``refine`` is set (then ``corpus`` with
+    the raw vectors is required).
+
+    Scale shape: the union of all probed cell ids becomes ONE literal
+    ``cid IN (...)`` filter — static partition pruning when ``coded`` is
+    stored partitioned by ``cid``, so the scan touches ~n_probe/K of the
+    corpus and reads m-byte codes, not 4·dim-byte vectors. Scoring is a
+    numpy LUT gather per Arrow batch with a batch-local top-``width``
+    prune, so the per-query window sorts at most width·n_batches rows.
+    The per-query LUTs are driver-built and broadcast (m × n_codes doubles
+    each) — the same ``max_query_rows`` funnel guard as :func:`pq_topk`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from lapis_silo_spark.functions.clustering import _round_half_away
+
+    m, n_codes, sub = codebooks.shape
+    q_rows = (
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("qv"))
+        .orderBy("query_id")
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_topk builds one driver-side LUT per query row and the "
+            f"query table exceeds max_query_rows={max_query_rows}; chunk "
+            f"the query batch (N calls of max_query_rows queries are "
+            f"equivalent)"
+        )
+
+    cent_rows = sorted((r[cid_col], r[cvec_col]) for r in centroids.collect())
+    cids_arr = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    q_ids, luts, probe_sets = [], [], []
+    for r in q_rows:
+        qv = np.array(r["qv"], dtype=np.float64)
+        # probe selection mirrors ivf_topk_with_centroids / the SQL oracle:
+        # cosine rounded to 6 decimals (half-away = DuckDB's binary-value
+        # rounding), ties to the smallest cid
+        cos = _round_half_away(
+            cmat @ qv / (cnorm * np.sqrt(qv @ qv)), 6
+        )
+        order = np.lexsort((cids_arr, -cos))[:n_probe]
+        probe_sets.append(np.sort(cids_arr[order]))
+        lut = np.empty((m, n_codes))
+        for j in range(m):
+            qsub = qv[j * sub:(j + 1) * sub]
+            lut[j] = _round_half_away(
+                ((codebooks[j] - qsub[None, :]) ** 2).sum(axis=1), 9
+            )
+        q_ids.append(r["query_id"])
+        luts.append(lut)
+    luts = np.array(luts) if luts else np.empty((0, m, n_codes))
+
+    all_probed = sorted({int(c) for s in probe_sets for c in s})
+    # literal IN on the cell id: partition pruning at PLANNING time when the
+    # index table is stored partitioned by cid (tests pin inputFiles())
+    cand_src = coded.filter(F.col(cid_col).isin(all_probed)).select(
+        "id", F.col(cid_col).cast("long").alias("_cid"), "codes"
+    )
+
+    bc = coded.sparkSession.sparkContext.broadcast(
+        (q_ids, luts, probe_sets)
+    )
+    out_schema = T.StructType([
+        T.StructField("query_id", coded.schema["id"].dataType),
+        T.StructField("id", coded.schema["id"].dataType),
+        T.StructField("approx_dist", T.DoubleType()),
+    ])
+    width = k if refine is None else max(k, refine)
+    _rha = _round_half_away
+
+    def score_batches(batches):
+        ids_q, tables, probes = bc.value
+        nq = len(ids_q)
+        jdx = np.arange(m)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            cids = pdf["_cid"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            rows_out = {"query_id": [], "id": [], "approx_dist": []}
+            for qi in range(nq):
+                # only this query's probed cells, never the whole batch
+                mask = np.isin(cids, probes[qi]) & (ids != ids_q[qi])
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                # round BEFORE the batch-local prune (same reasoning as
+                # pq_topk: the prune key must equal the global window key)
+                cand_d = _rha(tables[qi][jdx, codes[mask]].sum(axis=1), 6)
+                order = np.lexsort((cand_ids, cand_d))[:width]
+                rows_out["query_id"].extend([ids_q[qi]] * len(order))
+                rows_out["id"].extend(cand_ids[order])
+                rows_out["approx_dist"].extend(cand_d[order])
+            yield pd.DataFrame(rows_out)
+
+    scored = cand_src.mapInPandas(score_batches, schema=out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("id").asc()
+    )
+    cand = scored.withColumn("rank", F.row_number().over(w_adc)).filter(
+        F.col("rank") <= width
+    )
+    if refine is None:
+        return cand.filter(F.col("rank") <= k).select(
+            "query_id", "id",
+            F.col("approx_dist").alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    if corpus is None:
+        raise ValueError("ivfpq_topk: refine requires the raw-vector corpus")
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qdf = F.broadcast(
+        coded.sparkSession.createDataFrame(
+            [(r["query_id"], list(r["qv"])) for r in q_rows],
+            schema=T.StructType([
+                T.StructField("query_id", coded.schema["id"].dataType),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]),
+        )
+    )
+    sq_l2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        cand.select("query_id", "id")
+        .join(vecs, on="id")
+        .join(qdf, on="query_id")
+        .withColumn("dist", F.round(sq_l2, 6))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "dist",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivfpq_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    k_coarse: int = 10,
+    coarse_iterations: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    pq_iterations: int = 10,
+    refine: int | None = None,
+    centroid_decimals: int = 6,
+    distance_decimals: int = 9,
+) -> str:
+    """DuckDB twin of the FULL IVF-PQ lifecycle as one SQL string: the
+    coarse Lloyd chain (:func:`...clustering.kmeans_oracle_ctes`), cosine
+    cell assignment and per-query probes (same rounding/tie-break as the
+    IVF family), the ``pq``-prefixed PQ training/encoding chain
+    (:func:`_pq_training_parts`), and the cell-FILTERED ADC scoring — the
+    candidate set is exactly ``assignment.cid ∈ probes(query)``."""
+    from lapis_silo_spark.functions.clustering import kmeans_oracle_ctes
+
+    cd, dd = centroid_decimals, distance_decimals
+    width = k if refine is None else max(k, refine)
+    sq = "(x.val - c.val) * (x.val - c.val)"
+    km_ctes, _km_final = kmeans_oracle_ctes(
+        table, id_col, vec_col, k=k_coarse, iterations=coarse_iterations,
+        centroid_decimals=cd, distance_decimals=dd,
+    )
+    pq_parts, nm = _pq_training_parts(
+        table, id_col, vec_col, m, n_codes, train_rows, pq_iterations,
+        cd, dd, p="pq",
+    )
+    book, codes, sve, ve = nm["book"], nm["codes"], nm["sve"], nm["ve"]
+    parts = [
+        km_ctes,
+        f"cent AS (SELECT cluster AS cid, list(val ORDER BY dim) AS cvec "
+        f"FROM c{coarse_iterations} GROUP BY cluster)",
+        f"corp AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS vec "
+        f"FROM {table})",
+        "assign AS (SELECT id, cid FROM ("
+        "SELECT corp.id, cent.cid, row_number() OVER (PARTITION BY corp.id "
+        "ORDER BY round(list_cosine_similarity(corp.vec, cent.cvec), 6) "
+        "DESC, cent.cid ASC) AS rn FROM corp CROSS JOIN cent) WHERE rn = 1)",
+        *pq_parts,
+        f"q AS (SELECT id AS query_id FROM {nm['v']} WHERE "
+        f"{query_pred.replace(id_col, 'id')})",
+        "qq AS (SELECT q.query_id, corp.vec AS qvec "
+        "FROM q JOIN corp ON corp.id = q.query_id)",
+        f"probes AS (SELECT query_id, cid FROM ("
+        f"SELECT qq.query_id, cent.cid, row_number() OVER "
+        f"(PARTITION BY qq.query_id "
+        f"ORDER BY round(list_cosine_similarity(qq.qvec, cent.cvec), 6) "
+        f"DESC, cent.cid ASC) AS rn FROM qq CROSS JOIN cent) "
+        f"WHERE rn <= {n_probe})",
+        f"qsv AS (SELECT q.query_id, e.j, e.jd, e.val AS val "
+        f"FROM q JOIN {sve} e ON e.id = q.query_id)",
+        f"lut AS (SELECT x.query_id, x.j, c.code, "
+        f"round(sum({sq}), {dd}) AS lv "
+        f"FROM qsv x JOIN {book} c ON c.j = x.j AND c.jd = x.jd "
+        f"GROUP BY x.query_id, x.j, c.code)",
+        f"adc AS (SELECT l.query_id, kk.id, round(sum(l.lv), 6) AS ad "
+        f"FROM {codes} kk "
+        f"JOIN assign a ON a.id = kk.id "
+        f"JOIN probes p ON p.cid = a.cid "
+        f"JOIN lut l ON l.query_id = p.query_id "
+        f"AND l.j = kk.j AND l.code = kk.code "
+        f"WHERE kk.id <> l.query_id GROUP BY l.query_id, kk.id)",
+        f"cand AS (SELECT query_id, id, ad FROM ("
+        f"SELECT query_id, id, ad, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY ad, id) AS rn FROM adc) "
+        f"WHERE rn <= {width})",
+    ]
+    if refine is None:
+        ctes = ",\n        ".join(parts)
+        return (
+            f"WITH {ctes}\n"
+            f"       SELECT query_id, id, ad AS dist, "
+            f"CAST(row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY ad, id) AS INT) AS rank "
+            f"FROM cand QUALIFY rank <= {k}"
+        )
+    parts.append(
+        f"exact AS (SELECT c.query_id, c.id, "
+        f"round(sum((qe.val - ce.val) * (qe.val - ce.val)), 6) AS dist "
+        f"FROM cand c "
+        f"JOIN {ve} qe ON qe.id = c.query_id "
+        f"JOIN {ve} ce ON ce.id = c.id AND ce.dim = qe.dim "
+        f"GROUP BY c.query_id, c.id)"
+    )
     ctes = ",\n        ".join(parts)
     return (
         f"WITH {ctes}\n"
