@@ -147,6 +147,67 @@ def test_refine_reranks_by_exact_l2(corpus, index):
         assert rows == sorted(rows, key=lambda t: (t[1], t[2], t[0]))
 
 
+def test_index_append_encodes_at_ingest(spark, corpus, tmp_path):
+    """Incremental ingest: new vectors are assigned+encoded with the LOADED
+    (train-once) models and appended via append_version — the result must
+    equal an index encoded in one pass with the same models (models are
+    frozen; only the codes table grows)."""
+    from lapis_silo_spark.functions.similarity import ivf_assign, pq_encode
+    from lapis_silo_spark.storage import append_version
+
+    first = corpus.filter(F.col("vec_id") < 80)
+    rest = corpus.filter(F.col("vec_id") >= 80)
+    cent, books, coded_first = build_ivfpq_index(
+        first, "vec_id", "embedding", k_coarse=6, coarse_iterations=2,
+        m=4, n_codes=8, train_rows=64, pq_iterations=3,
+    )
+
+    db = Database(spark)
+    db.register_model("ivfpq_centroids", cent)
+    db.register_model("ivfpq_codebooks", pq_codebooks_to_df(spark, books))
+    db.register_table("ivfpq_codes", coded_first, primary_key="id")
+    root = str(tmp_path / "append_root")
+    save_version(db, root, table_partitions={"ivfpq_codes": ["cid"]})
+
+    loaded = load_version(spark, root)
+    loaded_books = pq_codebooks_from_df(loaded.model("ivfpq_codebooks"))
+    batch = rest.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    new_coded = pq_encode(
+        ivf_assign(batch, loaded.model("ivfpq_centroids"),
+                   carry_cols=("vec",)),
+        "id", "vec", loaded_books, carry_cols=("cid",),
+    )
+    append_version(loaded, root, "ivfpq_codes", new_coded)
+
+    final = load_version(spark, root)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    appended = ivfpq_topk(
+        final.table("ivfpq_codes"), final.model("ivfpq_centroids"),
+        pq_codebooks_from_df(final.model("ivfpq_codebooks")),
+        queries, "vec_id", "embedding", k=5, n_probe=2,
+    )
+    # one-pass reference: the SAME frozen models over the full corpus
+    all_coded = pq_encode(
+        ivf_assign(
+            corpus.select(F.col("vec_id").alias("id"),
+                          F.col("embedding").cast("array<double>")
+                          .alias("vec")),
+            cent, carry_cols=("vec",)),
+        "id", "vec", books, carry_cols=("cid",),
+    )
+    one_pass = ivfpq_topk(
+        all_coded, cent, books, queries, "vec_id", "embedding",
+        k=5, n_probe=2,
+    )
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, appended.collect()), key=key) == sorted(
+        map(tuple, one_pass.collect()), key=key
+    )
+
+
 def test_query_funnel_guard(corpus, index):
     cent, books, coded = index
     with pytest.raises(ValueError, match="max_query_rows"):

@@ -200,6 +200,42 @@ def main() -> int:
         for r in runs
     ]
 
+    # fused IVF-PQ (round 8): index PREBUILT and persisted in memory —
+    # the production contract is train-once / query-many, so the timed wall
+    # is the query side (probe + ADC over probed cells), unlike pq_topk
+    # which retrains inline. Same trained coarse codebook as the IVF row,
+    # so the scan fraction column is directly comparable; the ADC pass
+    # reads m=8 bytes per candidate instead of the 64-double vector.
+    books = fsim.pq_train_codebooks(
+        emb, "vec_id", "embedding", m=8, n_codes=16
+    )
+    cent_ivfpq = cent.select(
+        F.col("cluster").cast("long").alias("cid"), "cvec"
+    )
+    assigned = fsim.ivf_assign(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("vec")),
+        cent_ivfpq, carry_cols=("vec",),
+    )
+    coded = fsim.pq_encode(
+        assigned, "id", "vec", books, carry_cols=("cid",)
+    ).persist()
+    coded.count()
+    runs.append((
+        "ivfpq_k40_nprobe3_adc", "l2", ivf_scan_frac(3, t_cids, t_cmat),
+        lambda: fsim.ivfpq_topk(
+            coded, cent_ivfpq, books, queries, "vec_id", "embedding",
+            k=K, n_probe=3),
+    ))
+    runs.append((
+        "ivfpq_k40_nprobe3_refine50", "l2",
+        ivf_scan_frac(3, t_cids, t_cmat),
+        lambda: fsim.ivfpq_topk(
+            coded, cent_ivfpq, books, queries, "vec_id", "embedding",
+            k=K, n_probe=3, refine=50, corpus=emb,
+            id_col="vec_id", vec_col="embedding"),
+    ))
+
     for name, metric, scan_frac, build in runs:
         build().count()  # warm
         t0 = time.monotonic()
