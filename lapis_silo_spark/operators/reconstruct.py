@@ -60,7 +60,20 @@ def with_sequence_column(pipeline: Pipeline, seq_name: str) -> Pipeline:
 
     df = pipeline.df
     for side in (muts, cov, miss):
-        df = df.join(side.withColumnRenamed("pk", pk), on=pk, how="left")
+        # NEVER broadcast (or hash-build) these sides: each is
+        # O(rows-with-sequence) with a genome-sized map/array per row, but
+        # Spark's post-aggregation size estimate sees only row counts. The
+        # default plan broadcast them — at sf1 (50k docs × ~3k-entry maps)
+        # the broadcast build alone ships >1 GB through the driver
+        # (maxResultSize abort; at 100 TB, a driver OOM). A shuffle_hash
+        # hint then failed too: the per-partition hash map of genome-sized
+        # values cannot acquire execution memory under 32 concurrent build
+        # tasks. Sort-merge is the plan that is correct at EVERY scale for
+        # wide-value pk joins — both sides stream and spill.
+        df = df.join(
+            side.withColumnRenamed("pk", pk).hint("merge"),
+            on=pk, how="left",
+        )
 
     ref_lit = F.lit(ref_str)
     cov_arr = F.coalesce(F.col("_cov"), F.array())
