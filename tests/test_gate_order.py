@@ -21,7 +21,14 @@ def test_gate_order_is_the_registry_prefix():
 
 def test_gated_window_covers_survey_core():
     gated = set(list(QUERIES)[:GATE_WINDOW])
-    genomic = {n for n in QUERIES if n.startswith("genomic_")}
+    # genomic_reconstruct_full is the round-8 SCALE row (4,000-nt store,
+    # ~31 s at sf0.01) — deliberately registered past the driver's 50-slot
+    # window so it doesn't burn gate time; it is value-gated in the
+    # full-registry artifacts (CORRECTNESS_LOCAL/SF1_r08) at both scales.
+    genomic = {
+        n for n in QUERIES
+        if n.startswith("genomic_") and n != "genomic_reconstruct_full"
+    }
     assert genomic and genomic <= gated
     for name in (
         "asof_prior_click",
