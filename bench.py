@@ -143,12 +143,17 @@ def _loadavg() -> float:
         return -1.0
 
 
-def _spark_pass(spark, sf_dir, queries) -> dict[str, tuple[float, float]]:
+def _spark_pass(spark, sf_dir, queries) -> dict[str, tuple[float, float, dict | None]]:
     """One timed pass over the headline list.
 
-    Returns ``{name: (sec, loadavg_1m_at_start)}``.
+    Returns ``{name: (sec, loadavg_1m_at_start, phases_or_None)}`` — phases
+    are the per-phase walls recorded by lifecycle rows (train/persist happen
+    eagerly inside the query fn; see driver_queries.PHASE_TIMINGS), so the
+    artifact can separate build-wall from query-wall (round-9 VERDICT #4).
     """
-    timings: dict[str, tuple[float, float]] = {}
+    from lapis_silo_spark.driver_queries import PHASE_TIMINGS
+
+    timings: dict[str, tuple[float, float, dict | None]] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
@@ -165,7 +170,14 @@ def _spark_pass(spark, sf_dir, queries) -> dict[str, tuple[float, float]]:
         load = _loadavg()
         start = time.perf_counter()
         queries[name](spark, sf_dir).collect()
-        timings[name] = (round(time.perf_counter() - start, 4), load)
+        sec = round(time.perf_counter() - start, 4)
+        phases = PHASE_TIMINGS.pop(name, None)
+        if phases is not None:
+            phases = dict(phases)
+            phases["query_sec"] = round(
+                max(0.0, sec - sum(phases.values())), 4
+            )
+        timings[name] = (sec, load, phases)
     return timings
 
 
@@ -198,16 +210,25 @@ def _oracle_pass(con, oracles, budget: float) -> tuple[dict, bool]:
     return timings, truncated
 
 
-def _min_over_passes(passes) -> tuple[dict[str, float], dict[str, float]]:
-    """Per-query (min_sec, loadavg at the pass that achieved the min)."""
+def _min_over_passes(passes) -> tuple[dict, dict, dict]:
+    """Per-query (min_sec, loadavg at the min pass, phases at the min pass).
+
+    Entries are ``(sec, load)`` for oracle passes, ``(sec, load, phases)``
+    for spark passes."""
     mins: dict[str, float] = {}
     loads: dict[str, float] = {}
+    phases_at_min: dict[str, dict] = {}
     for p in passes:
-        for name, (sec, load) in p.items():
+        for name, entry in p.items():
+            sec, load = entry[0], entry[1]
             if name not in mins or sec < mins[name]:
                 mins[name] = sec
                 loads[name] = load
-    return mins, loads
+                if len(entry) > 2 and entry[2] is not None:
+                    phases_at_min[name] = entry[2]
+                else:
+                    phases_at_min.pop(name, None)
+    return mins, loads, phases_at_min
 
 
 def main() -> None:
@@ -281,7 +302,7 @@ def main() -> None:
             oracle_passes.append(ot)
             oracle_truncated = oracle_truncated or trunc
 
-    timings, load_at_min = _min_over_passes(spark_passes)
+    timings, load_at_min, phases_at_min = _min_over_passes(spark_passes)
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total_wall",
@@ -297,11 +318,17 @@ def main() -> None:
             "loadavg_1m_per_run": loadavg_per_run,
             "loadavg_1m_at_min": load_at_min,
             "per_run_totals": [
-                round(sum(sec for sec, _ in p.values()), 4)
+                round(sum(e[0] for e in p.values()), 4)
                 for p in spark_passes
             ],
         },
     }
+    if phases_at_min:
+        # lifecycle rows (ANN train→persist→reload→query): the headline
+        # number stays end-to-end (= what the oracle gate times), but the
+        # artifact carries the split so build cost can't masquerade as a
+        # query-side regression (the r7→r8 ann_ivf_trained_topk delta)
+        result["phases"] = phases_at_min
 
     # Same-machine positioning baseline: each headline query's DuckDB
     # oracle on the identical parquet (single-node engine, same data, same
@@ -309,7 +336,7 @@ def main() -> None:
     # failure here never breaks the bench (round 1 shipped with NO bench
     # numbers; nothing is allowed to risk that again).
     if oracle_passes:
-        oracle_timings, oracle_load = _min_over_passes(oracle_passes)
+        oracle_timings, oracle_load, _ = _min_over_passes(oracle_passes)
         shared = set(oracle_timings)
         result["duckdb_oracle"] = {
             "queries": oracle_timings,

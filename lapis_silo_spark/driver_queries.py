@@ -43,6 +43,34 @@ ORACLES: dict[str, str] = {}
 _DB_CACHE: dict[str, Database] = {}
 
 
+#: Per-phase wall clocks recorded by lifecycle rows (train → persist →
+#: reload happen EAGERLY inside the query function; only the final search
+#: is lazy). bench.py pops these after timing each query so the artifact
+#: can separate build-wall from query-wall (round-9 VERDICT #4) — the
+#: oracle GATE stays end-to-end (the value comparison is unaffected).
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
+_SCRATCH_ROOTS: dict[str, str] = {}
+
+
+def _scratch_root(prefix: str) -> str:
+    """Per-process reusable scratch directory for persisted-index lifecycle
+    rows. One directory per prefix, removed at interpreter exit — repeated
+    gate/bench invocations (min-of-3 passes) re-persist into the SAME root
+    instead of leaking a corpus-sized /tmp copy each time (round-9 ADVICE).
+    The returned DataFrames read these files lazily, so cleanup must outlive
+    the query — hence atexit, not a context manager."""
+    if prefix not in _SCRATCH_ROOTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _SCRATCH_ROOTS[prefix] = path
+    return _SCRATCH_ROOTS[prefix]
+
+
 def db_for(spark: SparkSession, sf_dir: str) -> Database:
     key = sf_dir
     if key not in _DB_CACHE or _DB_CACHE[key].spark is not spark:
@@ -2794,6 +2822,36 @@ def q_genomic_mutation_profile_agg(
     )
 
 
+@query(
+    "genomic_cooccurrence_groupby",
+    f"""SELECT substr(s, 2, 1) AS s2, substr(s, 5, 1) AS s5,
+              substr(s, 9, 1) AS s9, substr(s, 16, 1) AS s16,
+              substr(s, 25, 1) AS s25, substr(s, 32, 1) AS s32,
+              count(*) AS cnt
+       FROM {_SEQ_CTE}
+       GROUP BY s2, s5, s9, s16, s25, s32""",
+)
+def q_genomic_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol co-occurrence: ``map({{s := main.at(p)}} x 6) | groupBy(count)``
+    — the reference's BitmapAggregationNode workload
+    (``optimizer/bitmap_aggregation_rewrite_pass.cpp:30-129``,
+    ``performance/co_occurrence_benchmark.cpp:81``), through the FULL SaneQL
+    path so the binder's sequence-at compilation is what is gated. Each
+    ``at(p)`` compiles to a targeted per-position lookup (SequenceAt); all
+    six batch into three aggregated side-table joins — no O(genome-length)
+    reconstruction (plan pinned in tests/test_sequence_at.py). Position 5
+    crosses the interior-missing rows (doc_id%7) so the N path is covered."""
+    from lapis_silo_spark.saneql import execute_query
+
+    db = genomic_db(spark, sf_dir)
+    return execute_query(
+        db,
+        "default.map({s2 := main.at(2), s5 := main.at(5), s9 := main.at(9), "
+        "s16 := main.at(16), s25 := main.at(25), s32 := main.at(32)})"
+        ".groupBy({cnt := count()}, {s2, s5, s9, s16, s25, s32})",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 training-data operators (registered past the gate window by design:
 # ADVICE r2 — new Spark-superset queries append strictly after slot 50; they
@@ -2953,18 +3011,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.ivfpq_topk — probed cells become a literal cid IN (...)
     filter, so the scan prunes to n_probe/K of the corpus and reads m-byte
     codes instead of raw vectors)."""
-    import tempfile
-
     from lapis_silo_spark.catalog import Database
     from lapis_silo_spark.functions import similarity as fsim
     from lapis_silo_spark.storage import load_version, save_version
 
+    import time as _time
+
     db = db_for(spark, sf_dir)
     emb = db.table("embeddings")
+    _t0 = _time.perf_counter()
     cent, books, coded = fsim.build_ivfpq_index(
         emb, "vec_id", "embedding", k_coarse=10, coarse_iterations=4,
         m=8, n_codes=16, train_rows=256, pq_iterations=10,
     )
+    _t1 = _time.perf_counter()
 
     index_db = Database(spark)
     index_db.register_model(
@@ -2976,9 +3036,13 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta={"kind": "pq_codebooks", "m": 8, "n_codes": 16},
     )
     index_db.register_table("ivfpq_codes", coded, primary_key="id")
-    root = tempfile.mkdtemp(prefix="lss_ivfpq_")
+    root = _scratch_root("lss_ivfpq_")
     save_version(index_db, root, table_partitions={"ivfpq_codes": ["cid"]})
     loaded = load_version(spark, root)
+    PHASE_TIMINGS["ann_ivfpq_topk"] = {
+        "train_sec": round(_t1 - _t0, 4),
+        "persist_reload_sec": round(_time.perf_counter() - _t1, 4),
+    }
 
     return fsim.ivfpq_topk(
         loaded.table("ivfpq_codes"),
@@ -3066,24 +3130,30 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs against the LOADED copy (storage.load_version), so this oracle row
     gates train→persist→load→search end to end. Parquet round-trips doubles
     exactly, so the loaded codebook is bit-identical to the trained one."""
-    import tempfile
-
     from lapis_silo_spark.catalog import Database
     from lapis_silo_spark.functions import similarity as fsim
     from lapis_silo_spark.functions.clustering import kmeans_centroids
     from lapis_silo_spark.storage import load_version, save_version
 
+    import time as _time
+
     db = db_for(spark, sf_dir)
     emb = db.table("embeddings")
+    _t0 = _time.perf_counter()
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=10, iterations=4)
+    _t1 = _time.perf_counter()
 
     model_db = Database(spark)
     model_db.register_model(
         "ivf_centroids", cent, meta={"kind": "kmeans_centroids", "k": 10}
     )
-    root = tempfile.mkdtemp(prefix="lss_models_")
+    root = _scratch_root("lss_models_")
     save_version(model_db, root)
     loaded = load_version(spark, root).model("ivf_centroids")
+    PHASE_TIMINGS["ann_ivf_trained_topk"] = {
+        "train_sec": round(_t1 - _t0, 4),
+        "persist_reload_sec": round(_time.perf_counter() - _t1, 4),
+    }
 
     return fsim.ivf_topk_with_centroids(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
@@ -4960,6 +5030,10 @@ _GATE_ORDER = [
     "genomic_adapted_symbol_equals",
     "genomic_mutation_profile",
     "genomic_mutation_profile_agg",
+    # round-9 headline: at()-on-sequence co-occurrence (BitmapAggregationNode;
+    # took join_full's slot — JoinNode keeps join_inner + join_left_anti in
+    # the window and join_full stays green in the full local gate)
+    "genomic_cooccurrence_groupby",
     # temporal joins (3)
     "asof_prior_click",
     "range_join_clicks_5m",
@@ -4996,7 +5070,6 @@ _GATE_ORDER = [
     "dedup_minhash_clusters",
     "count_filter_total",
     "join_inner",
-    "join_full",
     "join_left_anti",
     "union_all",
     "schema_introspection",

@@ -41,6 +41,7 @@ from lapis_silo_spark.expressions.sequence import (
     InsertionContains,
     Maybe,
     MutationProfile,
+    SequenceAt,
     SymbolEquals,
 )
 from lapis_silo_spark.expressions.lineage import LineageFilter, PhyloDescendantOf
@@ -67,6 +68,7 @@ __all__ = [
     "IsNotNull",
     "Like",
     "NOf",
+    "SequenceAt",
     "SymbolEquals",
     "HasMutation",
     "InsertionContains",

@@ -72,7 +72,10 @@ class SeqFlagRequest:
     kinds: ``mutation`` (recorded mutation at ``pos``, optionally restricted
     to ``symbols``), ``covered`` (pos inside a coverage range), ``missing``
     (pos in the interior-missing set), ``has_seq`` (row stores this
-    sequence).
+    sequence), ``symbol_at`` (STRING-valued: the recorded mutation symbol at
+    ``pos``, null when the row stores no mutation there — the value half of
+    the reference's BitmapAggregationNode per-position partition,
+    ``operators/bitmap_aggregation_node.cpp:51-129``).
     """
 
     kind: str
@@ -163,7 +166,7 @@ def _batched_seq_flag_frames(ctx: CompileContext):
     by_group: dict[tuple[str, str], list[tuple[SeqFlagRequest, str]]] = {}
     for req, flag in ctx.seq_flags.items():
         table = "coverage" if req.kind in ("covered", "has_seq") else (
-            "mutations" if req.kind == "mutation" else "missing"
+            "mutations" if req.kind in ("mutation", "symbol_at") else "missing"
         )
         by_group.setdefault((table, req.seq_name), []).append((req, flag))
 
@@ -172,7 +175,8 @@ def _batched_seq_flag_frames(ctx: CompileContext):
         side = getattr(store, table).filter(F.col("seq_name") == seq_name)
         positions = sorted({
             req.pos for req, _ in entries
-            if req.pos is not None and req.kind in ("mutation", "missing")
+            if req.pos is not None
+            and req.kind in ("mutation", "missing", "symbol_at")
         })
         if positions and table in ("mutations", "missing"):
             side = side.filter(F.col("pos").isin(positions))
@@ -186,6 +190,16 @@ def _batched_seq_flag_frames(ctx: CompileContext):
                 )
             elif req.kind == "missing":
                 cond = F.col("pos") == F.lit(req.pos)
+            elif req.kind == "symbol_at":
+                # string-valued: the stored mutation symbol at pos (≤1 row
+                # per (pk, pos) by ingest construction, so MAX is a pick)
+                aggs.append(
+                    F.max(
+                        F.when(F.col("pos") == F.lit(req.pos),
+                               F.col("symbol"))
+                    ).alias(flag)
+                )
+                continue
             else:  # mutation
                 cond = F.col("pos") == F.lit(req.pos)
                 if req.symbols is not None:

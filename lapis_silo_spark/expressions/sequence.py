@@ -99,6 +99,67 @@ class _SequencePredicate(Expression):
         return F.coalesce(F.col(flag), F.lit(False))
 
 
+class SequenceAt:
+    """``at()`` on a SEQUENCE column — a string VALUE, not a predicate.
+
+    This is the workload the reference's BitmapAggregationNode exists for
+    (``operators/bitmap_aggregation_node.cpp:51-129``, rewrite pass
+    ``optimizer/bitmap_aggregation_rewrite_pass.cpp:30-129``,
+    ``performance/co_occurrence_benchmark.cpp:81``: ``s{} := main.at({})``
+    grouping keys). Instead of reconstructing the whole genome to read one
+    character (O(genome-length) per row), compile to the targeted
+    per-position lookup the 4-way SymbolEquals strategy already owns:
+
+        value(p) = mutation symbol at p      if (pk, p) ∈ seq_mutations
+                 | local reference symbol    if p covered and not missing
+                 | missing symbol (N/X)      otherwise
+        NULL when the row stores no sequence (the null group of
+        ``buildSymbolBitmaps``); ``""`` when p exceeds the genome length
+        (``map_node.cpp:63-71``: at() is utf8_slice_codeunits — past-end
+        slices are empty).
+
+    One position-filtered aggregated join per sequence (batched with every
+    other flag on that sequence by ``apply_flag_joins``) — no O(L)
+    ``transform``, no genome-sized maps in the shuffle. Matches
+    ``operators/reconstruct.py``'s ``char_at`` definition exactly.
+    """
+
+    def __init__(self, seq_name: str, position: int):
+        if position < 1:
+            raise QueryCompileError("sequence positions are 1-based")
+        self.seq_name = seq_name
+        self.position = position
+
+    def compile_value(self, ctx: CompileContext) -> Column:
+        store = _store(ctx)
+        is_aa = store.is_amino_acid(self.seq_name)
+        missing_sym = AA_MISSING if is_aa else NUC_MISSING
+        length = store.ref_length(self.seq_name)
+        has_seq = F.coalesce(
+            F.col(ctx.new_seq_flag(SeqFlagRequest("has_seq", self.seq_name))),
+            F.lit(False),
+        )
+        null_str = F.lit(None).cast("string")
+        p = self.position
+        if p > length:
+            return F.when(has_seq, F.lit("")).otherwise(null_str)
+        mut = F.col(
+            ctx.new_seq_flag(SeqFlagRequest("symbol_at", self.seq_name, p))
+        )
+        covered = F.coalesce(
+            F.col(ctx.new_seq_flag(SeqFlagRequest("covered", self.seq_name, p))),
+            F.lit(False),
+        )
+        missing = F.coalesce(
+            F.col(ctx.new_seq_flag(SeqFlagRequest("missing", self.seq_name, p))),
+            F.lit(False),
+        )
+        base = F.when(
+            covered & ~missing, F.lit(store.local_symbol(self.seq_name, p))
+        ).otherwise(F.lit(missing_sym))
+        return F.when(has_seq, F.coalesce(mut, base)).otherwise(null_str)
+
+
 class SymbolEquals(_SequencePredicate):
     """``nucleotideEquals`` / ``aminoAcidEquals`` —
     ``scalar_expressions/symbol_equals.cpp`` + ``symbol_in_set.cpp``.

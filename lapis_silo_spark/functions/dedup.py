@@ -734,6 +734,8 @@ def embedding_near_dup_pairs_blocked(
     threshold: float = 0.95,
     block_rows: int = 8192,
     n_blocks: int | None = None,
+    allow_quadratic: bool = False,
+    max_rows: int = EXACT_EMBEDDING_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — the DISTRIBUTED exact form.
 
@@ -764,6 +766,11 @@ def embedding_near_dup_pairs_blocked(
     At true 100 TB scale prefer :func:`lapis_silo_spark.functions.
     similarity.lsh_candidate_pairs` — banded buckets avoid the n² compare
     entirely; this function is for when EXACT recall is required.
+
+    The O(n²) contract is MACHINE-ENFORCED (round-9 VERDICT #5, mirroring
+    ``max_band_freq``): above ``max_rows`` the call raises unless
+    ``allow_quadratic=True`` is passed explicitly — a caller pointing this
+    at a 100 TB corpus gets an error, not a quadratic job.
     """
     import math
 
@@ -777,8 +784,18 @@ def embedding_near_dup_pairs_blocked(
     id_integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
+    n = df.count() if (n_blocks is None or not allow_quadratic) else None
+    if n is not None and not allow_quadratic and n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs_blocked is exact all-pairs — O(n²) "
+            f"compare by construction; refusing {n} rows "
+            f"(max_rows={max_rows}). Pass allow_quadratic=True for a "
+            f"controlled verification run, or use "
+            f"similarity.lsh_candidate_pairs / embedding_dedup_clusters "
+            f"for the scale path."
+        )
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(df.count() / block_rows))
+        n_blocks = max(1, math.ceil(n / block_rows))
 
     base = _spread(
         df,

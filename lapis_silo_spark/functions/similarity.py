@@ -256,11 +256,16 @@ def ivf_assign(
 
     @pandas_udf(T.LongType())
     def _assign(vecs):
+        from lapis_silo_spark.functions.clustering import _round_half_away
+
         if len(vecs) == 0:
             return pd.Series([], dtype=np.int64)
         mat = np.array(vecs.tolist(), dtype=np.float64)
         nrm = np.sqrt((mat * mat).sum(axis=1))
-        cos = np.round(mat @ cmat.T / np.outer(nrm, cnorm), 6)
+        # half-away rounding, matching DuckDB round() and the probe side's
+        # convention — np.round (banker's) can flip an assignment at a
+        # 1e-6 grid boundary, diverging corpus cells from the oracle's
+        cos = _round_half_away(mat @ cmat.T / np.outer(nrm, cnorm), 6)
         # argmax over cid-ascending columns → first max = smallest cid
         return pd.Series(cids[np.argmax(cos, axis=1)])
 
@@ -703,13 +708,24 @@ def pq_codebooks_from_df(df: DataFrame):
     n_codes = max(r["code"] for r in rows) + 1
     sub = len(rows[0]["cvec"])
     books = np.empty((m, n_codes, sub), dtype=np.float64)
-    seen = 0
+    # track keys explicitly: a duplicated (subspace, code) row (e.g. a
+    # double-loaded/unioned model table) would otherwise satisfy the total
+    # row count while leaving another slot as uninitialized memory —
+    # silently wrong ADC distances (round-9 ADVICE)
+    filled: set[tuple[int, int]] = set()
     for r in rows:
+        key = (r["subspace"], r["code"])
+        if key in filled:
+            raise ValueError(
+                f"pq_codebooks_from_df: duplicate codebook entry {key}"
+            )
+        filled.add(key)
         books[r["subspace"], r["code"]] = r["cvec"]
-        seen += 1
-    if seen != m * n_codes:
+    if len(filled) != m * n_codes:
+        missing = m * n_codes - len(filled)
         raise ValueError(
-            f"pq_codebooks_from_df: expected {m * n_codes} rows, got {seen}"
+            f"pq_codebooks_from_df: {missing} codebook slot(s) unset "
+            f"(expected {m * n_codes} rows, got {len(filled)})"
         )
     return books
 

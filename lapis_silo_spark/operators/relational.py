@@ -164,14 +164,42 @@ class Pipeline:
             raise QueryCompileError(f"project: unknown column(s) {missing}")
         return self._with(self._df.select(*columns), keeps_rows=True)
 
-    def map(self, exprs: Mapping[str, Column]) -> "Pipeline":
+    def map(self, exprs: Mapping[str, Any]) -> "Pipeline":
         """Computed columns; name collision replaces in place (``map_node.cpp``).
 
         One ``withColumns`` call: a single analyzer pass however many
         entries, and every expression is evaluated against the node's INPUT
         row (the reference's MapNode semantics — computed columns never see
-        each other)."""
-        return self._with(self._df.withColumns(dict(exprs)), keeps_rows=True)
+        each other).
+
+        Values may be Columns or index-backed scalar values exposing
+        ``compile_value(ctx)`` (e.g. :class:`SequenceAt` — ``at()`` on a
+        sequence column). The latter compile through one shared context so
+        all their side-table lookups batch into the minimal set of
+        aggregated flag joins (same batching as :meth:`filter`)."""
+        plain: dict[str, Column] = {}
+        pending: dict[str, Any] = {}
+        for out_name, value in exprs.items():
+            # NB: Column.__getattr__ is field access, so hasattr alone is
+            # always true for Columns — exclude them first
+            if not isinstance(value, Column) and hasattr(value, "compile_value"):
+                pending[out_name] = value
+            else:
+                plain[out_name] = value
+        if not pending:
+            return self._with(self._df.withColumns(plain), keeps_rows=True)
+        ctx = CompileContext(
+            database=self.database, table_name=self.table_name, pk=self.pk
+        )
+        compiled = {n: v.compile_value(ctx) for n, v in pending.items()}
+        df, flags = apply_flag_joins(self._df, ctx)
+        # preserve caller ordering of output columns across both kinds
+        df = df.withColumns(
+            {n: compiled.get(n, plain.get(n)) for n in exprs}
+        )
+        if flags:
+            df = df.drop(*flags)
+        return self._with(df, keeps_rows=True)
 
     def group_by(
         self,

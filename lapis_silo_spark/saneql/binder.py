@@ -525,6 +525,10 @@ def h_map(binder: Binder, name: str, bound: dict[str, ast.Node]) -> Pipeline:
             # (bitmap semantics: a row matches or it doesn't) — the filter
             # boundary resolves NULL implicitly, map() has no such boundary
             columns[out_name] = F.coalesce(value.compile(ctx), F.lit(False))
+        elif not isinstance(value, Column) and hasattr(value, "compile_value"):
+            # index-backed string scalars (SequenceAt): nullable by design
+            # (null sequence ⇒ null key, bitmap_aggregation_node.cpp:75-81)
+            columns[out_name] = value.compile_value(ctx)
         else:
             columns[out_name] = value
     df = child.df
@@ -997,9 +1001,12 @@ def s_like(binder: Binder, name: str, bound: dict[str, ast.Node],
 
 
 def s_at(binder: Binder, name: str, bound: dict[str, ast.Node],
-         pipeline: Pipeline) -> Column:
+         pipeline: Pipeline) -> "Column | SequenceAt":
     column = _ident(bound["input"], "at() input")
-    if column not in pipeline.df.columns:
+    is_seq = column not in pipeline.df.columns and column in _sequence_names(
+        pipeline
+    )
+    if column not in pipeline.df.columns and not is_seq:
         raise QueryCompileError(
             f"at(): the field {column} is not found in the current context"
         )
@@ -1008,6 +1015,14 @@ def s_at(binder: Binder, name: str, bound: dict[str, ast.Node],
         raise QueryCompileError(
             "at(): the field 'position' is 1-indexed. Value of 0 not allowed."
         )
+    if is_seq:
+        # at() on a SEQUENCE column: the BitmapAggregationNode workload
+        # (bitmap_aggregation_rewrite_pass.cpp:30-129,
+        # co_occurrence_benchmark.cpp:81). Compiles to a targeted
+        # per-position lookup — never a full reconstruction.
+        from lapis_silo_spark.expressions.sequence import SequenceAt
+
+        return SequenceAt(column, position)
     return MapExpr.at(column, position)
 
 

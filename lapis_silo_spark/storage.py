@@ -264,6 +264,27 @@ def load_version(
     return db
 
 
+def _current_layout(root: str) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Partition/sort columns recorded in ``root``'s latest manifest, so
+    version-to-version rewrites (append, updateColumn) PRESERVE the physical
+    layout. Without this, the first append to a partitioned table (e.g. the
+    cid-partitioned IVF-PQ codes table) silently rewrites it unpartitioned —
+    values stay correct but the static-partition-pruning scale contract is
+    lost (round-9 ADVICE)."""
+    try:
+        manifest = read_manifest(root)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}, {}
+    partitions: dict[str, list[str]] = {}
+    sorts: dict[str, list[str]] = {}
+    for name, meta in manifest.get("tables", {}).items():
+        if meta.get("partitions"):
+            partitions[name] = list(meta["partitions"])
+        if meta.get("sort"):
+            sorts[name] = list(meta["sort"])
+    return partitions, sorts
+
+
 def append_version(
     db: Database,
     root: str,
@@ -301,7 +322,11 @@ def append_version(
             # merge_stores rebases the fresh batch onto the old store's
             # (possibly adapted) baseline before the union
             db.register_sequence_store(table, merge_stores(old_store, new_store))
-    return save_version(db, root)
+    partitions, sorts = _current_layout(root)
+    return save_version(
+        db, root, table_partitions=partitions, table_sorts=sorts,
+        extra_manifest=extra_manifest,
+    )
 
 
 def write_bucketed(
@@ -425,7 +450,9 @@ def update_column(
                 ),
             ).drop(*flags)
             db.register_table(table, df, primary_key=db.primary_key(table))
-            return save_version(db, root)
+            partitions, sorts = _current_layout(root)
+            return save_version(db, root, table_partitions=partitions,
+                                table_sorts=sorts)
     else:
         cond = filter_expr
 
@@ -434,4 +461,6 @@ def update_column(
         F.when(cond, F.lit(value).cast(target_type)).otherwise(F.col(column)),
     )
     db.register_table(table, df, primary_key=db.primary_key(table))
-    return save_version(db, root)
+    partitions, sorts = _current_layout(root)
+    return save_version(db, root, table_partitions=partitions,
+                        table_sorts=sorts)

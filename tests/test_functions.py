@@ -239,6 +239,24 @@ def test_embedding_near_dup_blocked_small(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_blocked_pairs_quadratic_guard(vectors):
+    """The exact-pair O(n²) contract is machine-enforced: above max_rows
+    the blocked form refuses unless allow_quadratic=True (round-9 VERDICT
+    #5, mirroring max_band_freq)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        dedup.embedding_near_dup_pairs_blocked(
+            vectors, "vec_id", "embedding", threshold=0.95, max_rows=2
+        )
+    # the explicit override restores the verification path unchanged
+    pairs = dedup.embedding_near_dup_pairs_blocked(
+        vectors, "vec_id", "embedding", threshold=0.95, max_rows=2,
+        allow_quadratic=True, n_blocks=3,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
 def test_embedding_dedup_clusters_matches_pairwise(spark):
     """The fused O(docs) form must reproduce dedup_cluster_assignment over
     the exact pair set — for BOTH pair methods on a corpus with planted

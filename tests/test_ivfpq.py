@@ -183,6 +183,18 @@ def test_index_append_encodes_at_ingest(spark, corpus, tmp_path):
     append_version(loaded, root, "ivfpq_codes", new_coded)
 
     final = load_version(spark, root)
+    # the append must PRESERVE the cid partitioning (round-9 ADVICE: a
+    # layout-less re-save silently dropped it, losing static partition
+    # pruning): probed-cell filters still land as PartitionFilters
+    codes = final.table("ivfpq_codes")
+    some_cell = codes.select("cid").first()["cid"]
+    pruned = codes.filter(F.col("cid").isin([int(some_cell)]))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and "cid" in pf_lines[0], plan
+
     queries = corpus.filter(F.col("vec_id") < 3)
     appended = ivfpq_topk(
         final.table("ivfpq_codes"), final.model("ivfpq_centroids"),
