@@ -100,6 +100,15 @@ def _gen_query(rng: random.Random) -> str:
     elif action < 0.75:
         tail = (".orderBy({primary_key})"
                 ".project({primary_key, division, age, qc_value})")
+    elif action < 0.78:
+        # at() on a sequence column as a groupBy key (SequenceAt path;
+        # positions cover mutation hotspots, the last base, and past-end)
+        seq = rng.choice(["main", "testSecondSequence", "S"])
+        pos = rng.choice({"main": [1, 241, 3037, 29903, 50000],
+                          "testSecondSequence": [1, 2, 4, 9],
+                          "S": [19, 501, 1273, 2000]}[seq])
+        tail = (f".map({{s := {seq}.at({pos})}})"
+                ".groupBy({count:=count()},{s})")
     elif action < 0.8:
         tail = f".mutations(minProportion:={rng.choice([0.3, 0.7, 1])})"
     elif action < 0.87:

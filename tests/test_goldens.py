@@ -349,3 +349,58 @@ def test_golden_values_through_arrow_ipc(golden_db):
         rows = table.to_pylist()
         expected = case.get("expectedQueryResult") or []
         assert _normalize(rows) == _normalize(expected), name
+
+
+# ---------------------------------------------------------------------------
+# Engine-local golden-style cases: at() on SEQUENCE columns (round-9
+# verdict #7 — the e2e corpus only uses at() on metadata strings, which is
+# how the sequence-at gap survived eight rounds). Semantics mirror
+# map_node.cpp:63-71 (utf8_slice_codeunits: past-end => "", null => null)
+# and bitmap_aggregation_node.cpp:51-129 (per-symbol partition + null
+# group). Expected rows come from the INDEPENDENT pure-Python evaluator
+# over the materialized sequences; the engine must agree value-for-value at
+# BOTH 1 partition (golden_db) and 8 partitions (golden_db_repart).
+# ---------------------------------------------------------------------------
+
+_AT_SEQ_CASES = [
+    # mutation / reference / missing classes at a real hotspot position
+    "default.map({s := main.at(241)}).groupBy({count := count()}, {s})",
+    # null-sequence rows (3 of them) must form their own null group
+    "default.map({s := testSecondSequence.at(2)})"
+    ".groupBy({count := count()}, {s})",
+    # amino-acid gene
+    "default.map({s := S.at(501)}).groupBy({count := count()}, {s})",
+    # out-of-range position => "" for every row that stores the sequence
+    "default.map({s := main.at(1000000)}).groupBy({count := count()}, {s})",
+    # the co-occurrence shape: two at() keys through one batched join set
+    "default.map({a := main.at(241), b := main.at(3037)})"
+    ".groupBy({count := count()}, {a, b})",
+    # row-level value under a filter (not just as a group key)
+    "default.filter(country = 'Switzerland').map({s := main.at(241)})"
+    ".orderBy({primary_key}).project({primary_key, s})",
+]
+
+
+@pytest.fixture(scope="session")
+def _at_evaluator():
+    sys.path.insert(0, str(GOLDEN_FIT))
+    from build_dataset import build_records
+    from check import build_context
+    from evaluator import Evaluator
+
+    return Evaluator(build_context()), build_records()
+
+
+@pytest.mark.parametrize("db_name", ["golden_db", "golden_db_repart"])
+@pytest.mark.parametrize("q", _AT_SEQ_CASES)
+def test_at_on_sequence_golden_cases(request, _at_evaluator, db_name, q):
+    ev, records = _at_evaluator
+    db = request.getfixturevalue(db_name)
+    expected = ev.run(q, records)
+    rows = [r.asDict() for r in execute_query(db, q).collect()]
+    assert _normalize(rows) == _normalize(expected), q
+    if "testSecondSequence" in q:
+        # the null-sequence class is genuinely exercised
+        assert any(r["s"] is None for r in expected)
+    if "1000000" in q:
+        assert {r["s"] for r in expected} == {""}

@@ -25,10 +25,33 @@ before timing, so queries run against real file scans and the committed
 evidence includes each query's scan-level `numOutputRows` (rows the parquet
 reader materialized), not just wall time.
 
-Usage:  python tools/genomic_scale_bench.py [--out GENOMIC_SCALE_r08.json]
+**C. co_occurrence_benchmark replica** (`performance/
+co_occurrence_benchmark.cpp:38-41,81` + `sequence_generator.h:487-489`):
+2M sequences over a 100-nt random reference, ~10% of positions re-drawn
+per row; query = `map({s_i := main.at(p)} x 6 positions 5/10/20/30/40/50)
+| groupBy count`. Times BOTH plans on identical data: the targeted
+per-position compile (SequenceAt — one position-filtered aggregated join
+per side table) and the reconstruct-then-substring baseline the rewrite
+replaces (O(genome-length) transform per row), and checks they return the
+same groups.
+
+**D. many_short_read_filters replica** (`performance/
+many_short_read_filters.cpp` + `sequence_generator.h:189-203`): 5M reads
+x 200 nt drawn from 100 evenly spaced amplicon windows over the 29,903-nt
+synthetic reference, with `locationName`/`samplingDate` metadata; the
+query stream alternates single-symbol and 5-way-OR `nucleotideEquals`
+position filters under a date-range predicate (QueryGenerator semantics),
+through the FULL SaneQL path. Reports per-query latency stats at two read
+counts for the flat-or-linear scaling note.
+
+Usage:  python tools/genomic_scale_bench.py [--out GENOMIC_SCALE_r09.json]
+        [--workloads a,b,c,d]
 Env:    SPARK_GRAFT_GENOMIC_ROOT   scratch dir (default .scratch/genomic_scale)
         SPARK_GRAFT_GENOMIC_READS  workload-A rows (default 3,200,000)
         SPARK_GRAFT_GENOMIC_GENOMES workload-B rows (default 100,000)
+        SPARK_GRAFT_GENOMIC_COOC   workload-C rows (default 2,000,000)
+        SPARK_GRAFT_GENOMIC_SHORT_READS workload-D rows (default 5,000,000)
+        SPARK_GRAFT_GENOMIC_SR_QUERIES  workload-D query count (default 40)
 """
 
 from __future__ import annotations
@@ -178,6 +201,111 @@ def full_genomes(
     return records, len(evolved)
 
 
+def cooccurrence_records(
+    spark: SparkSession, reference: str, n: int
+) -> DataFrame:
+    """n sequences = the reference with ~rate·L positions re-drawn uniformly
+    from ACGT (``writeCoOccurrenceNdjson`` semantics; a deterministic
+    xxhash64 grid replaces mt19937 — same workload shape, distributable).
+    A re-draw can restate the reference base, exactly like the original."""
+    L = len(reference)
+    ref_lit = F.lit(reference)
+    bases = F.lit("ACGT")
+
+    def ch(p):
+        mutate = F.pmod(F.xxhash64(F.col("id"), p, F.lit(1)), F.lit(10)) == 0
+        pick = F.pmod(F.xxhash64(F.col("id"), p, F.lit(2)), F.lit(4))
+        return F.when(
+            mutate, F.substr(bases, (pick + 1).cast("int"), F.lit(1))
+        ).otherwise(F.substr(ref_lit, p, F.lit(1)))
+
+    seq = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(1), F.lit(L)), ch)
+    )
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("key"),
+        F.struct(
+            seq.alias("sequence"),
+            F.lit(None).cast("string").alias("sequenceCompressed"),
+            F.array().cast("array<string>").alias("insertions"),
+            F.lit(None).cast("int").alias("offset"),
+        ).alias("main"),
+    )
+
+
+def short_read_records(
+    spark: SparkSession, reference: str, n: int,
+    read_length: int = 200, num_amplicons: int = 100,
+) -> DataFrame:
+    """n reads of ``read_length`` nt cut from the evolved-sequence set at
+    ``num_amplicons`` evenly spaced window starts (ShortReadGenerator's
+    amplicon mode — every read of a window shares its covered range), plus
+    the metadata columns many_short_read_filters queries filter on."""
+    evolved = evolved_tree(reference)
+    evo_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(evolved)], "eid int, seq string"
+    )
+    L = len(reference)
+    span = L - read_length
+    starts = [int(k * span / max(1, num_amplicons - 1))
+              for k in range(num_amplicons)]
+    starts_col = F.array(*[F.lit(s) for s in starts])
+    rows = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % len(evolved)).cast("int").alias("eid"),
+        F.element_at(
+            starts_col,
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(num_amplicons)) + 1
+             ).cast("int"),
+        ).alias("off"),
+    )
+    return rows.join(F.broadcast(evo_df), on="eid").select(
+        F.col("id").cast("string").alias("key"),
+        F.lit("generated").alias("locationName"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(14)).cast("int"),
+        ).alias("samplingDate"),
+        F.struct(
+            F.substr("seq", (F.col("off") + 1).cast("int"),
+                     F.lit(read_length)).alias("sequence"),
+            F.lit(None).cast("string").alias("sequenceCompressed"),
+            F.array().cast("array<string>").alias("insertions"),
+            F.col("off").cast("int").alias("offset"),
+        ).alias("main"),
+    )
+
+
+def short_read_queries(ref_length: int, count: int, seed: int = 42):
+    """The QueryGenerator stream (``many_short_read_filters.cpp:42-88``):
+    alternating single-symbol and 5-way-OR nucleotideEquals position
+    filters under the same date-window predicate, as SaneQL text."""
+    rng = np.random.default_rng(seed)
+    symbols = ["A", "C", "G", "T", "-"]
+    out: list[tuple[str, str]] = []
+    for i in range(count):
+        position = int(rng.integers(1, ref_length))
+        if i % 2 == 1:
+            ors = " || ".join(
+                f"nucleotideEquals(position:={position}, symbol:='{s}', "
+                f"sequenceName:='main')" for s in symbols
+            )
+            kind, pred = "all_symbols", f"({ors})"
+        else:
+            sym = symbols[int(rng.integers(0, len(symbols)))]
+            kind = "single_symbol"
+            pred = (f"nucleotideEquals(position:={position}, "
+                    f"symbol:='{sym}', sequenceName:='main')")
+        out.append((kind, (
+            "default.filter(locationName = 'generated' && "
+            "samplingDate.between('2024-01-01'::date, '2024-01-07'::date) "
+            f"&& {pred} && "
+            "samplingDate.between('2024-01-01'::date, '2024-01-07'::date))"
+            ".groupBy({count:=count()})"
+        )))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Harness
 # ---------------------------------------------------------------------------
@@ -265,10 +393,168 @@ def run_workload(
     return result
 
 
+def _ingest_and_load(
+    spark: SparkSession,
+    records: DataFrame,
+    reference: str,
+    root: str,
+    metadata: dict | None = None,
+    result: dict | None = None,
+):
+    from lapis_silo_spark.catalog import Database
+    from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+    from lapis_silo_spark.storage import load_version, save_version
+
+    config = TableConfig(
+        name="default", primary_key="key", metadata=metadata or {},
+        nuc_sequences={"main": reference},
+    )
+    records = records.repartition(spark.sparkContext.defaultParallelism)
+    t0 = time.perf_counter()
+    main_df, store = ingest_records(spark, records, config)
+    db = Database(spark)
+    db.register_table("default", main_df, primary_key="key")
+    db.register_sequence_store("default", store)
+    save_version(db, root)
+    if result is not None:
+        result["ingest_and_save_sec"] = round(time.perf_counter() - t0, 2)
+    return load_version(spark, root)
+
+
+def run_cooccurrence(
+    spark: SparkSession, reference: str, n: int, root: str,
+    iterations: int = 3, baseline_iterations: int | None = None,
+    records: DataFrame | None = None, label: str = "C",
+    positions: list[int] | None = None,
+) -> dict:
+    """Workload C: the 6-position co-occurrence groupBy, both plans."""
+    from lapis_silo_spark.operators.reconstruct import with_sequence_column
+    from lapis_silo_spark.operators.relational import Pipeline
+    from lapis_silo_spark.saneql import execute_query
+
+    if positions is None:
+        positions = [5, 10, 20, 30, 40, 50]  # co_occurrence_benchmark.cpp:40
+    result: dict = {"label": label, "rows": n, "positions": positions,
+                    "reference_nt": len(reference),
+                    "loadavg_start": _loadavg()}
+    shutil.rmtree(root, ignore_errors=True)
+    if records is None:
+        records = cooccurrence_records(spark, reference, n)
+    db2 = _ingest_and_load(spark, records, reference, root, result=result)
+    store2 = db2.sequence_store("default")
+    result["side_rows"] = {
+        "mutations": store2.mutations.count(),
+        "coverage": store2.coverage.count(),
+    }
+
+    assigns = ", ".join(
+        f"s{i} := main.at({p})" for i, p in enumerate(positions)
+    )
+    keys = ", ".join(f"s{i}" for i in range(len(positions)))
+    qtext = (f"default.map({{{assigns}}})"
+             f".groupBy({{count:=count()}}, {{{keys}}})")
+    result["query"] = qtext
+
+    def targeted() -> DataFrame:
+        return execute_query(db2, qtext)
+
+    def reconstruct_baseline() -> DataFrame:
+        # the generic plan the reference's rewrite pass replaces: project
+        # the sequence column (full O(L) rebuild per row), then substring
+        pipe = with_sequence_column(Pipeline.scan(db2, "default"), "main")
+        return pipe.df.groupBy(
+            *[F.substring("main", p, 1).alias(f"s{i}")
+              for i, p in enumerate(positions)]
+        ).agg(F.count(F.lit(1)).alias("count"))
+
+    b_cols = [f"s{i}" for i in range(len(positions))] + ["count"]
+    collected: dict[str, list] = {}
+    for name, build in (("targeted_at", targeted),
+                        ("reconstruct_substring", reconstruct_baseline)):
+        n_iter = iterations if name == "targeted_at" else (
+            baseline_iterations or iterations
+        )
+        walls = []
+        rows = []
+        for _ in range(n_iter):
+            load = _loadavg()
+            t0 = time.perf_counter()
+            rows = build().select(*b_cols).collect()
+            walls.append(round(time.perf_counter() - t0, 2))
+        collected[name] = sorted(map(tuple, rows))
+        result[name] = {"wall_sec_min": min(walls), "wall_sec_all": walls,
+                        "rows": len(rows), "loadavg_1m": load}
+        print(f"  {label}/{name}: min {min(walls)}s over {walls}, "
+              f"{len(rows)} groups", flush=True)
+
+    # the two plans must agree group-for-group (reuses the timed collects)
+    result["plans_agree"] = (
+        collected["targeted_at"] == collected["reconstruct_substring"]
+    )
+    result["speedup_targeted_vs_reconstruct"] = round(
+        result["reconstruct_substring"]["wall_sec_min"]
+        / max(result["targeted_at"]["wall_sec_min"], 1e-9), 2
+    )
+    result["loadavg_end"] = _loadavg()
+    return result
+
+
+def run_short_read_filters(
+    spark: SparkSession, reference: str, n: int, n_queries: int, root: str,
+) -> dict:
+    """Workload D: the alternating position-filter query stream over the
+    amplicon short-read store."""
+    from lapis_silo_spark.saneql import execute_query
+
+    result: dict = {"label": "D", "rows": n, "loadavg_start": _loadavg()}
+    shutil.rmtree(root, ignore_errors=True)
+    db2 = _ingest_and_load(
+        spark, short_read_records(spark, reference, n), reference, root,
+        metadata={"locationName": "string", "samplingDate": "date"},
+        result=result,
+    )
+    store2 = db2.sequence_store("default")
+    result["side_rows"] = {
+        "mutations": store2.mutations.count(),
+        "coverage": store2.coverage.count(),
+    }
+
+    walls: dict[str, list[float]] = {"single_symbol": [], "all_symbols": []}
+    counts: list[int] = []
+    for kind, qtext in short_read_queries(len(reference), n_queries):
+        t0 = time.perf_counter()
+        out = execute_query(db2, qtext).collect()
+        walls[kind].append(round(time.perf_counter() - t0, 4))
+        counts.append(out[0]["count"] if out else 0)
+
+    def stats(xs: list[float]) -> dict:
+        ss = sorted(xs)
+        return {
+            "n": len(ss),
+            "mean_sec": round(sum(ss) / len(ss), 4),
+            "p50_sec": ss[len(ss) // 2],
+            "p90_sec": ss[int(len(ss) * 0.9)],
+            "min_sec": ss[0],
+            "max_sec": ss[-1],
+        }
+
+    for kind, xs in walls.items():
+        if xs:
+            result[kind] = stats(xs)
+            print(f"  D/{kind} @ {n}: {result[kind]}", flush=True)
+    result["nonzero_count_queries"] = sum(1 for c in counts if c > 0)
+    result["loadavg_end"] = _loadavg()
+    return result
+
+
 def main() -> None:
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    workloads = "a,b,c,d,e"
+    if "--workloads" in sys.argv:
+        workloads = sys.argv[sys.argv.index("--workloads") + 1]
+    workloads = {w.strip() for w in workloads.split(",")}
     root = os.environ.get(
         "SPARK_GRAFT_GENOMIC_ROOT",
         os.path.join(os.path.dirname(os.path.dirname(
@@ -276,6 +562,13 @@ def main() -> None:
     )
     n_reads = int(os.environ.get("SPARK_GRAFT_GENOMIC_READS", "3200000"))
     n_genomes = int(os.environ.get("SPARK_GRAFT_GENOMIC_GENOMES", "100000"))
+    n_cooc = int(os.environ.get("SPARK_GRAFT_GENOMIC_COOC", "2000000"))
+    n_short = int(
+        os.environ.get("SPARK_GRAFT_GENOMIC_SHORT_READS", "5000000")
+    )
+    n_sr_queries = int(
+        os.environ.get("SPARK_GRAFT_GENOMIC_SR_QUERIES", "40")
+    )
 
     from lapis_silo_spark.session import get_spark
 
@@ -284,41 +577,91 @@ def main() -> None:
         "config": {
             "reads": n_reads,
             "genomes": n_genomes,
+            "cooccurrence_rows": n_cooc,
+            "short_reads": n_short,
+            "short_read_queries": n_sr_queries,
             "reference_a_nt": 4000,
             "reference_b_nt": 29903,
+            "reference_c_nt": 100,
             "cpus": spark.sparkContext.defaultParallelism,
         }
     }
 
-    print("workload A: mutation_benchmark replica "
-          f"({n_reads} reads, 4,000-nt reference)", flush=True)
-    shutil.rmtree(os.path.join(root, "a"), ignore_errors=True)
-    results["mutation_benchmark"] = run_workload(
-        spark, "A", mutation_reads(spark, n_reads), "ACGT" * 1000,
-        os.path.join(root, "a"),
-    )
-
-    print(f"workload B: full genomes ({n_genomes} x 29,903 nt)", flush=True)
     # deterministic synthetic reference, the exampleDataset genome LENGTH
     rng = np.random.default_rng(7)
     ref_b = (
         np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 29903)]
         .tobytes().decode()
     )
-    shutil.rmtree(os.path.join(root, "b"), ignore_errors=True)
-    records_b, n_evolved = full_genomes(spark, ref_b, n_genomes)
-    results["full_genomes"] = run_workload(
-        spark, "B", records_b, ref_b, os.path.join(root, "b"),
-    )
-    results["full_genomes"]["n_evolved_sequences"] = n_evolved
 
-    # B-adapted: majority-vote local reference over the 29,903-position
-    # grid — the _MAX_GRID_ROWS driver materialization at real genome scale
-    print("workload B-adapted: 29,903-position grid path", flush=True)
-    results["full_genomes_adapted"] = run_workload(
-        spark, "B-adapted", records_b, ref_b,
-        os.path.join(root, "b"), adapted=True, reuse_saved=True,
-    )
+    if "a" in workloads:
+        print("workload A: mutation_benchmark replica "
+              f"({n_reads} reads, 4,000-nt reference)", flush=True)
+        shutil.rmtree(os.path.join(root, "a"), ignore_errors=True)
+        results["mutation_benchmark"] = run_workload(
+            spark, "A", mutation_reads(spark, n_reads), "ACGT" * 1000,
+            os.path.join(root, "a"),
+        )
+
+    if "b" in workloads:
+        print(f"workload B: full genomes ({n_genomes} x 29,903 nt)",
+              flush=True)
+        shutil.rmtree(os.path.join(root, "b"), ignore_errors=True)
+        records_b, n_evolved = full_genomes(spark, ref_b, n_genomes)
+        results["full_genomes"] = run_workload(
+            spark, "B", records_b, ref_b, os.path.join(root, "b"),
+        )
+        results["full_genomes"]["n_evolved_sequences"] = n_evolved
+
+        # B-adapted: majority-vote local reference over the 29,903-position
+        # grid — the _MAX_GRID_ROWS driver materialization at genome scale
+        print("workload B-adapted: 29,903-position grid path", flush=True)
+        results["full_genomes_adapted"] = run_workload(
+            spark, "B-adapted", records_b, ref_b,
+            os.path.join(root, "b"), adapted=True, reuse_saved=True,
+        )
+
+    if "c" in workloads:
+        print(f"workload C: co_occurrence_benchmark ({n_cooc} x 100 nt, "
+              "6-position at() groupBy, both plans)", flush=True)
+        rng_c = np.random.default_rng(42)
+        ref_c = (
+            np.frombuffer(b"ACGT", dtype=np.uint8)[rng_c.integers(0, 4, 100)]
+            .tobytes().decode()
+        )
+        results["co_occurrence"] = run_cooccurrence(
+            spark, ref_c, n_cooc, os.path.join(root, "c"),
+        )
+
+    if "e" in workloads:
+        # the O(genome-length) demonstration: the SAME 6-position at()
+        # groupBy over FULL 29,903-nt genomes — here the reconstruct
+        # baseline rebuilds 30k characters per row to read six of them,
+        # while the targeted plan's cost is unchanged from workload C
+        n_full = int(
+            os.environ.get("SPARK_GRAFT_GENOMIC_COOC_FULL", "1000")
+        )
+        print(f"workload E: co-occurrence over full genomes ({n_full} x "
+              "29,903 nt, both plans)", flush=True)
+        records_e, _ = full_genomes(spark, ref_b, n_full)
+        results["co_occurrence_full_genome"] = run_cooccurrence(
+            spark, ref_b, n_full, os.path.join(root, "e"),
+            baseline_iterations=1, records=records_e, label="E",
+            positions=[5, 1000, 5000, 10000, 20000, 29000],
+        )
+
+    if "d" in workloads:
+        # two read counts: the headline 5M plus a 5x-smaller point, so the
+        # artifact carries the flat-or-linear scaling evidence directly
+        for scale_n in (max(1, n_short // 5), n_short):
+            print(f"workload D: many_short_read_filters ({scale_n} reads "
+                  f"x 200 nt, {n_sr_queries} queries)", flush=True)
+            results[f"short_read_filters_{scale_n}"] = (
+                run_short_read_filters(
+                    spark, ref_b, scale_n, n_sr_queries,
+                    os.path.join(root, "d"),
+                )
+            )
 
     line = json.dumps(results)
     print(line)

@@ -304,6 +304,11 @@ class Evaluator:
         if name == "filter":
             p = self.pred(args[0])
             return [r for r in base if p(r)]
+        if name == "map":
+            rec_node = args[0]
+            if not isinstance(rec_node, A.RecordLiteral):
+                raise ValueError("map() expects a record literal")
+            return [self._map_row(r, rec_node) for r in base]
         if name == "groupBy":
             return self._group_by(base, args)
         if name == "orderBy":
@@ -326,6 +331,37 @@ class Evaluator:
         if name == "phyloSubtree":
             return self._subtree(base, args, named)
         raise ValueError(f"unsupported pipeline op: {name}")
+
+    def _map_row(self, rec: dict, rec_node: "A.RecordLiteral") -> dict:
+        out = dict(rec)
+        for f in rec_node.fields:
+            out[f.name] = self._scalar_value(f.value, rec)
+        return out
+
+    def _scalar_value(self, node: A.Node, rec: dict):
+        """map() value semantics. ``at()`` is 1-based character extraction
+        (``map_node.cpp:63-71``: utf8_slice_codeunits — past-end slice is
+        ``""``, null input stays null); on a SEQUENCE column the input is
+        the materialized aligned string (null when the row stores no
+        sequence — the null group of bitmap_aggregation_node.cpp:75-81)."""
+        if isinstance(node, (A.IntLiteral, A.FloatLiteral, A.StringLiteral,
+                             A.BoolLiteral)):
+            return _to_py(node)
+        if isinstance(node, A.Identifier):
+            return rec.get(node.name)
+        if isinstance(node, A.FunctionCall) and node.function_name == "at":
+            col = node.positional[0].name  # type: ignore[attr-defined]
+            pos = _to_py(node.positional[1])
+            s = rec.get(col)
+            if s is None:
+                for store in ("_seq", "_aa"):
+                    if col in rec.get(store, {}):
+                        s = rec[store][col]
+                        break
+            if s is None:
+                return None
+            return s[pos - 1] if 1 <= pos <= len(s) else ""
+        raise ValueError(f"unsupported map value: {node}")
 
     def _col_list(self, node: A.Node) -> list[str]:
         if isinstance(node, A.Identifier):
