@@ -784,16 +784,21 @@ def embedding_near_dup_pairs_blocked(
     id_integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
-    n = df.count() if (n_blocks is None or not allow_quadratic) else None
-    if n is not None and not allow_quadratic and n > max_rows:
-        raise ValueError(
-            f"embedding_near_dup_pairs_blocked is exact all-pairs — O(n²) "
-            f"compare by construction; refusing {n} rows "
-            f"(max_rows={max_rows}). Pass allow_quadratic=True for a "
-            f"controlled verification run, or use "
-            f"similarity.lsh_candidate_pairs / embedding_dedup_clusters "
-            f"for the scale path."
-        )
+    n = df.count() if n_blocks is None else None
+    if not allow_quadratic:
+        # when the exact count is already needed, reuse it; otherwise a
+        # LIMIT-probe stops scanning at max_rows+1 instead of paying a
+        # second full count just for the guard
+        probe = n if n is not None else df.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs_blocked is exact all-pairs — "
+                f"O(n²) compare by construction; refusing >{max_rows} rows "
+                f"(max_rows={max_rows}). Pass allow_quadratic=True for a "
+                f"controlled verification run, or use "
+                f"similarity.lsh_candidate_pairs / embedding_dedup_clusters "
+                f"for the scale path."
+            )
     if n_blocks is None:
         n_blocks = max(1, math.ceil(n / block_rows))
 
