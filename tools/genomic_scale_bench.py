@@ -547,6 +547,134 @@ def run_short_read_filters(
     return result
 
 
+def run_clustered_layout(
+    spark: SparkSession, reference: str, n: int, n_queries: int, root: str,
+) -> dict:
+    """Workload F — ``performance/clustered_ingestion_benchmark.cpp:23-37``:
+    what coverage-clustered physical layout buys on amplicon short reads.
+
+    The reference ingests the same 5M reads three ways (amplicon-sorted
+    input / shuffled input / shuffled input + 128-way clustered buffering)
+    and shows clustering recovers the sorted layout's query speed from
+    scattered input. The Spark-native equivalent of its clustered
+    buffering is the engine's default side-table write layout
+    (``storage.save_version``: ``repartitionByRange + sortWithinPartitions``
+    on (seq_name, pos / cov_start)) — a shuffle at write time instead of
+    ingest-side buffer management. Three scenarios over identical reads:
+
+      1. amplicon-sorted input, RAW side-table write (ideal for free)
+      2. shuffled input, RAW write (coverage scattered — no row-group
+         pruning for position predicates)
+      3. shuffled input, the engine's DEFAULT range-sorted write —
+         must recover scenario 1's query profile
+
+    Per scenario: ingest+write wall, the query stream's latency stats, and
+    the mutations-side scan ``numOutputRows`` for a fixed position filter
+    (the direct measure of chunk/row-group skipping).
+    """
+    from lapis_silo_spark.catalog import Database, SequenceStore
+    from lapis_silo_spark.expressions import SymbolEquals
+    from lapis_silo_spark.operators.relational import Pipeline
+    from lapis_silo_spark.saneql import execute_query
+    from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
+
+    base = short_read_records(spark, reference, n)
+    nparts = spark.sparkContext.defaultParallelism
+    scenarios = [
+        ("sorted_input_raw_write",
+         base.repartitionByRange(nparts, F.col("main.offset"))
+             .sortWithinPartitions("main.offset"),
+         False),
+        ("shuffled_input_raw_write", base.repartition(nparts), False),
+        ("shuffled_input_ranged_write", base.repartition(nparts), True),
+    ]
+    result: dict = {"label": "F", "rows": n, "loadavg_start": _loadavg()}
+    config = TableConfig(
+        name="default", primary_key="key",
+        metadata={"locationName": "string", "samplingDate": "date"},
+        nuc_sequences={"main": reference},
+    )
+    probe_pos = len(reference) // 2
+    queries = short_read_queries(len(reference), n_queries)
+
+    for name, records, ranged in scenarios:
+        sdir = os.path.join(root, name)
+        shutil.rmtree(sdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        main_df, store = ingest_records(spark, records, config)
+        sides: dict[str, DataFrame] = {}
+        for side in ("mutations", "coverage", "missing", "insertions",
+                     "reference"):
+            frame: DataFrame = getattr(store, side)
+            if ranged:
+                sort_cols = [c for c in ("seq_name", "pos", "cov_start")
+                             if c in frame.columns]
+                if sort_cols:
+                    frame = frame.repartitionByRange(
+                        nparts, *sort_cols
+                    ).sortWithinPartitions(*sort_cols)
+            frame.write.mode("overwrite").parquet(
+                os.path.join(sdir, side)
+            )
+            sides[side] = spark.read.parquet(os.path.join(sdir, side))
+        main_df.write.mode("overwrite").parquet(os.path.join(sdir, "main"))
+        entry: dict = {
+            "ingest_and_write_sec": round(time.perf_counter() - t0, 2)
+        }
+
+        db = Database(spark)
+        db.register_table(
+            "default",
+            spark.read.parquet(os.path.join(sdir, "main")),
+            primary_key="key",
+        )
+        db.register_sequence_store("default", SequenceStore(**sides))
+
+        walls: dict[str, list[float]] = {"single_symbol": [],
+                                         "all_symbols": []}
+        for kind, qtext in queries:
+            t0 = time.perf_counter()
+            execute_query(db, qtext).collect()
+            walls[kind].append(round(time.perf_counter() - t0, 4))
+        for kind, xs in walls.items():
+            if xs:
+                ss = sorted(xs)
+                entry[kind] = {
+                    "n": len(ss),
+                    "mean_sec": round(sum(ss) / len(ss), 4),
+                    "p50_sec": ss[len(ss) // 2],
+                    "p90_sec": ss[int(len(ss) * 0.9)],
+                }
+        # direct pruning evidence, two levels:
+        # 1. the mutations side table under the exact pushed predicate the
+        #    flag-join path issues (EqualTo(pos, p)) — reader-materialized
+        #    rows are THE chunk/row-group-skipping measure
+        side_probe = sides["mutations"].filter(
+            (F.col("seq_name") == "main") & (F.col("pos") == probe_pos)
+        )
+        n_rows, scans = scan_metrics(side_probe)
+        entry["mutations_pos_probe"] = {
+            "matching_rows": n_rows,
+            "scan_numOutputRows": scans,
+            "table_rows": sides["mutations"].count(),
+        }
+        # 2. the full engine query through the flag-join path (wall only;
+        #    its broadcast-stage scans don't surface in the walk)
+        probe = Pipeline.scan(db, "default").filter(
+            SymbolEquals("main", probe_pos, "A")
+        ).group_by({"count": F.count(F.lit(1))}, [])
+        t0 = time.perf_counter()
+        probe.df.collect()
+        entry["engine_pos_probe_sec"] = round(time.perf_counter() - t0, 3)
+        entry["loadavg_1m"] = _loadavg()
+        result[name] = entry
+        print(f"  F/{name}: ingest {entry['ingest_and_write_sec']}s, "
+              f"single p50 {entry['single_symbol']['p50_sec']}s, "
+              f"all p50 {entry['all_symbols']['p50_sec']}s", flush=True)
+
+    return result
+
+
 def main() -> None:
     out_path = None
     if "--out" in sys.argv:
@@ -648,6 +776,13 @@ def main() -> None:
             spark, ref_b, n_full, os.path.join(root, "e"),
             baseline_iterations=1, records=records_e, label="E",
             positions=[5, 1000, 5000, 10000, 20000, 29000],
+        )
+
+    if "f" in workloads:
+        print(f"workload F: clustered-layout comparison ({n_short} amplicon "
+              f"reads, 3 layouts, {n_sr_queries} queries each)", flush=True)
+        results["clustered_layout"] = run_clustered_layout(
+            spark, ref_b, n_short, n_sr_queries, os.path.join(root, "f"),
         )
 
     if "d" in workloads:
