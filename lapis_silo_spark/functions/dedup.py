@@ -1325,6 +1325,7 @@ def embedding_dedup_clusters(
     n_tables: int = 4,
     dim: int = 64,
     max_iterations: int = 30,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """End-to-end embedding near-dup CLUSTERING with O(docs) output —
     the :func:`minhash_dedup_clusters` treatment for the embedding family
@@ -1410,6 +1411,7 @@ def embedding_dedup_clusters(
         pairs = embedding_near_dup_pairs_blocked(
             rep_docs, "id", "vec", threshold=threshold,
             block_rows=block_rows, n_blocks=n_blocks,
+            allow_quadratic=allow_quadratic,
         )
     elif method == "lsh":
         pairs = lsh_candidate_pairs(

@@ -25,10 +25,13 @@ Parity map (reference ``src/silo/query_engine/operators/`` → here):
 - UnionAllNode                → :meth:`Pipeline.union_all`
 - SchemaNode                  → :meth:`Pipeline.schema_` (driver-side,
   ``schema_node.cpp:22-38``)
-- BitmapAggregationNode       → not needed: grouping over normalized side
-  tables is a plain shuffle-agg with map-side partial aggregation
-  (``bitmap_aggregation_node.cpp`` exists only because generic ``at()`` was
-  slow in the row-at-a-time reference engine)
+- BitmapAggregationNode       → :meth:`Pipeline.map` compiling
+  ``at(sequence, pos)`` group keys via
+  :class:`~lapis_silo_spark.expressions.sequence.SequenceAt` (targeted
+  per-position aggregated side-table joins, ≤3 joins regardless of key
+  count — the Spark analog of ``bitmap_aggregation_rewrite_pass.cpp``'s
+  position-bitmap grouping); the grouping itself is then a plain
+  shuffle-agg with map-side partial aggregation
 """
 
 from __future__ import annotations

@@ -90,7 +90,14 @@ def save_version(
     out into that many tiny/near-empty files — the opposite of the
     tight-row-group goal (round-5 ADVICE).
     """
-    version = version or new_version_timestamp()
+    if version is None:
+        # unix-second ids collide when two saves land in the same second
+        # (scratch roots are reused per process, ADVICE r9): bump by one
+        # second until the directory is fresh — ids stay 10-digit unix
+        # seconds (the reference's data-version format) and monotonic.
+        version = new_version_timestamp()
+        while os.path.exists(_version_dir(root, version)):
+            version = f"{int(version) + 1:010d}"
     vdir = _version_dir(root, version)
     os.makedirs(os.path.join(vdir, "tables"), exist_ok=True)
 

@@ -132,6 +132,22 @@ def test_update_column(persisted, store_root, spark):
     assert reloaded2.table("default").filter("country = 'Schweiz'").count() == n_before
 
 
+def test_save_version_same_second_no_collision(
+    example_db, tmp_path_factory, monkeypatch
+):
+    """Two saves into one root within the same unix second must land in
+    DISTINCT version dirs (ADVICE r9: reused scratch roots + second-
+    granularity ids made same-second saves silently overwrite each other).
+    The clock is frozen so every save draws the SAME timestamp — the bump
+    must still produce distinct, increasing, 10-digit unix-second ids."""
+    import lapis_silo_spark.storage as storage_mod
+
+    monkeypatch.setattr(storage_mod.time, "time", lambda: 1_700_000_000.0)
+    root = str(tmp_path_factory.mktemp("collide_root"))
+    versions = [save_version(example_db, root) for _ in range(3)]
+    assert versions == ["1700000000", "1700000001", "1700000002"]
+
+
 # -- HTTP façade -------------------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -239,7 +239,30 @@ def test_mutation_profile_aggregate_equivalence(example_db):
             assert got_a == got_b, (profile, distance, got_a, got_b)
 
 
-def test_mutation_profile_aggregate_chosen_for_long_profiles(example_db):
+def test_mutation_profile_join_count_constant_in_distance(example_db):
+    """nof_sequence_filter.cpp's sweep axis: the optimized-plan join count
+    of the aggregate path must be IDENTICAL at every distance AND at every
+    profile length — predicates batch into aggregated side-table passes,
+    they never become joins (round-9 VERDICT #4; measured at scale by
+    tools/genomic_scale_bench.py workload G)."""
+    from lapis_silo_spark.expressions.sequence import MutationProfileAggregate
+
+    def joins(pairs, distance):
+        df = scan(example_db).filter(
+            MutationProfileAggregate("main", pairs, distance,
+                                     is_amino_acid=False)
+        ).df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return sum(1 for ln in plan.splitlines()
+                   if ln.lstrip("+-: ").startswith("Join"))
+
+    short = [(i + 1, "A") for i in range(4)]
+    long = [(1 + (i % 10), "ACGT"[i % 4]) for i in range(400)]
+    # distances stay < #pairs: at distance >= #pairs the expression is the
+    # (join-free) always-true degenerate case, not the aggregate plan
+    counts = {joins(p, d) for p in (short, long) for d in (0, 1, 3)}
+    counts |= {joins(long, d) for d in (5, 8, 100)}
+    assert len(counts) == 1, counts
     from lapis_silo_spark.expressions.sequence import (
         AGGREGATE_PROFILE_THRESHOLD,
         MutationProfileAggregate,

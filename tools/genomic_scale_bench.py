@@ -44,14 +44,34 @@ position filters under a date-range predicate (QueryGenerator semantics),
 through the FULL SaneQL path. Reports per-query latency stats at two read
 counts for the flat-or-linear scaling note.
 
-Usage:  python tools/genomic_scale_bench.py [--out GENOMIC_SCALE_r09.json]
-        [--workloads a,b,c,d]
+**E. full-genome co-occurrence** (workload C's 6-position at() groupBy over
+FULL 29,903-nt genomes) — the undiluted O(genome-length) comparison.
+
+**F. clustered_ingestion_benchmark replica** (`performance/
+clustered_ingestion_benchmark.cpp:23-37` + `performance/README.md:40-60`):
+the same amplicon reads ingested under three physical layouts
+(amplicon-sorted raw / shuffled raw / shuffled + the engine's default
+range-sorted write), identical query stream against each — the engine's
+`repartitionByRange` side-table layout must recover the sorted layout's
+query profile from scattered input, measured by latency AND the
+mutations-scan `numOutputRows` under a position predicate.
+
+**G. nof_sequence_filter replica** (`performance/nof_sequence_filter.cpp:
+124-171`): full evolved-leaf query-sequence mutation profile, distance
+sweep {0, 5, 50, 200}, over both the full-sequence store and a short-read
+store — latency plus an asserted-constant optimized-plan join count (the
+k-predicate→constant-joins batching claim, measured).
+
+Usage:  python tools/genomic_scale_bench.py [--out GENOMIC_SCALE_r10.json]
+        [--workloads a,b,c,d,e,f,g]
 Env:    SPARK_GRAFT_GENOMIC_ROOT   scratch dir (default .scratch/genomic_scale)
         SPARK_GRAFT_GENOMIC_READS  workload-A rows (default 3,200,000)
         SPARK_GRAFT_GENOMIC_GENOMES workload-B rows (default 100,000)
         SPARK_GRAFT_GENOMIC_COOC   workload-C rows (default 2,000,000)
-        SPARK_GRAFT_GENOMIC_SHORT_READS workload-D rows (default 5,000,000)
-        SPARK_GRAFT_GENOMIC_SR_QUERIES  workload-D query count (default 40)
+        SPARK_GRAFT_GENOMIC_SHORT_READS workload-D/F rows (default 5,000,000)
+        SPARK_GRAFT_GENOMIC_SR_QUERIES  workload-D/F query count (default 40)
+        SPARK_GRAFT_GENOMIC_NOF_GENOMES workload-G full genomes (default =GENOMES)
+        SPARK_GRAFT_GENOMIC_NOF_READS   workload-G short reads (default 1,000,000)
 """
 
 from __future__ import annotations
@@ -547,6 +567,91 @@ def run_short_read_filters(
     return result
 
 
+def run_nof_distance_sweep(
+    spark: SparkSession, reference: str, n: int, root: str, label: str,
+    records: DataFrame | None = None,
+    metadata: dict | None = None,
+    distances: tuple[int, ...] = (0, 5, 50, 200),
+    iterations: int = 3,
+) -> dict:
+    """Workload G — ``performance/nof_sequence_filter.cpp:124-171``: full
+    query-sequence mutation-profile latency as ``distance`` sweeps the
+    reference's own grid {0, 5, 50, 200} (d=0 "almost nothing matches",
+    d=200 "almost everything matches").
+
+    The query profile is a full-length evolved leaf sequence — ~30k
+    per-position predicates, the configuration whose naive compile
+    (one flag join per position, ``mutation_profile.cpp:249-256``) is a
+    plan explosion. The engine's ``MutationProfileAggregate`` computes the
+    conservative difference count with a CONSTANT number of joins
+    (aggregated passes over mutations/coverage/missing + the flag joins),
+    so latency must stay flat-ish across the sweep and the optimized-plan
+    join count must be IDENTICAL at every distance — both are recorded, and
+    the join-count invariance is asserted here, not just claimed.
+    """
+    from lapis_silo_spark.saneql import execute_query
+
+    result: dict = {"label": label, "rows": n, "loadavg_start": _loadavg()}
+    if records is None:
+        records, _ = full_genomes(spark, reference, n)
+    shutil.rmtree(root, ignore_errors=True)
+    db2 = _ingest_and_load(
+        spark, records, reference, root, metadata=metadata, result=result,
+    )
+    store2 = db2.sequence_store("default")
+    result["side_rows"] = {
+        "mutations": store2.mutations.count(),
+        "coverage": store2.coverage.count(),
+    }
+
+    # "Using a leaf of the tree maximises divergence from the reference"
+    # (nof_sequence_filter.cpp:150-152) — same choice: last evolved leaf.
+    query_sequence = evolved_tree(reference)[-1]
+    n_diff = sum(1 for a, b in zip(reference, query_sequence) if a != b)
+    result["profile_positions"] = len(query_sequence)
+    result["profile_diff_vs_reference"] = n_diff
+
+    join_counts: dict[int, int] = {}
+    sweep: dict[str, dict] = {}
+    for d in distances:
+        qtext = (
+            f"default.filter(nucleotideMutationProfile(distance:={d}, "
+            f"sequenceName:='main', querySequence:='{query_sequence}'))"
+            ".groupBy({count:=count()})"
+        )
+        walls: list[float] = []
+        match_count = None
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            out = execute_query(db2, qtext).collect()
+            walls.append(round(time.perf_counter() - t0, 4))
+            match_count = out[0]["count"] if out else 0
+        plan = (
+            execute_query(db2, qtext)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        join_counts[d] = sum(
+            1 for ln in plan.splitlines() if ln.lstrip("+-: ").startswith("Join")
+        )
+        sweep[str(d)] = {
+            "avg_sec": round(sum(walls) / len(walls), 4),
+            "min_sec": min(walls),
+            "max_sec": max(walls),
+            "matching_rows": match_count,
+            "optimized_plan_joins": join_counts[d],
+        }
+        print(f"  {label}/distance={d}: min {min(walls)}s, "
+              f"{match_count} rows, {join_counts[d]} joins", flush=True)
+    # the batching claim, enforced: join count must not grow with distance
+    assert len(set(join_counts.values())) == 1, (
+        f"mutation-profile join count varies with distance: {join_counts}"
+    )
+    result["distances"] = sweep
+    result["plan_joins_constant"] = next(iter(join_counts.values()))
+    result["loadavg_end"] = _loadavg()
+    return result
+
+
 def run_clustered_layout(
     spark: SparkSession, reference: str, n: int, n_queries: int, root: str,
 ) -> dict:
@@ -783,6 +888,29 @@ def main() -> None:
               f"reads, 3 layouts, {n_sr_queries} queries each)", flush=True)
         results["clustered_layout"] = run_clustered_layout(
             spark, ref_b, n_short, n_sr_queries, os.path.join(root, "f"),
+        )
+
+    if "g" in workloads:
+        n_nof_full = int(
+            os.environ.get("SPARK_GRAFT_GENOMIC_NOF_GENOMES",
+                           str(n_genomes))
+        )
+        n_nof_reads = int(
+            os.environ.get("SPARK_GRAFT_GENOMIC_NOF_READS", "1000000")
+        )
+        print(f"workload G: nof_sequence_filter distance sweep "
+              f"({n_nof_full} full genomes x 29,903 nt)", flush=True)
+        results["nof_distance_sweep_full_sequences"] = run_nof_distance_sweep(
+            spark, ref_b, n_nof_full, os.path.join(root, "g_full"),
+            label="G-full",
+        )
+        print(f"workload G: nof_sequence_filter distance sweep "
+              f"({n_nof_reads} short reads x 200 nt)", flush=True)
+        results["nof_distance_sweep_short_reads"] = run_nof_distance_sweep(
+            spark, ref_b, n_nof_reads, os.path.join(root, "g_short"),
+            label="G-short",
+            records=short_read_records(spark, ref_b, n_nof_reads),
+            metadata={"locationName": "string", "samplingDate": "date"},
         )
 
     if "d" in workloads:
