@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lapis_silo_spark.catalog import Database
 from lapis_silo_spark.expressions.base import QueryCompileError
 from lapis_silo_spark.sources.ndjson import TableConfig, ingest_ndjson
+from lapis_silo_spark.session import local_relation
 
 
 def _extract_update_literal(value_saneql: str, dtype: str):
@@ -90,7 +91,7 @@ class SiloDatabase:
         if config.name in self._configs:
             raise QueryCompileError(f"table {config.name!r} already exists")
         self._configs[config.name] = config
-        empty = self.spark.createDataFrame([], schema=config.spark_schema())
+        empty = local_relation(self.spark, [], config.spark_schema())
         from lapis_silo_spark.sources.ndjson import ingest_records
 
         main, store = ingest_records(self.spark, empty, config)

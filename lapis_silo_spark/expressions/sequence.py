@@ -36,6 +36,7 @@ from lapis_silo_spark.expressions.base import (
     Expression,
     QueryCompileError,
 )
+from lapis_silo_spark.session import local_relation
 
 
 def _store(ctx: CompileContext):
@@ -416,8 +417,9 @@ class MutationProfileAggregate(Expression):
             # null-sequence rows (nOf over an empty bitmap set is empty).
             return TrueExpr().compile(ctx)
 
-        prof_df = F.broadcast(spark.createDataFrame(
-            profile_rows, schema="pos int, compat array<string>, is_dref boolean"
+        prof_df = F.broadcast(local_relation(
+            spark, profile_rows,
+            "pos int, compat array<string>, is_dref boolean",
         ))
         sided = F.col("seq_name") == self.seq_name
 
@@ -440,7 +442,7 @@ class MutationProfileAggregate(Expression):
         parts = mut_agg
         if dref:
             dref_df = F.broadcast(
-                spark.createDataFrame([(p,) for p in dref], schema="pos int")
+                local_relation(spark, [(p,) for p in dref], "pos int")
             )
             cov_agg = (
                 store.coverage.filter(sided)

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from lapis_silo_spark.session import local_relation
 
 
 def _round_half_away(a, decimals: int):
@@ -187,7 +188,8 @@ def kmeans_centroids(
         distance_decimals,
     )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [(i, [float(v) for v in row]) for i, row in enumerate(centroids)],
         "cluster int, cvec array<double>",
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lapis_silo_spark.functions.dedup import cosine, dot, norm
+from lapis_silo_spark.session import local_relation
 
 
 def _hyperplane_component(plane: int, dim: int) -> Column:
@@ -689,8 +690,8 @@ def pq_codebooks_to_df(spark, codebooks) -> DataFrame:
         for j in range(codebooks.shape[0])
         for c in range(codebooks.shape[1])
     ]
-    return spark.createDataFrame(
-        rows, "subspace int, code int, cvec array<double>"
+    return local_relation(
+        spark, rows, "subspace int, code int, cvec array<double>"
     )
 
 
@@ -922,7 +923,8 @@ def pq_topk(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     qdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_relation(
+            corpus.sparkSession,
             [(r["query_id"], list(r["qv"])) for r in q_rows],
             schema=T.StructType([
                 T.StructField("query_id", coded.schema["id"].dataType),
@@ -1304,7 +1306,8 @@ def ivfpq_topk(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     qdf = F.broadcast(
-        coded.sparkSession.createDataFrame(
+        local_relation(
+            coded.sparkSession,
             [(r["query_id"], list(r["qv"])) for r in q_rows],
             schema=T.StructType([
                 T.StructField("query_id", coded.schema["id"].dataType),

@@ -62,6 +62,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lapis_silo_spark.functions.text import normalized
+from lapis_silo_spark.session import local_relation
 
 #: end-of-word marker — a control character (SOH) so sanitized text can
 #: never assemble it; see module docstring.
@@ -274,7 +275,7 @@ def bpe_train_df(
         "step int, left_sym string, right_sym string, merged string,"
         " pair_freq bigint"
     )
-    return spark.createDataFrame(merges, schema=schema)
+    return local_relation(spark, merges, schema)
 
 
 def bpe_merges_from_df(df: DataFrame) -> list[dict]:

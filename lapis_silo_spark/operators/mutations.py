@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
 from lapis_silo_spark.operators.relational import Pipeline
+from lapis_silo_spark.session import local_relation
 
 
 # driver budget for materializing the adapted-store coverage grid; genome
@@ -162,8 +163,8 @@ def mutations_aggregate(
                 f"driver materialization budget {_MAX_GRID_ROWS}; "
                 "adapted-store aggregation assumes a genome-length grid"
             )
-        coverage_per_pos = pipeline.df.sparkSession.createDataFrame(
-            grid_rows, coverage_per_pos.schema
+        coverage_per_pos = local_relation(
+            pipeline.df.sparkSession, grid_rows, coverage_per_pos.schema
         )
         expl_tot = (
             mut_counts.join(

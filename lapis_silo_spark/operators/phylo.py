@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lapis_silo_spark.operators.relational import Pipeline
+from lapis_silo_spark.session import local_relation
 
 # Driver budget for tree materializations. Both operators produce a single
 # output row from a driver-side walk (same asymptotics as the reference,
@@ -94,7 +95,7 @@ def most_recent_common_ancestor(
         row = (mrca["node"], mrca["parent"], mrca["depth"], missing_rows)
 
     schema = "mrcaNode string, mrcaParent string, mrcaDepth int, missingNodeCount long"
-    out = spark.createDataFrame([row], schema=schema)
+    out = local_relation(spark, [row], schema)
     if print_nodes_not_in_tree:
         out = out.withColumn(
             "missingFromTree",
@@ -193,9 +194,9 @@ def phylo_subtree(
     # no tree nodes selected → empty string, not null
     # (Subtree_onlyMissingNodes.json)
     newick = ";".join(render_root(r) for r in sorted(roots)) + ";" if roots else ""
-    out = spark.createDataFrame(
-        [(newick, missing_rows)],
-        schema="subtreeNewick string, missingNodeCount long",
+    out = local_relation(
+        spark, [(newick, missing_rows)],
+        "subtreeNewick string, missingNodeCount long",
     )
     if print_nodes_not_in_tree:
         out = out.withColumn(

@@ -48,6 +48,7 @@ from lapis_silo_spark.expressions.base import (
     QueryCompileError,
     apply_flag_joins,
 )
+from lapis_silo_spark.session import local_relation
 
 JOIN_TYPES = {
     "inner": "inner",
@@ -329,7 +330,7 @@ class Pipeline:
         spark = self._df.sparkSession
         rows = [(f.name, f.dataType.simpleString()) for f in self._df.schema.fields]
         return self._with(
-            spark.createDataFrame(rows, schema="fieldName string, type string"),
+            local_relation(spark, rows, "fieldName string, type string"),
             ordering=[],
         )
 

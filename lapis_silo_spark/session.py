@@ -66,6 +66,50 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_relation(spark: SparkSession, data, schema) -> DataFrame:
+    """``createDataFrame`` for small driver-side row lists that compiles to
+    a pure-JVM ``LocalRelation`` instead of a ``LogicalRDD``.
+
+    ``spark.createDataFrame(list, schema)`` ships the rows through a Python
+    RDD scan: every job over the frame launches a Python worker, and in a
+    WRITE job (``InsertIntoHadoopFsRelation``) the task then stalls ~5 s
+    in ``BasePythonRunner$ReaderInputStream.read`` waiting for the worker's
+    end-of-stream — measured on this box as a constant +5 s on EVERY
+    parquet/json write whose lineage contains such a frame, vs 0.2 s for
+    the identical data as a LocalRelation (round-10; this was 8.8 s of the
+    ann_ivfpq_topk row's 11.7 s persist/reload phase). Routing the rows
+    through pandas takes Spark's Arrow conversion path, which materializes
+    them JVM-side at plan time: no Python worker in any downstream job, and
+    Catalyst can constant-fold/broadcast the relation like any literal
+    table. Falls back to the plain path if the Arrow conversion rejects the
+    data (never for correctness — the values are identical either way).
+
+    Use for every small driver-built frame (model artifacts, reference
+    side tables, profile/grid frames) — anything that may be saved by
+    ``storage.save_version`` or broadcast into a hot plan.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    st = (
+        T._parse_datatype_string(schema)
+        if isinstance(schema, str) else schema
+    )
+    rows = list(data)
+    try:
+        if not rows:
+            # the Arrow path skips empty inputs (falls back to a Python
+            # RDD scan); an all-None probe row + limit(0) keeps the
+            # LocalRelation shape and PropagateEmptyRelation folds it
+            probe = pd.DataFrame([[None] * len(st.names)], columns=st.names)
+            return spark.createDataFrame(probe, schema=st).limit(0)
+        pdf = pd.DataFrame.from_records(rows, columns=st.names)
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:  # noqa: BLE001 — fall back to the classic path
+        return spark.createDataFrame(rows, schema=st)
+
+
 class SiloSparkSession:
     """Engine session: wraps a SparkSession + a catalog of named tables.
 

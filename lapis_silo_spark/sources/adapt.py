@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
 from lapis_silo_spark.catalog import SequenceStore
+from lapis_silo_spark.session import local_relation
 
 
 def _missing_sym_col() -> F.Column:
@@ -228,7 +229,7 @@ def adapt_local_reference(store: SequenceStore) -> SequenceStore:
     # vote job out of its lineage: otherwise every downstream broadcast of
     # the baseline re-runs the whole majority aggregation per query.
     spark = store.reference.sparkSession
-    new_local = spark.createDataFrame(new_local.collect(), new_local.schema)
+    new_local = local_relation(spark, new_local.collect(), new_local.schema)
     return rebase_mutations(store, new_local)
 
 

@@ -22,6 +22,7 @@ and the closure is a broadcast dimension table at any data scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from lapis_silo_spark.session import local_relation
 
 MODES = ("doNotFollow", "alwaysFollow", "followIfFullyContainedInClade")
 
@@ -83,8 +84,8 @@ def build_lineage_closure(
             for a, d, m in by_ancestor.get(canonical, []):
                 rows.append((alias, d, m))
 
-    return spark.createDataFrame(
-        rows, schema="ancestor string, descendant string, mode string"
+    return local_relation(
+        spark, rows, "ancestor string, descendant string, mode string"
     )
 
 
@@ -101,9 +102,9 @@ def build_lineage_relation(
             is_rec = len(ps) > 1
             for p in ps:
                 rows.append((lineage, lineage, p, is_rec))
-    return spark.createDataFrame(
-        rows,
-        schema="id string, lineage string, parent string, is_recombinant_edge boolean",
+    return local_relation(
+        spark, rows,
+        "id string, lineage string, parent string, is_recombinant_edge boolean",
     )
 
 

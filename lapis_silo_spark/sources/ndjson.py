@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from lapis_silo_spark.alphabets import AA_MISSING, NUC_MISSING
 from lapis_silo_spark.catalog import SequenceStore
 from lapis_silo_spark.jvm import ensure_zstd_udfs
+from lapis_silo_spark.session import local_relation
 
 
 @dataclass
@@ -303,7 +304,7 @@ def ingest_records(
             "pk", "seq_name", "pos", F.col("symbol").alias("inserted")
         )
     else:
-        empty = spark.createDataFrame([], schema=_SIDE_SCHEMA)
+        empty = local_relation(spark, [], _SIDE_SCHEMA)
         mutations = empty.select("pk", "seq_name", "pos", "symbol")
         coverage = empty.select(
             "pk", "seq_name", F.col("pos").alias("cov_start"),
@@ -319,9 +320,9 @@ def ingest_records(
         for name, ref, _ in seq_meta
         for i in range(len(ref))
     ]
-    reference = spark.createDataFrame(
-        ref_rows or [("__none__", 1, "A", False)],
-        schema="seq_name string, pos int, ref_symbol string, is_aa boolean",
+    reference = local_relation(
+        spark, ref_rows or [("__none__", 1, "A", False)],
+        "seq_name string, pos int, ref_symbol string, is_aa boolean",
     )
     if not ref_rows:
         reference = reference.filter(F.lit(False))

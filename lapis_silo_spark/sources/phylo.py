@@ -11,6 +11,7 @@ interval predicates over a broadcast-scale DataFrame.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from lapis_silo_spark.session import local_relation
 
 # (label, branch_length, children)
 _Node = tuple[str, "float | None", list]
@@ -180,9 +181,9 @@ def build_phylo_nodes(
             for child in reversed(children.get(node, [])):
                 stack.append((child, depth + 1, False))
 
-    return spark.createDataFrame(
-        rows,
-        schema="node string, parent string, depth int, euler_in long, "
+    return local_relation(
+        spark, rows,
+        "node string, parent string, depth int, euler_in long, "
         "euler_out long, branch_length double",
     )
 

@@ -24,6 +24,7 @@ from lapis_silo_spark.catalog import Database
 from lapis_silo_spark.functions.dedup import DEFAULT_MAX_BAND_FREQ
 from lapis_silo_spark.sources.ndjson import TableConfig, ingest_records
 from lapis_silo_spark.storage import append_version, load_version
+from lapis_silo_spark.session import local_relation
 
 
 def stream_append(
@@ -241,7 +242,7 @@ def near_dup_classify_batch(
     # re-execution see the batch as part of its own base. A micro-batch is
     # bounded by definition, so pinning it as a local DataFrame is the
     # simple correct device.
-    statuses = spark.createDataFrame(lazy.collect(), schema=lazy.schema)
+    statuses = local_relation(spark, lazy.collect(), lazy.schema)
     kept = statuses.filter(F.col("status") == "kept").select("id")
     kept_docs = batch_df.join(
         kept.withColumnRenamed("id", id_col), id_col, "left_semi"
