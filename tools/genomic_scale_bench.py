@@ -785,10 +785,19 @@ def run_clustered_layout(
             (F.col("seq_name") == "main") & (F.col("pos") == probe_pos)
         )
         n_rows, scans = scan_metrics(side_probe)
+        # the pure side-scan wall: the component row-group pruning actually
+        # accelerates (the query stream's wall is dominated by main-table
+        # work identical across layouts at this node count)
+        scan_walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            side_probe.count()
+            scan_walls.append(round(time.perf_counter() - t0, 4))
         entry["mutations_pos_probe"] = {
             "pos": probe_pos,
             "matching_rows": n_rows,
             "scan_numOutputRows": scans,
+            "scan_wall_min_sec": min(scan_walls),
             "table_rows": sides["mutations"].count(),
         }
         # 2. the full engine query through the flag-join path (wall only;
