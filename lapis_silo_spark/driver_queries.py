@@ -5002,6 +5002,36 @@ def q_pipeline_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_pivot_pairs",
+    # the oracle is the PLAIN cosine join — pivots prune candidates but
+    # never appear in the (exact) output
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+)
+def q_dedup_embedding_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine pairs via angular-pivot bucketing
+    (functions.dedup.embedding_near_dup_pairs_pivot): the exact form whose
+    candidate set SHRINKS with the threshold — θ = arccos(cos) is a metric,
+    so a qualifying pair's bucket ids differ by ≤1 on every pivot and only
+    adjacent-bucket tasks are scheduled (O(#buckets), vs the blocked form's
+    all-block-pairs grid). block_rows is forced small so the sf0.01 gate
+    exercises the hash sub-blocking inside buckets, and max_sub_blocks is
+    raised accordingly — at the oracle-friendly threshold 0.4 the bucket
+    width is hemisphere-scale by design (pruning engages at 0.9+; the gate
+    checks EXACTNESS across every task shape, the regime story is the
+    library contract)."""
+    from lapis_silo_spark.functions import dedup as fdedup
+
+    db = db_for(spark, sf_dir)
+    return fdedup.embedding_near_dup_pairs_pivot(
+        db.table("embeddings"), "vec_id", "embedding", threshold=0.4,
+        block_rows=256, max_sub_blocks=4096,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry gate order
 # ---------------------------------------------------------------------------

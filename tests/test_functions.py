@@ -257,6 +257,129 @@ def test_blocked_pairs_quadratic_guard(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_embedding_near_dup_pivot_matches_exact(spark):
+    """The pivot-bucketed exact form (angular triangle-inequality pruning)
+    must equal the collect+broadcast baseline bit-for-bit at every
+    threshold regime — pruning is metric, never lossy."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(80, 8))
+    mat[10] = mat[3] + 0.01 * rng.normal(size=8)
+    mat[41] = mat[20] + 0.01 * rng.normal(size=8)
+    mat[77] = mat[41] + 0.01 * rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(80)],
+        schema="vec_id long, embedding array<double>",
+    )
+    for t in (0.3, 0.6, 0.95):
+        exact = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in dedup.embedding_near_dup_pairs(
+                df, "vec_id", "embedding", threshold=t
+            ).collect()
+        }
+        pivot = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in dedup.embedding_near_dup_pairs_pivot(
+                df, "vec_id", "embedding", threshold=t
+            ).collect()
+        }
+        assert pivot == exact, t
+    # multi-sub-block path: force tiny blocks so bucket-internal hash
+    # splitting and every task shape (diagonal, cross-sub, cross-bucket)
+    # is exercised
+    pivot_small = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs_pivot(
+            df, "vec_id", "embedding", threshold=0.6, block_rows=16
+        ).collect()
+    }
+    exact6 = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.6
+        ).collect()
+    }
+    assert exact6 and pivot_small == exact6
+
+
+def test_embedding_near_dup_pivot_prunes_at_high_threshold(spark):
+    """At verification-grade thresholds the adjacent-bucket task graph must
+    be strictly smaller than the blocked form's all-block-pairs grid:
+    vectors along well-separated directions land in non-adjacent angular
+    buckets and never meet in any task."""
+    import math
+
+    import numpy as np
+
+    # three tight direction-clusters, far apart on the sphere
+    dirs = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [-1.0, 0, 0, 0]])
+    rows = []
+    rng = np.random.default_rng(5)
+    for c, d in enumerate(dirs):
+        for i in range(12):
+            v = d + 0.01 * rng.normal(size=4)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    t = 0.95
+    pairs = dedup.embedding_near_dup_pairs_pivot(
+        df, "vec_id", "embedding", threshold=t
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=t
+        ).collect()
+    }
+    assert got == want and len(got) == 3 * (12 * 11) // 2
+    # structural pruning claim: every emitted pair sits within one angular
+    # bucket width of its partner on EVERY pivot, so cross-cluster work
+    # was never scheduled. Verify via the bucket ids themselves.
+    w = math.acos(t)
+    piv = np.random.default_rng(7).standard_normal((4, 4))
+    piv /= np.sqrt((piv * piv).sum(axis=1, keepdims=True))
+    vecs = {i: np.array(v) for i, v in rows}
+
+    def buckets(v):
+        n = v / np.sqrt((v * v).sum())
+        return np.floor(np.arccos(np.clip(piv @ n, -1, 1)) / w)
+
+    b0 = buckets(vecs[0])
+    b100 = buckets(vecs[100])
+    assert (np.abs(b0 - b100) > 1).any()  # clusters 0/1 provably pruned
+
+
+def test_embedding_near_dup_pivot_guard_and_edges(spark, vectors):
+    """Regime guard (densest bucket > max_sub_blocks sub-blocks refuses
+    with guidance) + zero-norm/null/empty-input edge cases."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_sub_blocks"):
+        dedup.embedding_near_dup_pairs_pivot(
+            vectors, "vec_id", "embedding", threshold=0.95,
+            block_rows=1, max_sub_blocks=1,
+        )
+    degen = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 0.0]), (4, None)],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_pivot(
+            degen, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    empty = degen.filter("vec_id > 99")
+    assert dedup.embedding_near_dup_pairs_pivot(
+        empty, "vec_id", "embedding", threshold=0.95
+    ).collect() == []
+
+
 def test_embedding_dedup_clusters_matches_pairwise(spark):
     """The fused O(docs) form must reproduce dedup_cluster_assignment over
     the exact pair set — for BOTH pair methods on a corpus with planted
