@@ -942,11 +942,17 @@ def embedding_near_dup_pairs_pivot(
     gracefully to the blocked form's cost. Zero-norm/null vectors have no
     angle and can never clear a positive threshold; they are excluded up
     front (output-identical to the blocked form's NaN-fails-threshold).
-    Intended for ``threshold > 0``. The regime limit is MACHINE-ENFORCED
-    (the family's guard contract): when the densest angular bucket needs
-    more than ``max_sub_blocks`` hash sub-blocks, replication (~3·n_sub per
-    row) and the task grid are degenerating toward all-pairs, and the call
-    raises with guidance instead of submitting it.
+    Intended for ``0 < threshold < 1``: at ``threshold >= 1.0`` the bucket
+    width collapses to zero, the angular-bucket count is no longer bounded
+    by ``π/w`` (one bucket per DISTINCT angle — potentially the row count),
+    and the call is rejected with guidance (round-10 ADVICE) — exact
+    duplicates want :func:`embedding_near_dup_pairs_blocked` or a
+    direction-keyed groupBy, not a degenerate pivot grid. The regime limit
+    is MACHINE-ENFORCED (the family's guard contract): when the densest
+    angular bucket needs more than ``max_sub_blocks`` hash sub-blocks,
+    replication (~3·n_sub per row) and the task grid are degenerating
+    toward all-pairs, and the call raises with guidance instead of
+    submitting it.
     """
     import math
 
@@ -955,13 +961,22 @@ def embedding_near_dup_pairs_pivot(
 
     from pyspark.sql import types as T
 
+    if threshold >= 1.0:
+        raise ValueError(
+            f"embedding_near_dup_pairs_pivot: threshold={threshold} >= 1.0 "
+            f"collapses the angular bucket width to zero (one bucket per "
+            f"distinct angle — the O(pi/w) driver-side bucket list would "
+            f"be unbounded). For exact duplicates use "
+            f"embedding_near_dup_pairs_blocked at threshold just under 1, "
+            f"or group by the normalized direction vector."
+        )
+
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType
     id_integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
     w = math.acos(max(-1.0, min(1.0, threshold)))
-    w = max(w, 1e-9)  # threshold >= 1.0: identical-direction pairs only
 
     base = _spread(
         df,
@@ -1031,26 +1046,46 @@ def embedding_near_dup_pairs_pivot(
     )
 
     # task table: same-bucket ordered sub-pairs + adjacent-bucket full
-    # sub-grid; buckets list is O(π/w) — driver-small by construction
-    assign_rows = []
-    for b in buckets:
-        for si in range(n_sub):
-            for sj in range(si, n_sub):
-                assign_rows.append((b, si, b, b, si, sj, 0))
-                if si != sj:
-                    assign_rows.append((b, sj, b, b, si, sj, 1))
-        if (b + 1) in bset:
-            for si in range(n_sub):
-                for sj in range(n_sub):
-                    assign_rows.append((b, si, b, b + 1, si, sj, 0))
-                    assign_rows.append((b + 1, sj, b, b + 1, si, sj, 1))
-    assign = local_relation(
-        spark, assign_rows,
-        "b1 int, sub int, ti int, tj int, si int, sj int, side int",
+    # sub-grid. Only the O(π/w) bucket/adjacency lists are driver-side
+    # (bounded by construction now threshold >= 1.0 is rejected); the
+    # O(buckets · n_sub²) grid itself is built DISTRIBUTIVELY from
+    # spark.range cross-joins — with the registered max_sub_blocks=4096
+    # the grid can reach tens of millions of rows, which must never be a
+    # driver-built Python list (round-10 ADVICE).
+    adj_pairs = [(b, b + 1) for b in buckets if (b + 1) in bset]
+    bdf = local_relation(spark, [(b,) for b in buckets], "tb int")
+    adjdf = local_relation(spark, adj_pairs, "tb int, tb2 int")
+    grid = spark.range(n_sub).select(
+        F.col("id").cast("int").alias("si")
+    ).crossJoin(
+        spark.range(n_sub).select(F.col("id").cast("int").alias("sj"))
     )
 
+    def task_rows(pref, b_col, sub_col, ti_col, tj_col, side):
+        return pref.select(
+            F.col(b_col).alias("b1"), F.col(sub_col).alias("sub"),
+            F.col(ti_col).alias("ti"), F.col(tj_col).alias("tj"),
+            "si", "sj", F.lit(side).alias("side"),
+        )
+
+    same = bdf.crossJoin(grid.filter(F.col("si") <= F.col("sj")))
+    adjx = adjdf.crossJoin(grid)
+    assign = (
+        task_rows(same, "tb", "si", "tb", "tb", 0)
+        .unionAll(task_rows(same.filter(F.col("si") != F.col("sj")),
+                            "tb", "sj", "tb", "tb", 1))
+        .unionAll(task_rows(adjx, "tb", "si", "tb", "tb2", 0))
+        .unionAll(task_rows(adjx, "tb2", "sj", "tb", "tb2", 1))
+    )
+
+    # broadcast only when the grid is provably small (its exact row count
+    # is computable from the stats job); a huge grid joins by shuffle,
+    # where AQE's skew handling applies
+    n_assign = (len(buckets) + 2 * len(adj_pairs)) * n_sub * n_sub
+    if n_assign <= 2_000_000:
+        assign = F.broadcast(assign)
     replicated = marked.join(
-        F.broadcast(assign), on=["b1", "sub"]
+        assign, on=["b1", "sub"]
     ).select("ti", "tj", "si", "sj", "side", "id", "vec", "bk")
 
     out_schema = T.StructType(
@@ -1271,12 +1306,63 @@ def incremental_minhash_dedup(
     )
 
 
+# Edge-count ceiling (directed rows, i.e. 2x the undirected pairs) under
+# which connected components runs as a DRIVER-SIDE union-find instead of
+# distributed min-label propagation. 5M (u, v) rows is ~100-300 MB of
+# Python state — comfortably bounded, same driver-collect discipline as
+# operators/phylo.py — while each propagation round costs ~0.8-1 s of
+# fixed Spark job overhead (join + agg + localCheckpoint + convergence
+# probe) that dwarfs the actual work whenever the edge list is this small.
+# Near-dup edge lists are sparse by construction (pair stages emit only
+# verified near-duplicates), so in practice even 100 TB corpora tend to
+# land under this; the propagation loop remains the unbounded-scale path.
+CC_DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def _driver_union_find(us, vs):
+    """Union-find with path compression over collected edge endpoints;
+    returns ``{node: min_id_of_component}``. Union-by-min keeps each
+    root the component's minimum id, matching min-label propagation's
+    fixpoint exactly (label = min id of the connected component)."""
+    parent: dict = {}
+
+    def find(x):
+        path = []
+        r = x
+        while True:
+            p = parent.get(r, r)
+            if p == r:
+                break
+            path.append(r)
+            r = p
+        for n in path:
+            parent[n] = r
+        return r
+
+    nodes = set()
+    for u, v in zip(us, vs):
+        # equi-join semantics: a null endpoint never matches, so null
+        # edges contribute nothing in the propagation path either
+        if u is None or v is None:
+            continue
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    return {x: find(x) for x in nodes}
+
+
 def _min_label_propagation(
     ids: DataFrame,
     pairs: DataFrame,
     pair_a: str,
     pair_b: str,
     max_iterations: int,
+    driver_edge_limit: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation over an ``(id)``
     universe and an edge list; returns ``(labels, guard)`` where labels is
@@ -1301,6 +1387,17 @@ def _min_label_propagation(
     the per-round join/aggregate is O(nodes-in-pairs), not O(universe)
     (near-dups are sparse at corpus scale); the untouched remainder unions
     back in before the final checkpoint.
+
+    Small-edge-set fast path: each propagation round pays ~0.8-1 s of fixed
+    Spark job overhead (join + min-agg + localCheckpoint + convergence
+    probe), so when a bounded ``limit(N+1).count()`` probe shows the
+    deduped edge list is at most ``driver_edge_limit`` rows
+    (default :data:`CC_DRIVER_EDGE_LIMIT`; pass ``0`` to force the
+    distributed loop), the edges are collected and union-found on the
+    driver — the same bounded-collect discipline as
+    ``operators/phylo.py`` — and the labels return as a pure-JVM
+    ``local_relation``. Identical fixpoint (label = component min id),
+    ~6 rounds of job overhead saved.
     """
     from lapis_silo_spark.cache import checkpoint_tracked
 
@@ -1309,6 +1406,34 @@ def _min_label_propagation(
     edges, edges_guard = checkpoint_tracked(fwd.union(rev).distinct())
 
     touched = edges.select(F.col("u").alias("id")).distinct()
+
+    limit = CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
+    if limit and edges.limit(limit + 1).count() <= limit:
+        from pyspark.sql import types as T
+
+        from lapis_silo_spark.session import local_relation
+
+        pdf = edges.toPandas()  # bounded: at most `limit` (u, v) rows
+        labels_map = _driver_union_find(pdf["u"].tolist(), pdf["v"].tolist())
+        dt = ids.schema["id"].dataType
+        touched_labels = local_relation(
+            ids.sparkSession,
+            sorted(labels_map.items()),
+            T.StructType(
+                [T.StructField("id", dt), T.StructField("label", dt)]
+            ),
+        )
+        untouched = ids.join(touched, "id", "left_anti").select(
+            "id", F.col("id").alias("label")
+        )
+        # one checkpointed leaf, exactly like the loop's return shape, so
+        # the caller's multi-reference consumption (sizes agg + join) does
+        # not recompute the anti-join
+        final, final_guard = checkpoint_tracked(
+            touched_labels.union(untouched)
+        )
+        edges_guard.release()
+        return final, final_guard
     # the universe feeds the propagation seed AND the untouched anti-join;
     # its lineage can be expensive (digest agg + doc semi-join in the fused
     # cluster path) — cache it for the function's duration

@@ -82,7 +82,12 @@ def local_relation(spark: SparkSession, data, schema) -> DataFrame:
     them JVM-side at plan time: no Python worker in any downstream job, and
     Catalyst can constant-fold/broadcast the relation like any literal
     table. Falls back to the plain path if the Arrow conversion rejects the
-    data (never for correctness — the values are identical either way).
+    data, and ALSO when any cell is a float NaN: pandas stores NaN in
+    float64 columns and Arrow reads it as null, so the pandas route would
+    silently coerce NaN -> NULL while the classic path preserves NaN
+    (round-10 ADVICE). NaN-carrying frames therefore pay the LogicalRDD
+    write-stall cost — acceptable, since none of the engine's driver-built
+    frames carry NaN; everything else is value-identical either way.
 
     Use for every small driver-built frame (model artifacts, reference
     side tables, profile/grid frames) — anything that may be saved by
@@ -97,6 +102,15 @@ def local_relation(spark: SparkSession, data, schema) -> DataFrame:
         if isinstance(schema, str) else schema
     )
     rows = list(data)
+
+    def _cells(row):
+        return row.values() if isinstance(row, dict) else row
+
+    if any(
+        isinstance(v, float) and v != v for r in rows for v in _cells(r)
+    ):
+        # NaN survives only the classic path (see docstring)
+        return spark.createDataFrame(rows, schema=st)
     try:
         if not rows:
             # the Arrow path skips empty inputs (falls back to a Python

@@ -363,6 +363,13 @@ def test_embedding_near_dup_pivot_guard_and_edges(spark, vectors):
             vectors, "vec_id", "embedding", threshold=0.95,
             block_rows=1, max_sub_blocks=1,
         )
+    # threshold >= 1.0 collapses the bucket width to zero: the O(pi/w)
+    # bucket-list bound no longer holds, so the call must refuse with
+    # guidance instead of collecting an unbounded bucket set (r10 ADVICE)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.embedding_near_dup_pairs_pivot(
+            vectors, "vec_id", "embedding", threshold=1.0
+        )
     degen = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 0.0]), (4, None)],
         schema="vec_id long, embedding array<double>",
@@ -540,6 +547,69 @@ def test_dedup_cluster_assignment_transitive(spark):
         3: (1, 3, False),
         4: (4, 1, True),
     }
+
+
+def test_cluster_assignment_driver_fast_path_matches_propagation(
+    spark, monkeypatch
+):
+    """The small-edge-set driver union-find must produce byte-identical
+    labels to the distributed min-label propagation loop, for numeric AND
+    string ids, and the forced-large fallback (limit=0) must still work."""
+    cases = [
+        (
+            spark.createDataFrame(
+                [(i,) for i in range(1, 11)], schema="doc_id long"
+            ),
+            spark.createDataFrame(
+                # two chains, one triangle, isolated nodes 8..10
+                [(1, 2), (2, 3), (5, 4), (6, 7), (7, 5), (4, 6)],
+                schema="id_a long, id_b long",
+            ),
+        ),
+        (
+            spark.createDataFrame(
+                [(f"d{i:02d}",) for i in range(1, 8)], schema="doc_id string"
+            ),
+            spark.createDataFrame(
+                [("d03", "d01"), ("d03", "d05"), ("d06", "d07")],
+                schema="id_a string, id_b string",
+            ),
+        ),
+    ]
+    for universe, pairs in cases:
+        # default: probe sees a tiny edge list -> driver union-find
+        fast = sorted(
+            map(
+                tuple,
+                dedup.dedup_cluster_assignment(universe, pairs, "doc_id")
+                .collect(),
+            )
+        )
+        # forced-large: disable the fast path -> distributed propagation
+        monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_LIMIT", 0)
+        slow = sorted(
+            map(
+                tuple,
+                dedup.dedup_cluster_assignment(universe, pairs, "doc_id")
+                .collect(),
+            )
+        )
+        monkeypatch.undo()
+        assert fast == slow
+
+
+def test_driver_union_find_min_label_semantics():
+    # transitive closure with union order that stresses path compression;
+    # every component labels with its minimum member
+    labels = dedup._driver_union_find(
+        [9, 7, 5, 3, 2, 10], [7, 5, 3, 1, 4, 2]
+    )
+    assert labels == {
+        9: 1, 7: 1, 5: 1, 3: 1, 1: 1,
+        2: 2, 4: 2, 10: 2,
+    }
+    # null endpoints contribute nothing (equi-join semantics)
+    assert dedup._driver_union_find([None, 1], [5, None]) == {}
 
 
 def test_brute_force_topk(vectors):

@@ -263,6 +263,12 @@ def test_mutation_profile_join_count_constant_in_distance(example_db):
     counts = {joins(p, d) for p in (short, long) for d in (0, 1, 3)}
     counts |= {joins(long, d) for d in (5, 8, 100)}
     assert len(counts) == 1, counts
+
+
+def test_mutation_profile_aggregate_chosen_for_long_profiles(example_db):
+    """Long profiles must auto-select the aggregate path (and it must
+    actually execute) — split back out of the join-count test above so a
+    join-count failure can't mask the selection check (round-10 ADVICE)."""
     from lapis_silo_spark.expressions.sequence import (
         AGGREGATE_PROFILE_THRESHOLD,
         MutationProfileAggregate,
