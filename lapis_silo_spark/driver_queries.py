@@ -5091,8 +5091,12 @@ _GATE_ORDER = [
     # representative relational core (21)
     "filter_equals_groupby_count",
     "filter_between_date",
-    "filter_in_set",
-    "filter_like_regex",
+    # round-11 rotation (VERDICT r10 #4): filter_in_set / filter_like_regex
+    # ceded their slots to the pivot pair path and BPE encode — FilterNode
+    # keeps three reps in the window (equals/between/negation, the subtle
+    # semantics) and the rotated-out rows stay green in the full local gate
+    "dedup_embedding_pivot_pairs",
+    "tokenizer_bpe_encode",
     "filter_negation_keeps_nulls",
     "filter_nof_exactly",
     "map_at_isoweek",
