@@ -1306,8 +1306,8 @@ def incremental_minhash_dedup(
     )
 
 
-# Edge-count ceiling (directed rows, i.e. 2x the undirected pairs) under
-# which connected components runs as a DRIVER-SIDE union-find instead of
+# Raw pair-row ceiling under which connected components runs as a
+# DRIVER-SIDE union-find instead of
 # distributed min-label propagation. 5M (u, v) rows is ~100-300 MB of
 # Python state — comfortably bounded, same driver-collect discipline as
 # operators/phylo.py — while each propagation round costs ~0.8-1 s of
@@ -1390,50 +1390,64 @@ def _min_label_propagation(
 
     Small-edge-set fast path: each propagation round pays ~0.8-1 s of fixed
     Spark job overhead (join + min-agg + localCheckpoint + convergence
-    probe), so when a bounded ``limit(N+1).count()`` probe shows the
-    deduped edge list is at most ``driver_edge_limit`` rows
-    (default :data:`CC_DRIVER_EDGE_LIMIT`; pass ``0`` to force the
-    distributed loop), the edges are collected and union-found on the
-    driver — the same bounded-collect discipline as
-    ``operators/phylo.py`` — and the labels return as a pure-JVM
-    ``local_relation``. Identical fixpoint (label = component min id),
-    ~6 rounds of job overhead saved.
+    probe), so when a bounded ``limit(N+1)`` fetch shows the RAW pair list
+    is at most ``driver_edge_limit`` rows (default
+    :data:`CC_DRIVER_EDGE_LIMIT`; pass ``0`` to force the distributed
+    loop), the pairs are collected and union-found on the driver — the
+    same bounded-collect discipline as ``operators/phylo.py`` — and the
+    labels return as a pure-JVM ``local_relation``. Identical fixpoint
+    (label = component min id); the probe doubles as the fetch (one job),
+    and the fast path skips the both-directions/distinct expansion
+    entirely (union-find is undirected and duplicate-tolerant).
     """
     from lapis_silo_spark.cache import checkpoint_tracked
 
-    fwd = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
-    rev = pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
-    edges, edges_guard = checkpoint_tracked(fwd.union(rev).distinct())
-
-    touched = edges.select(F.col("u").alias("id")).distinct()
+    raw = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    # one checkpoint materializes the (possibly expensive) pair pipeline
+    # for BOTH the bounded probe-fetch and, on fallback, every round
+    raw_cp, raw_guard = checkpoint_tracked(raw)
 
     limit = CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
-    if limit and edges.limit(limit + 1).count() <= limit:
-        from pyspark.sql import types as T
+    if limit:
+        pdf = raw_cp.limit(limit + 1).toPandas()  # probe + fetch, one job
+        if len(pdf) <= limit:
+            from pyspark.sql import types as T
 
-        from lapis_silo_spark.session import local_relation
+            from lapis_silo_spark.session import local_relation
 
-        pdf = edges.toPandas()  # bounded: at most `limit` (u, v) rows
-        labels_map = _driver_union_find(pdf["u"].tolist(), pdf["v"].tolist())
-        dt = ids.schema["id"].dataType
-        touched_labels = local_relation(
-            ids.sparkSession,
-            sorted(labels_map.items()),
-            T.StructType(
-                [T.StructField("id", dt), T.StructField("label", dt)]
-            ),
-        )
-        untouched = ids.join(touched, "id", "left_anti").select(
-            "id", F.col("id").alias("label")
-        )
-        # one checkpointed leaf, exactly like the loop's return shape, so
-        # the caller's multi-reference consumption (sizes agg + join) does
-        # not recompute the anti-join
-        final, final_guard = checkpoint_tracked(
-            touched_labels.union(untouched)
-        )
-        edges_guard.release()
-        return final, final_guard
+            labels_map = _driver_union_find(
+                pdf["u"].tolist(), pdf["v"].tolist()
+            )
+            dt = ids.schema["id"].dataType
+            touched_labels = local_relation(
+                ids.sparkSession,
+                sorted(labels_map.items()),
+                T.StructType(
+                    [T.StructField("id", dt), T.StructField("label", dt)]
+                ),
+            )
+            # anti-join against the labeled nodes themselves (NOT a
+            # touched-set derived from raw edges): a node whose only
+            # edges have a null partner has no label and must fall
+            # through to the untouched self-label path
+            untouched = ids.join(
+                touched_labels.select("id"), "id", "left_anti"
+            ).select("id", F.col("id").alias("label"))
+            # one checkpointed leaf, exactly like the loop's return shape,
+            # so the caller's multi-reference consumption (sizes agg +
+            # join) does not recompute the anti-join
+            final, final_guard = checkpoint_tracked(
+                touched_labels.union(untouched)
+            )
+            raw_guard.release()
+            return final, final_guard
+
+    fwd = raw_cp
+    rev = raw_cp.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    edges, edges_guard = checkpoint_tracked(fwd.union(rev).distinct())
+    raw_guard.release()
+
+    touched = edges.select(F.col("u").alias("id")).distinct()
     # the universe feeds the propagation seed AND the untouched anti-join;
     # its lineage can be expensive (digest agg + doc semi-join in the fused
     # cluster path) — cache it for the function's duration
