@@ -113,3 +113,42 @@ def test_committed_good_log_covers_golden_corpus():
     }
     assert names == expected
     assert all(r["status"] == "200" for r in rows)
+
+
+def test_sf1_good_log_covers_registry_and_replays_subset(spark):
+    """The committed sf1 registry good log (round-10 VERDICT #7) must
+    cover every registered query, and a fast subset must replay
+    byte-identical against the sf1 fixture — the CI-style hook for the
+    scale-dependent drift the sf0.01 log cannot catch (sampling cutoffs,
+    quantiles). The full sweep is tools/replay_corpus.py --sf 1."""
+    import json
+
+    import replay_corpus as rc
+
+    good_log, sf1_dir = rc.SF_CONFIGS["1"]
+    if not Path(sf1_dir, "documents.parquet").exists():
+        pytest.skip("sf1 fixture not generated (tools/gen_sf.py --sf 1)")
+    good = json.loads(Path(good_log).read_text())
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    assert set(good) == set(queries), (
+        "sf1 good log out of date with the registry — rerun "
+        "tools/replay_corpus.py --sf 1 --store"
+    )
+
+    # scale-sensitive subset: quantile cutoff, hash sampling, a window,
+    # and a dedup row — cheap enough for the suite, scale-shaped enough
+    # to drift if a cutoff/seed path changes
+    for name in (
+        "quality_quantile_filter",
+        "sample_stratified_hash",
+        "window_rank_topn",
+        "dedup_exact_groups",
+    ):
+        checksum, nrows, _ = rc.result_checksum(
+            queries[name](spark, sf1_dir)
+        )
+        assert good[name]["rows"] == nrows, name
+        assert good[name]["checksum"] == checksum, name

@@ -27,12 +27,17 @@ Usage::
     python tools/replay_corpus.py --store         # (re)write the full good log
     python tools/replay_corpus.py --update q1 q2  # refresh named entries only
     python tools/replay_corpus.py q1 q2           # replay a subset
+    python tools/replay_corpus.py --sf 1          # sf1 fixture + sf1 good log
 
 New queries absent from the good log are reported and appended on
 ``--store``/``--update``; a missing log file is stored on first run
 (reference semantics). Default fixture: ``$SPARK_GRAFT_SF_DIR`` or
-``/root/testdata/sf0.01`` — the committed log is ONLY valid for sf0.01.
-"""
+``/root/testdata/sf0.01`` — the committed ``good_query_log.json`` is ONLY
+valid for sf0.01. ``--sf 1`` switches to the generated
+``/root/repo/testdata_sf1`` fixture and diffs against the separate
+``good_query_log_sf1.json`` (round-10 VERDICT #7: scale-dependent paths —
+sampling cutoffs, quantiles — only drift at scale, so the sf0.01 log
+cannot catch them)."""
 
 from __future__ import annotations
 
@@ -47,8 +52,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from check_correctness import normalize  # noqa: E402
 
-GOOD_LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "good_query_log.json")
+_TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+GOOD_LOG = os.path.join(_TOOLS_DIR, "good_query_log.json")
+#: per-scale-factor (good log, fixture dir) for the --sf flag
+SF_CONFIGS = {
+    "0.01": (GOOD_LOG, "/root/testdata/sf0.01"),
+    "1": (os.path.join(_TOOLS_DIR, "good_query_log_sf1.json"),
+          os.path.join(os.path.dirname(_TOOLS_DIR), "testdata_sf1")),
+}
 
 
 def result_checksum(sdf) -> tuple[str, int, list[str]]:
@@ -69,6 +80,15 @@ def main() -> int:
     store = "--store" in argv
     if store:
         argv.remove("--store")
+    sf = "0.01"
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if sf not in SF_CONFIGS:
+            print(f"--sf {sf}: no committed good log; known: "
+                  f"{sorted(SF_CONFIGS)}")
+            return 2
     update: list[str] = []
     if "--update" in argv:
         i = argv.index("--update")
@@ -76,14 +96,16 @@ def main() -> int:
         argv = argv[:i]
     only = set(argv or update) or None
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    good_log, default_dir = SF_CONFIGS[sf]
+    sf_dir = (os.environ.get("SPARK_GRAFT_SF_DIR", default_dir)
+              if sf == "0.01" else default_dir)
 
     good: dict[str, dict] = {}
-    if os.path.exists(GOOD_LOG):
-        with open(GOOD_LOG) as fh:
+    if os.path.exists(good_log):
+        with open(good_log) as fh:
             good = json.load(fh)
     elif not store:
-        print(f"good log {GOOD_LOG} missing — storing it (first run)")
+        print(f"good log {good_log} missing — storing it (first run)")
         store = True
 
     from lapis_silo_spark.session import get_spark
@@ -136,10 +158,10 @@ def main() -> int:
                 out.pop(name, None)
 
     if store or update or fresh:
-        with open(GOOD_LOG, "w") as fh:
+        with open(good_log, "w") as fh:
             json.dump(dict(sorted(out.items())), fh, indent=1)
             fh.write("\n")
-        print(f"wrote {GOOD_LOG} ({len(out)} entries)")
+        print(f"wrote {good_log} ({len(out)} entries)")
 
     n_checked = len([n for n in queries if not only or n in only])
     print(f"\n{n_checked - len(drift) - len(errors)}/{n_checked} stable"
