@@ -108,12 +108,23 @@ def _fit_centroids(
     iterations: int,
     centroid_decimals: int,
     distance_decimals: int,
+    base: DataFrame | None = None,
 ):
     """The Lloyd loop shared by :func:`kmeans_assign` and
-    :func:`kmeans_centroids`; returns the final (k × dim) numpy matrix."""
-    centroids = _init_centroids(df, id_col, vec_col, k, centroid_decimals)
+    :func:`kmeans_centroids`; returns the final (k × dim) numpy matrix.
+
+    ``base`` lets a caller hand in an already-persisted ``(id, vec)``
+    projection: every iteration (and the seed collect) is a separate Spark
+    action over the same vectors, so without a cache the scan + cast
+    pipeline recomputes ``iterations + 1`` times (guide §5 — reuse ×
+    recompute-cost; round 11). When ``base`` is None the projection is
+    persisted here for the loop and released before returning.
+    """
+    owns_cache = base is None
     vec = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    if base is None:
+        base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    centroids = _init_centroids(base, "id", "vec", k, centroid_decimals)
 
     for _ in range(iterations):
         assigned = base.withColumn(
@@ -137,6 +148,8 @@ def _fit_centroids(
         for r in updates:
             new_c[r["cluster"], r["dim"]] = r["val"]
         centroids = _round_half_away(new_c, centroid_decimals)
+    if owns_cache:
+        base.unpersist()
     return centroids
 
 
@@ -155,18 +168,23 @@ def kmeans_assign(
     assignment under the resulting centroids. An emptied cluster keeps its
     previous centroid (it can re-acquire points later).
     """
+    from lapis_silo_spark.cache import scoped_persist
+
     vec = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), vec.alias("vec"))
+    # one cache serves the seed collect, every Lloyd iteration, AND the
+    # final assignment scan; scoped to the result's lifetime
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _fit_centroids(
         df, id_col, vec_col, k, iterations, centroid_decimals,
-        distance_decimals,
+        distance_decimals, base=base,
     )
-    return base.select(
+    out = base.select(
         "id",
         _assign_col(centroids, distance_decimals)(F.col("vec")).alias(
             "cluster"
         ),
     )
+    return scoped_persist(base, out)
 
 
 def kmeans_centroids(
@@ -226,10 +244,22 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    assign = kmeans_assign(df, id_col, vec_col, k, iterations)
+    from lapis_silo_spark.cache import scoped_persist
+
     vec = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).join(
-        assign, on="id"
+    # Attach the assignment INLINE under the trained codebook instead of
+    # joining kmeans_assign's (id, cluster) output back by id: the join
+    # shuffled both sides of the same scan just to re-pair each row with
+    # its own cluster column (2 exchanges + a second corpus pass, measured
+    # round 11). Same values by construction — kmeans_assign's output IS
+    # base.select(id, _assign_col(centroids)(vec)). The cache serves the
+    # seed collect, the Lloyd iterations, and the final grouped scan.
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    centroids = _fit_centroids(
+        df, id_col, vec_col, k, iterations, 6, 9, base=base,
+    )
+    grouped = base.withColumn(
+        "cluster", _assign_col(centroids, 9)(F.col("vec"))
     )
 
     out_schema = T.StructType([
@@ -263,8 +293,11 @@ def semdedup(
             "pruned": pruned,
         })
 
-    return base.groupBy("cluster").applyInPandas(
-        prune_cluster, schema=out_schema
+    return scoped_persist(
+        base,
+        grouped.groupBy("cluster").applyInPandas(
+            prune_cluster, schema=out_schema
+        ),
     )
 
 

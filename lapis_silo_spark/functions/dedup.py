@@ -1217,6 +1217,12 @@ def incremental_minhash_dedup(
     new_state = minhash_band_state(
         new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
     )
+    # NOTE(round 11): persisting new_state/base_state here was measured a
+    # WASH at bench scale and +14 jobs — the plan's 20 ReusedExchange nodes
+    # already share the id-keyed signature aggregation across the band,
+    # occupancy, and verify branches, so the cache only added
+    # materialization barriers (guide §1: measure before caching; §5 —
+    # cache only when reuse × recompute-cost beats the memory pressure).
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
@@ -1400,16 +1406,18 @@ def _min_label_propagation(
     and the fast path skips the both-directions/distinct expansion
     entirely (union-find is undirected and duplicate-tolerant).
     """
-    from lapis_silo_spark.cache import checkpoint_tracked
+    from lapis_silo_spark.cache import _CacheGuard, checkpoint_tracked
 
     raw = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
-    # one checkpoint materializes the (possibly expensive) pair pipeline
-    # for BOTH the bounded probe-fetch and, on fallback, every round
-    raw_cp, raw_guard = checkpoint_tracked(raw)
 
     limit = CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
     if limit:
-        pdf = raw_cp.limit(limit + 1).toPandas()  # probe + fetch, one job
+        # probe + fetch straight off the pair pipeline — ONE job, no
+        # checkpoint write (round 11: the former checkpoint-then-fetch
+        # spent an extra eager job + an RDD materialization on the fast
+        # path's only large input; the pair stages' own scoped sig/vec
+        # caches materialize here and serve the rare fallback recompute)
+        pdf = raw.limit(limit + 1).toPandas()
         if len(pdf) <= limit:
             from pyspark.sql import types as T
 
@@ -1433,15 +1441,19 @@ def _min_label_propagation(
             untouched = ids.join(
                 touched_labels.select("id"), "id", "left_anti"
             ).select("id", F.col("id").alias("label"))
-            # one checkpointed leaf, exactly like the loop's return shape,
-            # so the caller's multi-reference consumption (sizes agg +
-            # join) does not recompute the anti-join
-            final, final_guard = checkpoint_tracked(
-                touched_labels.union(untouched)
-            )
-            raw_guard.release()
-            return final, final_guard
+            # LAZY persist, not an eager checkpoint: the fast-path lineage
+            # is shallow (LocalRelation + one anti-join), so plan-size
+            # truncation is moot — the cache just stops the caller's
+            # multi-reference consumption (sizes agg + join) recomputing
+            # the anti-join, without paying a separate materialization job
+            final = touched_labels.union(untouched).persist()
+            return final, _CacheGuard(final)
 
+    # fallback (edge list above the driver bound, or probe disabled):
+    # one checkpoint materializes the pair pipeline for every round —
+    # recomputing it once here is the price of the probe-first fast path,
+    # paid only when the edge list is genuinely propagation-sized
+    raw_cp, raw_guard = checkpoint_tracked(raw)
     fwd = raw_cp
     rev = raw_cp.select(F.col("v").alias("u"), F.col("u").alias("v"))
     edges, edges_guard = checkpoint_tracked(fwd.union(rev).distinct())
@@ -1767,6 +1779,12 @@ def embedding_dedup_clusters(
     )
 
     if method == "blocked":
+        # the blocked path reads rep_docs twice — the n_blocks-sizing count
+        # and the replicated pair stage — and its lineage is the vector-wide
+        # groupBy + semi-join; persist so the dedup agg runs once (round 11;
+        # O(distinct vectors) rows, same footprint the pair stage already
+        # holds). Guard scoped to the result with rep_map's below.
+        rep_docs = rep_docs.persist()
         pairs = embedding_near_dup_pairs_blocked(
             rep_docs, "id", "vec", threshold=threshold,
             block_rows=block_rows, n_blocks=n_blocks,
@@ -1808,7 +1826,10 @@ def embedding_dedup_clusters(
     # rep_map is read twice (rep_ids seed + the final component join) and
     # its lineage is the vector-wide groupBy + join — persist the narrow
     # (id, rep_id) table for the result's lifetime so the wide agg runs once
-    return scoped_persist(rep_map, result)
+    result = scoped_persist(rep_map, result)
+    if rep_docs.is_cached:
+        result = scoped_persist(rep_docs, result)
+    return result
 
 
 # ---------------------------------------------------------------------------
