@@ -1851,3 +1851,61 @@ def test_near_dup_contaminated_band_cap(spark):
     assert capped <= uncapped
     assert 500 in capped            # cold-band leak survives the cap
     assert not any(i in capped for i in range(1, 40))  # hot slice skipped
+
+
+def test_minhash_signatures_arrow_matches_expression_path(spark):
+    """The md5-family Arrow fast path (_minhash_signatures_arrow) must be
+    bit-identical to the expression pipeline it replaced (round 11,
+    guide §4): same shingling (trim = ASCII space only, Java-\\s whitespace
+    collapse, the greatest(..,1) short-text guard), same md5-derived hash,
+    same permutation mins. Pinned on the real corpus plus the edge shapes:
+    NULL text (an all-null sig row, matching char_shingles(null) -> [null]),
+    empty text (one ''-shingle), shorter-than-k text
+    (one truncated shingle), tab/newline whitespace, and string ids."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "ab"),
+            (9004, "  A\tB\nC  "),
+            (9005, " " * 7),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.unionAll(edge)
+
+    fast = {
+        r["id"]: r["sig"]
+        for r in dedup._minhash_signatures_arrow(
+            both, "doc_id", "text", 64, 5
+        ).collect()
+    }
+    # the expression path, forced via a non-hash32-identity wrapper that
+    # computes the SAME md5 hash (hash_fn identity check routes on object)
+    slow = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(
+            both, "doc_id", "text", 64, 5,
+            hash_fn=lambda c: dedup.hash32(c),
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[9001] == [None] * 64 and 9002 in fast and 9003 in fast
+
+    # string-id corpus takes the same path
+    sdocs = both.filter(F.col("text").isNotNull()).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    sfast = {
+        r["id"]: r["sig"]
+        for r in dedup._minhash_signatures_arrow(
+            sdocs, "doc_id", "text", 16, 5
+        ).collect()
+    }
+    assert set(sfast) == {"d" + str(k) for k in fast if k != 9001}
