@@ -851,8 +851,13 @@ def embedding_near_dup_pairs_blocked(
     pair of its members' block ids), so no dropDuplicates pass is needed.
     The diagonal task (bi == bj) keeps only the upper triangle by id.
 
-    ``n_blocks`` defaults to ``ceil(count / block_rows)`` (one count job);
-    pass it explicitly to skip the count, e.g. from a known corpus size.
+    ``n_blocks`` defaults to the stricter of ``ceil(count / block_rows)``
+    (the per-task memory bound) and a parallelism target of ~2× the
+    cluster's cores worth of block-pair tasks, floored at ~128 rows per
+    block (one count job; blocking never changes the output — every
+    unordered pair is computed in exactly one task under any blocking).
+    Pass ``n_blocks`` explicitly to skip the count, e.g. from a known
+    corpus size.
     At true 100 TB scale prefer :func:`lapis_silo_spark.functions.
     similarity.lsh_candidate_pairs` — banded buckets avoid the n² compare
     entirely; this function is for when EXACT recall is required.
@@ -890,7 +895,22 @@ def embedding_near_dup_pairs_blocked(
                 f"for the scale path."
             )
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(n / block_rows))
+        # Two constraints, take the stricter (round 11, guide §2.4
+        # stragglers): ceil(n / block_rows) bounds PER-TASK MEMORY, but on
+        # a corpus smaller than one block it yields n_blocks = 1 — the
+        # whole matmul serializes into a single applyInPandas task
+        # (measured: one 2.9 s straggler task inside dedup_embedding_
+        # clusters at sf0.1 while 31 cores idled). Blocking is
+        # result-invariant (every unordered pair lands in exactly one
+        # task either way), so also split for PARALLELISM: ~2× the
+        # cluster's cores worth of grid tasks (nb(nb+1)/2 tasks), floored
+        # so tiny inputs don't shatter into sub-128-row blocks where
+        # per-task overhead dominates.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        nb_mem = math.ceil(n / block_rows)
+        nb_par = math.ceil(math.sqrt(4 * par))
+        nb_floor = max(1, n // 128)
+        n_blocks = max(nb_mem, min(nb_par, nb_floor), 1)
 
     base = _spread(
         df,
