@@ -123,7 +123,15 @@ def _fit_centroids(
     owns_cache = base is None
     vec = F.col(vec_col).cast("array<double>")
     if base is None:
-        base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+        from lapis_silo_spark.functions.dedup import _spread
+
+        # _spread: a single-file scan otherwise caches as ONE partition and
+        # every Lloyd iteration's assign + posexplode + partial-avg stage
+        # runs as a single 1-task job (measured ~1 s/iteration serialized
+        # inside ann_ivfpq_topk while 31 cores idled; round 11, guide §2.4)
+        base = _spread(
+            df, F.col(id_col).alias("id"), vec.alias("vec")
+        ).persist()
     centroids = _init_centroids(base, "id", "vec", k, centroid_decimals)
 
     for _ in range(iterations):
@@ -169,11 +177,13 @@ def kmeans_assign(
     previous centroid (it can re-acquire points later).
     """
     from lapis_silo_spark.cache import scoped_persist
+    from lapis_silo_spark.functions.dedup import _spread
 
     vec = F.col(vec_col).cast("array<double>")
     # one cache serves the seed collect, every Lloyd iteration, AND the
-    # final assignment scan; scoped to the result's lifetime
-    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    # final assignment scan; scoped to the result's lifetime. _spread so a
+    # single-file scan doesn't serialize every Lloyd stage into one task.
+    base = _spread(df, F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _fit_centroids(
         df, id_col, vec_col, k, iterations, centroid_decimals,
         distance_decimals, base=base,
@@ -253,8 +263,11 @@ def semdedup(
     # its own cluster column (2 exchanges + a second corpus pass, measured
     # round 11). Same values by construction — kmeans_assign's output IS
     # base.select(id, _assign_col(centroids)(vec)). The cache serves the
-    # seed collect, the Lloyd iterations, and the final grouped scan.
-    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    # seed collect, the Lloyd iterations, and the final grouped scan;
+    # _spread keeps those stages partition-parallel off a single-file scan.
+    from lapis_silo_spark.functions.dedup import _spread
+
+    base = _spread(df, F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _fit_centroids(
         df, id_col, vec_col, k, iterations, 6, 9, base=base,
     )

@@ -502,6 +502,16 @@ def minhash_lsh_pairs(
     # output SQL-oracle-reproducible (the registered correctness query does).
     sig = minhash_signatures(df, id_col, text_col, n_perms, k,
                              hash_fn=hash_fn or hash32_fast)
+    # EAGER cache fill (round 11): the signature producer is now a NARROW
+    # zero-shuffle op (mapInPandas on the md5 path), so nothing forces a
+    # single materialization before AQE launches the band-side, hot-bucket
+    # and verification stages CONCURRENTLY — each racing stage found a cold
+    # cache and recomputed signatures (measured: up to 10 duplicate ~1.2-
+    # 1.7 s signature stages inside one minhash_dedup_clusters action).
+    # One count() fills the cache in one job; every downstream stage then
+    # reads it.
+    sig = sig.persist()
+    sig.count()
     # The band self-join references this subplan on BOTH sides; without a
     # materialized cache Spark computes the whole shingle-hash aggregation
     # twice. Signatures are n_perms longs/doc — tiny next to the text they
