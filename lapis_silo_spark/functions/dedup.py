@@ -69,10 +69,23 @@ def _spread(df: DataFrame, *cols: Column) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         files = []
-    # repartition only a KNOWN-narrow file scan; [] = non-file-backed input
-    # whose partitioning we should not second-guess
+    # repartition a KNOWN-narrow file scan outright
     if files and len(files) < max(2, n // 2):
         return out.repartition(n)
+    if not files:
+        # Non-file-backed input (e.g. a persisted projection): a small
+        # single-file scan CACHES as one partition, and every heavy stage
+        # built on it — signature mapInPandas, Lloyd iterations — then
+        # runs as a 1-task straggler (measured: the eager sig count inside
+        # pipeline_curation_near_dup spent 2.2 s on one task; round 11,
+        # guide §2.4). The RDD partition count is known without running a
+        # job; spread only when it is clearly narrower than the cluster.
+        try:
+            parts = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — partitioning unknowable, keep
+            return out
+        if parts < max(2, n // 2):
+            return out.repartition(n)
     return out
 
 
