@@ -294,7 +294,10 @@ def minhash_signatures(
     With the default ``hash_fn`` (:func:`hash32`, md5-derived and DuckDB
     oracle-able) signatures come from :func:`_minhash_signatures_arrow` —
     one Arrow-batched pass per partition, zero shuffle, bit-identical
-    values. Any other ``hash_fn`` runs the expression pipeline: explode
+    values. :func:`hash32_fast` routes through the same Arrow pass with a
+    pure-Python XXH64 (bit-parity with Spark's ``xxhash64`` seed-42 string
+    hash is test-pinned across lengths 0-100 and multibyte UTF-8). Any
+    other ``hash_fn`` runs the expression pipeline: explode
     shingles → hash each shingle ONCE → ``n_perms`` min-aggregates (one per
     permutation) → pack into an array; each hash is computed exactly once,
     the mins combine map-side (partial aggregation), and the single shuffle
@@ -303,6 +306,10 @@ def minhash_signatures(
     """
     if hash_fn is hash32:
         return _minhash_signatures_arrow(df, id_col, text_col, n_perms, k)
+    if hash_fn is hash32_fast:
+        return _minhash_signatures_arrow(
+            df, id_col, text_col, n_perms, k, hasher="xx32"
+        )
     exploded = (
         _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .select("id", F.explode(char_shingles("_t", k)).alias("sh"))
@@ -325,8 +332,74 @@ def minhash_signatures(
     )
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_32(data: bytes, seed: int = 42) -> int:
+    """Low 32 bits of Spark's ``xxhash64`` (XXH64, seed 42) over ``data``
+    — the Python twin of :func:`hash32_fast` (``pmod(xxhash64(s), 2^32)``
+    of a signed long equals the unsigned hash's low 32 bits since
+    2^64 ≡ 0 mod 2^32). Bit-parity with the JVM is pinned in
+    ``tests/test_functions.py`` across lengths (incl. the >= 32-byte
+    accumulator loop) and multibyte UTF-8."""
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M64
+        v2 = (seed + _XXH_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXH_P1) & _M64
+        while i + 32 <= n:
+            k1 = int.from_bytes(data[i:i + 8], "little")
+            v1 = (rotl((v1 + k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            k1 = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (rotl((v2 + k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            k1 = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (rotl((v3 + k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            k1 = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (rotl((v4 + k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            h = ((h * _XXH_P1) + _XXH_P4) & _M64
+    else:
+        h = (seed + _XXH_P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k1 = int.from_bytes(data[i:i + 8], "little")
+        k1 = (rotl((k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+        h ^= k1
+        h = ((rotl(h, 27) * _XXH_P1) + _XXH_P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _M64
+        h = ((rotl(h, 23) * _XXH_P2) + _XXH_P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _M64
+        h = (rotl(h, 11) * _XXH_P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h & 0xFFFFFFFF
+
+
 def _minhash_signatures_arrow(
-    df: DataFrame, id_col: str, text_col: str, n_perms: int, k: int
+    df: DataFrame, id_col: str, text_col: str, n_perms: int, k: int,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Arrow-batched signature computation for the md5 (:func:`hash32`)
     family — bit-identical to the expression path, measured ~3× faster and
@@ -362,12 +435,22 @@ def _minhash_signatures_arrow(
     )
     base = _spread(df, F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     prime, b_mult, n, kk = MINHASH_PRIME, MINHASH_B_MULT, n_perms, k
+    use_md5 = hasher == "md5"
 
     def gen(it):
         import hashlib
         import re
 
         import numpy as np
+
+        if use_md5:
+            def sh_hash(s):
+                return int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+                )
+        else:
+            def sh_hash(s):
+                return _xxh64_32(s.encode("utf-8"))
 
         ws = re.compile(r"[\t\n\x0b\f\r ]+")
         a_mul = np.arange(n, dtype=np.uint64) * 2 + 1
@@ -376,25 +459,31 @@ def _minhash_signatures_arrow(
             ids, sigs = [], []
             for i, txt in zip(pdf["id"], pdf["_t"]):
                 if txt is None:
-                    # the expression path emits (id, [null]*n) for NULL
-                    # text: char_shingles(null) -> [null] -> null hash ->
-                    # null mins. Replicate exactly (these rows are inert
-                    # downstream: concat_ws skips nulls in band hashes and
-                    # the zip_with verification scores them 0).
+                    # Replicate the expression path exactly per family:
+                    # char_shingles(null) -> [null]; md5(null) is null, so
+                    # the md5 family emits (id, [null]*n) (inert downstream:
+                    # concat_ws skips nulls in band hashes, zip_with scores
+                    # them 0). xxhash64(null) is the SEED (42) — hash
+                    # expressions skip null inputs — so the fast family
+                    # emits the permutation mins of the single hash 42.
+                    if use_md5:
+                        ids.append(i)
+                        sigs.append([None] * n)
+                        continue
+                    hs = np.array([42], dtype=np.uint64)
+                    mins = (
+                        (hs[None, :] * a_mul[:, None] + b_add[:, None])
+                        % prime
+                    ).min(axis=1)
                     ids.append(i)
-                    sigs.append([None] * n)
+                    sigs.append(mins.astype("int64"))
                     continue
                 t = ws.sub(" ", txt.strip(" ")).lower()
                 shingles = {
                     t[j: j + kk] for j in range(max(len(t) - (kk - 1), 1))
                 }
                 hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
-                        )
-                        for s in shingles
-                    ),
+                    (sh_hash(s) for s in shingles),
                     dtype=np.uint64,
                     count=len(shingles),
                 )

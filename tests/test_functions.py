@@ -1909,3 +1909,41 @@ def test_minhash_signatures_arrow_matches_expression_path(spark):
         ).collect()
     }
     assert set(sfast) == {"d" + str(k) for k in fast if k != 9001}
+
+
+def test_minhash_signatures_arrow_xx32_matches_expression_path(spark):
+    """The xx32 Arrow fast path must be bit-identical to the expression
+    pipeline with hash32_fast — including the null-text quirk (xxhash64 of
+    a NULL input is the SEED, so the fast family's null-text sig is the
+    permutation mins of hash 42, not all-null) and the >= 32-byte / UTF-8
+    multibyte XXH64 code paths (long shingle via k=40)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "ab"),
+            (9004, "  A\tB\nC  "),
+            (9005, "héllo wörld 日本語テキスト mixed œuvre " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.unionAll(edge)
+    for kk in (5, 40):
+        fast = {
+            r["id"]: r["sig"]
+            for r in dedup._minhash_signatures_arrow(
+                both, "doc_id", "text", 16, kk, hasher="xx32"
+            ).collect()
+        }
+        slow = {
+            r["id"]: r["sig"]
+            for r in dedup.minhash_signatures(
+                both, "doc_id", "text", 16, kk,
+                hash_fn=lambda c: dedup.hash32_fast(c),
+            ).collect()
+        }
+        assert fast == slow, f"k={kk}"
+        assert fast[9001] is not None and None not in fast[9001]
