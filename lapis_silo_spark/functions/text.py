@@ -258,6 +258,12 @@ def gram_novelty(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
+    # One gram-keyed exchange feeds BOTH consumers (the first-occurrence
+    # agg and the join probe): without it each branch recomputes the whole
+    # gram map stage — word_ngrams' higher-order functions are interpreted
+    # and dominate this query (2 × ~1.9 s at sf0.1; round 11, guide §2.1).
+    # The join then needs no further shuffle on either side.
+    exploded = exploded.repartition("gram")
     base = docs.select(F.col(id_col).alias("id"))
     firsts = exploded.groupBy("gram").agg(F.min("id").alias("first_id"))
     per_doc = (
