@@ -123,15 +123,15 @@ def _fit_centroids(
     owns_cache = base is None
     vec = F.col(vec_col).cast("array<double>")
     if base is None:
-        from lapis_silo_spark.functions.dedup import _spread
-
-        # _spread: a single-file scan otherwise caches as ONE partition and
-        # every Lloyd iteration's assign + posexplode + partial-avg stage
-        # runs as a single 1-task job (measured ~1 s/iteration serialized
-        # inside ann_ivfpq_topk while 31 cores idled; round 11, guide §2.4)
-        base = _spread(
-            df, F.col(id_col).alias("id"), vec.alias("vec")
-        ).persist()
+        # NOT _spread (round 11 A/B): repartitioning the narrow (id, vec)
+        # projection to defaultParallelism before the loop measured WORSE —
+        # ann_ivfpq_topk 7.2 s vs 4.4 s, cluster_kmeans_assign 2.9 vs 1.8 —
+        # because each Lloyd iteration became 32 tiny pandas-UDF tasks
+        # (per-task Arrow/python overhead) plus a repartition exchange,
+        # while the 1-task stage it replaced only exists when the scan is
+        # SMALL (a single parquet split); a 100 TB input scans wide on its
+        # own. Keep the projection's natural partitioning.
+        base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _init_centroids(base, "id", "vec", k, centroid_decimals)
 
     for _ in range(iterations):
@@ -177,13 +177,12 @@ def kmeans_assign(
     previous centroid (it can re-acquire points later).
     """
     from lapis_silo_spark.cache import scoped_persist
-    from lapis_silo_spark.functions.dedup import _spread
 
     vec = F.col(vec_col).cast("array<double>")
     # one cache serves the seed collect, every Lloyd iteration, AND the
-    # final assignment scan; scoped to the result's lifetime. _spread so a
-    # single-file scan doesn't serialize every Lloyd stage into one task.
-    base = _spread(df, F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    # final assignment scan; scoped to the result's lifetime (natural
+    # partitioning — see the _fit_centroids A/B note)
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _fit_centroids(
         df, id_col, vec_col, k, iterations, centroid_decimals,
         distance_decimals, base=base,
@@ -263,11 +262,9 @@ def semdedup(
     # its own cluster column (2 exchanges + a second corpus pass, measured
     # round 11). Same values by construction — kmeans_assign's output IS
     # base.select(id, _assign_col(centroids)(vec)). The cache serves the
-    # seed collect, the Lloyd iterations, and the final grouped scan;
-    # _spread keeps those stages partition-parallel off a single-file scan.
-    from lapis_silo_spark.functions.dedup import _spread
-
-    base = _spread(df, F.col(id_col).alias("id"), vec.alias("vec")).persist()
+    # seed collect, the Lloyd iterations, and the final grouped scan
+    # (natural partitioning — see the _fit_centroids A/B note).
+    base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
     centroids = _fit_centroids(
         df, id_col, vec_col, k, iterations, 6, 9, base=base,
     )
