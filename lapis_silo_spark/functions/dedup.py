@@ -2080,9 +2080,28 @@ def _gram_dup_occurrences(
       sort inside ONE task (windows are not skew-splittable), so reserve
       it for corpora known to be boilerplate-free.
     """
+    occ = _gram_occurrences_arrow(docs, id_col, text_col, k)
+    return _non_canonical_occurrences(occ, k, skew_safe)
+
+
+def _gram_occurrences_expr(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Expression-path word-gram occurrence table ``(id, pos, gh)`` —
+    retained as the semantics reference the Arrow producer is test-pinned
+    against (``tests/test_substring_dedup.py``).
+
+    NOT the default production path (round 11): Catalyst collapses the
+    ``_t`` projection through the Generate, so ``split(lower(regexp_
+    replace(trim(text))))`` re-evaluates PER EXPLODED ROW — O(len) text
+    work × O(len) positions = O(len²) per document (the formatted plan
+    shows the full split chain inside the post-Generate Filter AND
+    Project). Measured 3.8-4.1 s noop wall at sf0.1 vs 0.5-0.7 s for the
+    Arrow pass, identical output multiset.
+    """
     toks = tokens(text_col)
     n = F.size(toks)
-    occ = docs.select(
+    return docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.when(
@@ -2100,7 +2119,90 @@ def _gram_dup_occurrences(
             F.md5(F.array_join(F.slice(F.col("_t"), F.col("pos"), k), " "))
         ).alias("gh"),
     )
-    return _non_canonical_occurrences(occ, k, skew_safe)
+
+
+def _gram_occurrences_arrow(
+    docs: DataFrame, id_col: str, text_col: str, k: int,
+    char_level: bool = False,
+) -> DataFrame:
+    """Arrow-batched gram-occurrence production ``(id, pos, gh)`` for the
+    substring-span family — one zero-shuffle ``mapInPandas`` pass per input
+    partition (guide §4), bit-identical to the expression path and ~5×
+    faster (round 11).
+
+    Word mode replicates ``tokens()`` exactly as the minhash Arrow pass
+    does (ASCII-space-only ``trim``, Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``
+    collapse, lowercase, single-space split — multibyte parity pinned by
+    the sig-path tests); gram = ``md5(' '.join(tokens[p:p+k]))``, emitted
+    for 1-based positions 1..n_tokens-k+1. Char mode hashes raw-text
+    slices ``md5(text[p:p+k])`` (no normalization — same as the expression
+    twin; Python slicing and Spark ``substr`` both count code points).
+    NULL text and texts with fewer than ``k`` tokens/chars emit no rows,
+    matching the expression path's ``when(n >= k, sequence(..))`` guard.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("gh", T.BinaryType()),
+        ]
+    )
+    base = _spread(
+        docs, F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
+    kk, char_mode = k, char_level
+
+    def gen(it):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[\t\n\x0b\f\r ]+")
+        md5 = hashlib.md5
+        for pdf in it:
+            ids, poss, ghs = [], [], []
+            for i, txt in zip(pdf["id"], pdf["_txt"]):
+                if txt is None:
+                    continue
+                if char_mode:
+                    m = len(txt) - (kk - 1)
+                    enc = txt.encode("utf-8")
+                    if len(enc) == len(txt):
+                        # pure-ASCII fast path: byte offsets == char offsets
+                        for p in range(m):
+                            ids.append(i)
+                            poss.append(p + 1)
+                            ghs.append(md5(enc[p: p + kk]).digest())
+                    else:
+                        for p in range(m):
+                            ids.append(i)
+                            poss.append(p + 1)
+                            ghs.append(
+                                md5(txt[p: p + kk].encode("utf-8")).digest()
+                            )
+                else:
+                    t = ws.sub(" ", txt.strip(" ")).lower()
+                    tk = t.split(" ")
+                    m = len(tk) - (kk - 1)
+                    for p in range(m):
+                        ids.append(i)
+                        poss.append(p + 1)
+                        ghs.append(
+                            md5(" ".join(tk[p: p + kk]).encode("utf-8"))
+                            .digest()
+                        )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "gh": ghs,
+                }
+            )
+
+    return base.mapInPandas(gen, out_schema)
 
 
 def _non_canonical_occurrences(
@@ -2141,9 +2243,28 @@ def _char_gram_dup_occurrences(
     character resolution; everything shuffled is still ``(id, pos,
     16-byte gh)``, never the text.
     """
+    # Expression path, NOT the Arrow producer (round-11 A/B at sf1): char
+    # occurrence volume is O(chars) — ~8x the word form — and at that
+    # volume the Python-boundary serialization of the (id, pos, gh) table
+    # dominates: full-query sf1 wall 16.7 s (expr, stable) vs 24-114 s
+    # (Arrow, GC/memory-pressure swings). The expr path's per-row text
+    # carry is a memcpy, not the word form's per-row split re-evaluation,
+    # so the O(len^2) collapse that justified Arrow for word grams does
+    # not bite here. At sf0.1 the two are within ~0.6 s of each other.
+    occ = _char_gram_occurrences_expr(docs, id_col, text_col, k)
+    return _non_canonical_occurrences(occ, k, skew_safe)
+
+
+def _char_gram_occurrences_expr(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Expression-path char-gram occurrence table — the semantics reference
+    for the Arrow producer (see :func:`_gram_occurrences_expr`: the carried
+    ``_s`` text column is copied into every exploded row's UnsafeRow, an
+    O(len²) bytes-materialized cost the Arrow pass avoids)."""
     t = F.col(text_col)
     n = F.length(t)
-    occ = docs.select(
+    return docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.when(
@@ -2156,7 +2277,6 @@ def _char_gram_dup_occurrences(
         "pos",
         F.unhex(F.md5(F.col("_s").substr(F.col("pos"), F.lit(k)))).alias("gh"),
     )
-    return _non_canonical_occurrences(occ, k, skew_safe)
 
 
 def _merged_spans(dups: DataFrame) -> DataFrame:

@@ -185,3 +185,49 @@ def test_chunk_windows_plan_has_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "posexplode" in plan
+
+
+def test_gram_occurrences_arrow_matches_expression_path(spark):
+    """The Arrow gram producer (round 11) must emit the exact occurrence
+    multiset of the expression path it replaced, for BOTH word and char
+    modes, across the edge cases the expression guards encode: NULL text,
+    empty string, whitespace-only, shorter-than-k, untrimmed \\t/\\n
+    whitespace, uppercase (normalization), and multibyte UTF-8."""
+    from lapis_silo_spark.functions.dedup import (
+        _char_gram_occurrences_expr,
+        _gram_occurrences_arrow,
+        _gram_occurrences_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "a b"),
+            (6, "\tA  b\nC d\x0be f\r g h"),
+            (7, "héllo wörld héllo wörld héllo wörld"),
+            (8, "日本語 テキスト 日本語 テキスト 日本語"),
+            (9, " leading and trailing  spaces   collapse here too "),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def multiset(df):
+        return sorted(
+            (r["id"], r["pos"], bytes(r["gh"]).hex())
+            for r in df.collect()
+        )
+
+    for k in (2, 3):
+        exp = multiset(_gram_occurrences_expr(docs, "doc_id", "text", k))
+        arr = multiset(_gram_occurrences_arrow(docs, "doc_id", "text", k))
+        assert arr == exp and len(exp) > 0, f"word k={k}"
+
+    for k in (3, 5):
+        exp = multiset(_char_gram_occurrences_expr(docs, "doc_id", "text", k))
+        arr = multiset(
+            _gram_occurrences_arrow(docs, "doc_id", "text", k, char_level=True)
+        )
+        assert arr == exp and len(exp) > 0, f"char k={k}"
