@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lapis_silo_spark.functions.text import word_ngrams
+from lapis_silo_spark.functions.text import word_ngram_rows
 
 
 def eval_ngram_table(
@@ -27,7 +27,7 @@ def eval_ngram_table(
 ) -> DataFrame:
     """Distinct word n-grams of the evaluation set (column ``gram``)."""
     return (
-        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        word_ngram_rows(eval_df, [], text_col, n)
         .distinct()
     )
 
@@ -42,8 +42,8 @@ def contaminated_docs(
     """Per contaminated training doc: ``(id_col, hits)`` where ``hits`` is the
     number of distinct eval n-grams it contains (> 0 rows only)."""
     grams = eval_ngram_table(eval_df, text_col, n)
-    train_grams = train_df.select(
-        id_col, F.explode(word_ngrams(text_col, n)).alias("gram")
+    train_grams = word_ngram_rows(
+        train_df, [(id_col, F.col(id_col))], text_col, n
     )
     # Join BEFORE deduplicating: the broadcast join is map-side, so only the
     # grams that actually hit the eval set ever reach a shuffle — at corpus
@@ -85,9 +85,8 @@ def contaminated_docs_bloom(
     bloom = bloom_build(
         eval_ngram_table(eval_df, text_col, n), "gram", n_words, n_hashes
     )
-    train_grams = train_df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    train_grams = word_ngram_rows(
+        train_df, [("id", F.col(id_col))], text_col, n, distinct=True
     )
     probed = bloom_probe(train_grams, "id", "gram", bloom, n_words, n_hashes)
     return probed.groupBy("id").agg(
@@ -115,9 +114,8 @@ def containment_scores(
     zero-hit docs score 0.0 instead of disappearing.
     """
     grams = eval_ngram_table(eval_df, text_col, n)
-    train_grams = train_df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    train_grams = word_ngram_rows(
+        train_df, [("id", F.col(id_col))], text_col, n, distinct=True
     )
     per_doc = train_grams.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams")

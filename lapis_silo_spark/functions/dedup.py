@@ -135,11 +135,9 @@ def duplicate_passages(
     n-gram-building expression so the Generate remains inside whole-stage
     codegen (see BENCH_NOTES on ``text_gram_novelty``).
     """
-    from lapis_silo_spark.functions.text import word_ngrams
+    from lapis_silo_spark.functions.text import word_ngram_rows
 
-    grams = _spread(
-        df, F.col(id_col).alias("id"), F.col(text_col).alias("_t")
-    ).select("id", F.explode(word_ngrams("_t", n)).alias("gram"))
+    grams = word_ngram_rows(df, [("id", F.col(id_col))], text_col, n)
     per_doc = grams.groupBy("gram", "id").agg(F.count(F.lit(1)).alias("occ"))
     return (
         per_doc.groupBy("gram")

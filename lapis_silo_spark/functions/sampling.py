@@ -170,12 +170,11 @@ def _doc_gram_buckets(
     n_buckets: int,
 ) -> "DataFrame":
     """``(id, bucket)`` — one row per word-``ngram`` occurrence."""
-    from lapis_silo_spark.functions.text import word_ngrams
+    from lapis_silo_spark.functions.text import word_ngram_rows
 
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(text_col, ngram)).alias("_g"),
-    ).select("id", _gram_bucket32(F.col("_g"), n_buckets))
+    return word_ngram_rows(
+        docs, [("id", F.col(id_col))], text_col, ngram
+    ).select("id", _gram_bucket32(F.col("gram"), n_buckets))
 
 
 def dsir_importance_weights(
@@ -195,13 +194,12 @@ def dsir_importance_weights(
     O(n_buckets) state; nothing is collected."""
     from pyspark.sql.window import Window
 
-    from lapis_silo_spark.functions.text import word_ngrams
+    from lapis_silo_spark.functions.text import word_ngram_rows
 
     is_target = F.when(target, F.lit(1)).otherwise(F.lit(0))
-    grams = docs.select(
-        is_target.alias("_t"),
-        F.explode(word_ngrams(text_col, ngram)).alias("_g"),
-    ).select("_t", _gram_bucket32(F.col("_g"), n_buckets))
+    grams = word_ngram_rows(
+        docs, [("_t", is_target)], text_col, ngram
+    ).select("_t", _gram_bucket32(F.col("gram"), n_buckets))
     counts = grams.groupBy("bucket").agg(
         F.sum("_t").cast("bigint").alias("t_b"),
         F.sum(F.lit(1) - F.col("_t")).cast("bigint").alias("s_b"),

@@ -146,6 +146,87 @@ def word_ngrams(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def word_ngram_rows(
+    df,
+    cols: list,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = False,
+) -> "DataFrame":
+    """Arrow-batched replacement for
+    ``df.select(*cols, F.explode(word_ngrams(text_col, n)).alias("gram"))``
+    (and, with ``distinct=True``, the ``explode(array_distinct(...))``
+    form): one zero-shuffle ``mapInPandas`` pass per input partition.
+
+    Why not the expression form (round 11, guide §4): ``word_ngrams``'s
+    ``transform`` lambda re-evaluates its ``slice(split(normalized(text)))``
+    subtree PER ARRAY ELEMENT in interpreted mode — O(len) text work ×
+    O(len) windows = O(len²) per document. Measured on the sf0.1 corpus
+    (265 704 bigrams): 3.9 s noop wall for the expression pipeline vs
+    0.5-0.7 s for this pass, identical output multiset.
+
+    ``cols`` is a list of ``(alias, Column)`` passthroughs evaluated
+    JVM-side before the boundary (only those columns plus the text cross
+    it). Semantics replicated exactly and test-pinned
+    (``tests/test_text.py::test_word_ngram_rows_matches_expression_path``):
+    tokens are ``tokens()``'s ASCII-space-trim + Java-``\\s``-collapse +
+    lowercase + single-space split; documents with fewer than ``n`` tokens
+    emit nothing; a NULL text emits ONE empty-string gram (the expression
+    path's ``concat_ws`` over a null slice — load-bearing for value parity
+    with the committed oracles, do not "fix" it here).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lapis_silo_spark.functions.dedup import _spread
+
+    named = [(a, c) for a, c in cols]
+    base = _spread(
+        df, *[c.alias(a) for a, c in named],
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        .alias("_txt"),
+    )
+    passthrough = [f for f in base.schema.fields if f.name != "_txt"]
+    out_schema = T.StructType(
+        passthrough + [T.StructField("gram", T.StringType())]
+    )
+    names = [f.name for f in passthrough]
+    nn, want_distinct = n, distinct
+
+    def gen(it):
+        import re
+
+        ws = re.compile(r"[\t\n\x0b\f\r ]+")
+        for pdf in it:
+            out = {name: [] for name in names}
+            grams = []
+            passvals = [pdf[name] for name in names]
+            for row in zip(pdf["_txt"], *passvals):
+                txt = row[0]
+                if txt is None:
+                    gs = [""]
+                else:
+                    tk = ws.sub(" ", txt.strip(" ")).lower().split(" ")
+                    m = len(tk) - (nn - 1)
+                    if m < 1:
+                        continue
+                    if nn == 1:
+                        gs = tk
+                    else:
+                        gs = [
+                            " ".join(tk[p: p + nn]) for p in range(m)
+                        ]
+                if want_distinct:
+                    gs = list(dict.fromkeys(gs))
+                for name, v in zip(names, row[1:]):
+                    out[name].extend([v] * len(gs))
+                grams.extend(gs)
+            out["gram"] = grams
+            yield pd.DataFrame(out, columns=names + ["gram"])
+
+    return base.mapInPandas(gen, out_schema)
+
+
 def _run_length_char_stats(grams: Column) -> Column:
     """Fold a SORTED copy of ``grams`` into ``struct(top, dup)``:
 
@@ -248,15 +329,11 @@ def gram_novelty(
     corpus' total per-doc distinct-gram count, never pairwise. Returns
     ``(id, n_grams, novel_grams, novelty)``.
     """
-    # ONE select, explode inlined with the gram expression: codegen's
-    # subexpression elimination computes the token split once per row, and
-    # the Generate stays inside the whole-stage-codegen'd 32-wide stage.
-    # Staging the gram array through an intermediate Project attribute
-    # (two selects) measured 5× slower at sf0.1 — the explode stage fell
-    # out of codegen and serialized.
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    # Arrow gram production (round 11, guide §4): the expression form's
+    # word_ngrams transform re-evaluates the token split per array element
+    # (O(len²)/doc — see word_ngram_rows); one mapInPandas pass replaces it.
+    exploded = word_ngram_rows(
+        docs, [("id", F.col(id_col))], text_col, n, distinct=True
     )
     # One gram-keyed exchange feeds BOTH consumers (the first-occurrence
     # agg and the join probe): without it each branch recomputes the whole
