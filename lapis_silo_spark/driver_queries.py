@@ -898,17 +898,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions import text as ftext
 
     db = db_for(spark, sf_dir)
-    return (
-        Pipeline.scan(db, "documents")
-        .rebalance()
-        .map({
-            "top_bigram_frac":
-                F.round(ftext.top_ngram_char_fraction("text", 2), 6),
-            "dup_trigram_frac":
-                F.round(ftext.dup_ngram_char_fraction("text", 3), 6),
-        })
-        .project(["doc_id", "top_bigram_frac", "dup_trigram_frac"])
-        .df
+    docs = Pipeline.scan(db, "documents").rebalance().df
+    # Arrow stats pass (round 11): the expression fold re-evaluated the
+    # token split per gram (O(len²)/doc); the producer emits the integer
+    # numerators/denominator and the division + F.round stay JVM-side, so
+    # values are bit-identical (oracle-gated at sf0.01 + sf1 replay).
+    stats = ftext.ngram_repetition_rows(
+        docs, [("doc_id", F.col("doc_id"))], "text", top_n=2, dup_n=3
+    )
+    frac = (
+        lambda num: F.when(
+            F.col("norm_len") > 0, F.col(num) / F.col("norm_len")
+        ).otherwise(F.lit(0.0))
+    )
+    return stats.select(
+        "doc_id",
+        F.round(frac("top_chars"), 6).alias("top_bigram_frac"),
+        F.round(frac("dup_chars"), 6).alias("dup_trigram_frac"),
     )
 
 

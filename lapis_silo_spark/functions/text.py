@@ -274,6 +274,99 @@ def _run_length_char_stats(grams: Column) -> Column:
     return F.aggregate(F.array_sort(grams), init, step, finish)
 
 
+def ngram_repetition_rows(
+    df,
+    cols: list,
+    text_col: str,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> "DataFrame":
+    """Arrow-batched per-document repetition statistics — the integer
+    numerators/denominator behind :func:`top_ngram_char_fraction` (word
+    ``top_n``-grams) and :func:`dup_ngram_char_fraction` (word
+    ``dup_n``-grams), one zero-shuffle ``mapInPandas`` pass:
+
+    ``(passthrough.., top_chars, dup_chars, norm_len)`` where ``top_chars``
+    = max over distinct ``top_n``-grams of occurrences × gram length,
+    ``dup_chars`` = sum over ``dup_n``-grams occurring more than once of
+    occurrences × gram length, ``norm_len`` = ``length(normalized(text))``
+    (NULL for NULL text). The fraction division and ``F.round`` stay
+    JVM-side at the call site, so values are bit-identical to the
+    expression fold (`_run_length_char_stats`) this replaces — that fold
+    re-evaluates ``word_ngrams``'s split per array element (O(len²)/doc,
+    the same interpreted-HOF cost measured on the substring and gram-row
+    paths this round). Equivalence test-pinned
+    (``test_ngram_repetition_rows_matches_expression_path``).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lapis_silo_spark.functions.dedup import _spread
+
+    base = _spread(
+        df, *[c.alias(a) for a, c in cols],
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        .alias("_txt"),
+    )
+    passthrough = [f for f in base.schema.fields if f.name != "_txt"]
+    out_schema = T.StructType(
+        passthrough
+        + [
+            T.StructField("top_chars", T.LongType()),
+            T.StructField("dup_chars", T.LongType()),
+            T.StructField("norm_len", T.LongType()),
+        ]
+    )
+    names = [f.name for f in passthrough]
+    tn, dn = top_n, dup_n
+
+    def gen(it):
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"[\t\n\x0b\f\r ]+")
+        for pdf in it:
+            out = {name: pdf[name] for name in names}
+            tops, dups, lens = [], [], []
+            for txt in pdf["_txt"]:
+                if txt is None:
+                    tops.append(0)
+                    dups.append(0)
+                    lens.append(None)
+                    continue
+                t = ws.sub(" ", txt.strip(" ")).lower()
+                tk = t.split(" ")
+                top = 0
+                m = len(tk) - (tn - 1)
+                if m >= 1:
+                    cnt = Counter(
+                        " ".join(tk[p: p + tn]) for p in range(m)
+                    )
+                    top = max(
+                        (c * len(g) for g, c in cnt.items()), default=0
+                    )
+                dup = 0
+                m = len(tk) - (dn - 1)
+                if m >= 1:
+                    cnt = Counter(
+                        " ".join(tk[p: p + dn]) for p in range(m)
+                    )
+                    dup = sum(
+                        c * len(g) for g, c in cnt.items() if c > 1
+                    )
+                tops.append(top)
+                dups.append(dup)
+                lens.append(len(t))
+            out["top_chars"] = pd.Series(tops, dtype="int64")
+            out["dup_chars"] = pd.Series(dups, dtype="int64")
+            out["norm_len"] = pd.Series(lens, dtype="object")
+            yield pd.DataFrame(out, columns=names + [
+                "top_chars", "dup_chars", "norm_len"
+            ])
+
+    return base.mapInPandas(gen, out_schema)
+
+
 def top_ngram_char_fraction(col: str | Column, n: int = 2) -> Column:
     """Fraction of normalized-text characters covered by the single most
     frequent word n-gram (occurrences × gram length / text length) — the

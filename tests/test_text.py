@@ -87,3 +87,56 @@ def test_word_ngram_rows_matches_expression_path(spark):
         ).collect()
     )
     assert bare == exp_b
+
+
+def test_ngram_repetition_rows_matches_expression_path(spark):
+    """The Arrow repetition-stats producer must reproduce the expression
+    fold's fractions exactly (division + rounding applied identically
+    JVM-side) across NULL/empty/short/repetitive/multibyte texts."""
+    from pyspark.sql import functions as F
+
+    from lapis_silo_spark.functions.text import (
+        dup_ngram_char_fraction,
+        ngram_repetition_rows,
+        top_ngram_char_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "a"),
+            (6, "x y x y x y x y x y"),
+            (7, "\tA  b\nC d\x0be f\r g h a b c d"),
+            (8, "héllo wörld héllo wörld héllo wörld"),
+            (9, "one two three one two three one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    exp = {
+        r["doc_id"]: (r["t"], r["d"])
+        for r in docs.select(
+            "doc_id",
+            F.round(top_ngram_char_fraction("text", 2), 6).alias("t"),
+            F.round(dup_ngram_char_fraction("text", 3), 6).alias("d"),
+        ).collect()
+    }
+    stats = ngram_repetition_rows(
+        docs, [("doc_id", F.col("doc_id"))], "text", top_n=2, dup_n=3
+    )
+    frac = (
+        lambda num: F.when(
+            F.col("norm_len") > 0, F.col(num) / F.col("norm_len")
+        ).otherwise(F.lit(0.0))
+    )
+    got = {
+        r["doc_id"]: (r["t"], r["d"])
+        for r in stats.select(
+            "doc_id",
+            F.round(frac("top_chars"), 6).alias("t"),
+            F.round(frac("dup_chars"), 6).alias("d"),
+        ).collect()
+    }
+    assert got == exp and len(exp) == 9
