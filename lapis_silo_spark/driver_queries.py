@@ -4729,11 +4729,11 @@ def q_dedup_line_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.dedup.duplicate_line_report). Two-stage agg — map-side
     combine collapses within-doc repeats before the shuffle."""
     from lapis_silo_spark.functions.dedup import duplicate_line_report
-    from lapis_silo_spark.functions.text import reflow_lines
+    from lapis_silo_spark.functions.text import reflow_line_rows
 
     db = db_for(spark, sf_dir)
     docs = Pipeline.scan(db, "documents").rebalance().df
-    lines = docs.select("doc_id", reflow_lines("text", 8).alias("lines"))
+    lines = reflow_line_rows(docs, [("doc_id", F.col("doc_id"))], "text", 8)
     return duplicate_line_report(
         lines, "doc_id", lines_col="lines", min_docs=2, normalize=False
     )
@@ -4768,11 +4768,11 @@ def q_dedup_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered in place, so a line duplicated across millions of pages can't
     single-task a window sort or move document bodies."""
     from lapis_silo_spark.functions.dedup import remove_duplicate_lines
-    from lapis_silo_spark.functions.text import reflow_lines
+    from lapis_silo_spark.functions.text import reflow_line_rows
 
     db = db_for(spark, sf_dir)
     docs = Pipeline.scan(db, "documents").rebalance().df
-    lines = docs.select("doc_id", reflow_lines("text", 8).alias("lines"))
+    lines = reflow_line_rows(docs, [("doc_id", F.col("doc_id"))], "text", 8)
     return remove_duplicate_lines(
         lines, "doc_id", lines_col="lines", min_count=2, normalize=False
     ).withColumnRenamed("id", "doc_id")
@@ -4988,6 +4988,13 @@ def q_pipeline_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_classifier_logit("text", _QUALITY_WEIGHTS, _QUALITY_BIAS)
         > 0
     )
+    # expression reflow, NOT the Arrow producer (round-11 A/B): this
+    # pipeline's reflow runs over the classifier-gated half of the corpus
+    # and under two consumers the Python-boundary overhead outweighed the
+    # HOF savings (1.95 s expr vs 2.54 s producer, min-of-4); the unfiltered
+    # full-corpus line rows (dedup_line_report/_clean) measure the other way.
+    # (Sourcing `source` from the raw scan instead of this frame also
+    # re-measured WORSE, 1.43 vs 1.90 min-of-5 — kept as-is.)
     lines = survivors.select(
         "doc_id", "source", reflow_lines("text", 8).alias("lines")
     )

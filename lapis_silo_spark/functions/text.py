@@ -689,6 +689,64 @@ def reflow_lines(col: str | Column, words_per_line: int = 8) -> Column:
     )
 
 
+def reflow_line_rows(
+    df,
+    cols: list,
+    text_col: str,
+    words_per_line: int = 8,
+) -> "DataFrame":
+    """Arrow-batched twin of ``select(*cols, reflow_lines(text_col, w))``:
+    one zero-shuffle ``mapInPandas`` pass emitting ``(passthrough..,
+    lines array<string>)``.
+
+    :func:`reflow_lines`'s ``transform`` lambda re-evaluates its
+    ``slice(split(normalized(text)))`` subtree per line window in
+    interpreted mode — O(len²/w) per document, the same HOF disease as
+    ``word_ngrams`` (round 11, guide §4). Semantics replicated exactly and
+    test-pinned (``test_reflow_line_rows_matches_expression_path``): NULL
+    text coalesces to ``''`` (one empty line), tokens are ``tokens()``'s
+    normalization, line ``i`` is tokens ``[i*w, (i+1)*w)`` space-joined.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lapis_silo_spark.functions.dedup import _spread
+
+    base = _spread(
+        df, *[c.alias(a) for a, c in cols],
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        .alias("_txt"),
+    )
+    passthrough = [f for f in base.schema.fields if f.name != "_txt"]
+    out_schema = T.StructType(
+        passthrough
+        + [T.StructField("lines", T.ArrayType(T.StringType()))]
+    )
+    names = [f.name for f in passthrough]
+    w = words_per_line
+
+    def gen(it):
+        import re
+
+        ws = re.compile(r"[\t\n\x0b\f\r ]+")
+        for pdf in it:
+            out = {name: pdf[name] for name in names}
+            lines = []
+            for txt in pdf["_txt"]:
+                t = ws.sub(" ", (txt or "").strip(" ")).lower()
+                tk = t.split(" ")
+                lines.append(
+                    [
+                        " ".join(tk[i: i + w])
+                        for i in range(0, len(tk), w)
+                    ]
+                )
+            out["lines"] = lines
+            yield pd.DataFrame(out, columns=names + ["lines"])
+
+    return base.mapInPandas(gen, out_schema)
+
+
 def linear_classifier_logit(
     col: str | Column,
     weights: dict[str, float],

@@ -140,3 +140,38 @@ def test_ngram_repetition_rows_matches_expression_path(spark):
         ).collect()
     }
     assert got == exp and len(exp) == 9
+
+
+def test_reflow_line_rows_matches_expression_path(spark):
+    """The Arrow reflow producer must emit exactly reflow_lines()'s arrays
+    (NULL -> one empty line; normalization; fixed-width windows)."""
+    from pyspark.sql import functions as F
+
+    from lapis_silo_spark.functions.text import reflow_line_rows, reflow_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "one"),
+            (6, "\tA  b\nC d\x0be f\r g h i"),
+            (7, "héllo wörld héllo wörld héllo"),
+        ],
+        ["doc_id", "text"],
+    )
+    for w in (3, 8):
+        exp = {
+            r["doc_id"]: r["lines"]
+            for r in docs.select(
+                "doc_id", reflow_lines("text", w).alias("lines")
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["lines"]
+            for r in reflow_line_rows(
+                docs, [("doc_id", F.col("doc_id"))], "text", w
+            ).collect()
+        }
+        assert got == exp and len(exp) == 7, f"w={w}"
