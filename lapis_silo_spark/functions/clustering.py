@@ -49,6 +49,15 @@ from pyspark.sql import types as T
 from lapis_silo_spark.session import local_relation
 
 
+#: Row ceiling under which the Lloyd loop runs driver-side on a bounded
+#: collect of the (id, vec) projection instead of one Spark job per
+#: iteration. 1M rows × a typical 64-128 dim float64 vector is 0.5-1 GB of
+#: driver numpy state — the same bounded-collect discipline as
+#: operators/phylo.py and dedup.CC_DRIVER_EDGE_LIMIT; set to 0 to force the
+#: distributed loop (tests pin both paths).
+KMEANS_DRIVER_ROW_LIMIT = 1_000_000
+
+
 def _round_half_away(a, decimals: int):
     """Round half AWAY from zero on the binary double, fixed decimal grid —
     DuckDB ``round()``'s convention; ``np.round`` (banker's half-to-even)
@@ -132,6 +141,56 @@ def _fit_centroids(
         # SMALL (a single parquet split); a 100 TB input scans wide on its
         # own. Keep the projection's natural partitioning.
         base = df.select(F.col(id_col).alias("id"), vec.alias("vec")).persist()
+
+    # Bounded driver fast path (round 11, same collect discipline as
+    # operators/phylo.py and the CC union-find): each distributed Lloyd
+    # iteration costs a full Spark job (pandas-UDF assign + posexplode +
+    # (cluster, dim) agg + collect) — measured 0.5-1.1 s of fixed overhead
+    # per iteration at bench scale while the actual math is milliseconds.
+    # When a bounded probe shows the vector table is small enough to hold
+    # driver-side, collect it ONCE (which also fills the caller's cache)
+    # and run the iterations in numpy. Assignment math is bit-identical to
+    # `_assign_col` (same numpy ops on the same float64 grid); per-cluster
+    # means accumulate in a different float order than Spark's avg, which
+    # the centroid rounding grid absorbs by design (the DuckDB oracle
+    # already sums in a third order — oracle-gated + sf1 replay stable).
+    # The distributed loop below remains the unbounded-scale path.
+    limit = KMEANS_DRIVER_ROW_LIMIT
+    if limit and base.limit(limit + 1).count() <= limit:
+        import numpy as np
+
+        pdf = base.toPandas()
+        n = len(pdf)
+        if n < k:
+            raise ValueError(f"kmeans_assign: need >= {k} rows, got {n}")
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        ids = pdf["id"].tolist()
+        seed = sorted(range(n), key=lambda i: ids[i])[:k]
+        centroids = _round_half_away(mat[seed], centroid_decimals)
+        dim = mat.shape[1]
+        for _ in range(iterations):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for s in range(0, n, 65536):
+                chunk = mat[s: s + 65536]
+                diff = chunk[:, None, :] - centroids[None, :, :]
+                dist = _round_half_away(
+                    (diff * diff).sum(axis=2), distance_decimals
+                )
+                a = dist.argmin(axis=1)
+                counts += np.bincount(a, minlength=k)
+                for j in range(dim):
+                    sums[:, j] += np.bincount(
+                        a, weights=chunk[:, j], minlength=k
+                    )
+            new_c = centroids.copy()
+            nz = counts > 0
+            new_c[nz] = sums[nz] / counts[nz, None]
+            centroids = _round_half_away(new_c, centroid_decimals)
+        if owns_cache:
+            base.unpersist()
+        return centroids
+
     centroids = _init_centroids(base, "id", "vec", k, centroid_decimals)
 
     for _ in range(iterations):
