@@ -2212,7 +2212,21 @@ def _non_canonical_occurrences(
     ``(id, pos, end)``. See :func:`_gram_dup_occurrences` for the
     ``skew_safe`` physical-form tradeoff."""
     if skew_safe:
-        canon = occ.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("c"))
+        # Keep only grams with >= 2 occurrences on the build side (round
+        # 11): a singleton gram's one occurrence IS its canonical, so the
+        # post-join filter dropped it anyway — filtering the aggregate
+        # first is value-identical and shrinks the join's build/broadcast
+        # side from O(distinct grams) to O(duplicated grams). The count
+        # combines map-side with the same min-struct partial.
+        canon = (
+            occ.groupBy("gh")
+            .agg(
+                F.min(F.struct("id", "pos")).alias("c"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .where(F.col("_n") >= 2)
+            .select("gh", "c")
+        )
         dups = occ.join(canon, "gh").where(
             (F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos"))
         )
