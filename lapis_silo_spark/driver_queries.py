@@ -3394,9 +3394,12 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.8, n_perms=64, n_bands=8, k=5,
         hash_fn=fdedup.hash32,
     )
+    # keep is ONE narrow id column consumed twice (mixture_sample's eager
+    # counts collect + the final accounting) — persist it so the cluster
+    # pipeline's tail joins run once (round 11; the counts collect fills it)
     keep = clusters.filter(F.col("is_canonical")).select(
         F.col("id").alias("doc_id")
-    )
+    ).persist()
     deduped = docs.join(keep, "doc_id", "left_semi")
     weights = {f"src{i}": 1.0 / 20 for i in range(20)}
     kept = mixture_sample(deduped, "doc_id", "source", weights, 0.5)
@@ -3407,7 +3410,7 @@ def q_pipeline_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep the clusters' scoped cache/checkpoint alive for out's lifetime
     adopt_guards(out, clusters)
-    return scoped_persist(docs, out)
+    return scoped_persist(keep, scoped_persist(docs, out))
 
 
 @query(

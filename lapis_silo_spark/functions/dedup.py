@@ -1579,6 +1579,69 @@ def _driver_union_find(us, vs):
     return {x: find(x) for x in nodes}
 
 
+def _cc_label_map(
+    pairs: DataFrame,
+    pair_a: str,
+    pair_b: str,
+    driver_edge_limit: int | None = None,
+) -> dict | None:
+    """Bounded-probe connected components on the driver (round 11).
+
+    One ``limit(N+1).toPandas()`` job doubles as the size probe and the
+    edge fetch (same discipline as the former in-loop fast path): when the
+    RAW pair list is at most ``driver_edge_limit`` rows (default
+    :data:`CC_DRIVER_EDGE_LIMIT`), union-find runs driver-side and the
+    NON-IDENTITY ``{node: component_min_id}`` entries return as a plain
+    dict — identity entries are dropped because every consumer attaches
+    labels with ``coalesce(map[node], node)``, which makes the untouched /
+    self-labeled cases free (no ids-universe distinct, no anti-join, no
+    union — the stages the old DataFrame-shaped fast path still paid).
+    Returns ``None`` when the edge list exceeds the bound (caller falls
+    back to :func:`_min_label_propagation` with the probe disabled).
+    """
+    limit = (
+        CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
+    )
+    if not limit:
+        return None
+    raw = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    pdf = raw.limit(limit + 1).toPandas()
+    if len(pdf) > limit:
+        return None
+    labels = _driver_union_find(pdf["u"].tolist(), pdf["v"].tolist())
+    return {n: lbl for n, lbl in labels.items() if n != lbl}
+
+
+def _apply_label_map(
+    frame: DataFrame, rep_col: str, mapping: dict, out_col: str
+) -> DataFrame:
+    """Attach driver-computed component labels to ``frame``:
+    ``out_col = coalesce(map[rep_col], rep_col)`` via a LEFT broadcast
+    join against the non-identity entries (a pure-JVM ``local_relation``,
+    so no Python worker in any downstream job). Bounded by the same
+    :data:`CC_DRIVER_EDGE_LIMIT` contract as the probe — at most
+    2×edges rows, the same volume the old fast path already shipped
+    driver-side as a LocalRelation."""
+    from pyspark.sql import types as T
+
+    from lapis_silo_spark.session import local_relation
+
+    dt = frame.schema[rep_col].dataType
+    lm = local_relation(
+        frame.sparkSession,
+        sorted(mapping.items()),
+        T.StructType(
+            [T.StructField("_cc_node", dt), T.StructField("_cc_label", dt)]
+        ),
+    )
+    joined = frame.join(
+        F.broadcast(lm), frame[rep_col] == lm["_cc_node"], "left"
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("_cc_label"), F.col(rep_col))
+    ).drop("_cc_node", "_cc_label")
+
+
 def _min_label_propagation(
     ids: DataFrame,
     pairs: DataFrame,
@@ -1766,11 +1829,32 @@ def dedup_cluster_assignment(
     the final one is scoped to the returned DataFrame's lifetime (see
     :func:`_min_label_propagation`).
     """
-    from lapis_silo_spark.cache import scoped_rdd_release
+    from lapis_silo_spark.cache import scoped_persist, scoped_rdd_release
 
     ids = universe.select(F.col(id_col).alias("id")).distinct()
+
+    # Driver fast path (round 11): attach labels as coalesce(map[id], id)
+    # over a broadcast of the non-identity entries — no anti-join, no
+    # union, no label-table checkpoint; the distinct ids frame is the only
+    # distributed input and is persisted for its two consumers (sizes agg
+    # + final join).
+    mapping = _cc_label_map(pairs, pair_a, pair_b)
+    if mapping is not None:
+        lbl = _apply_label_map(ids, "id", mapping, "cluster_id")
+        lbl = lbl.persist()
+        sizes = lbl.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        out = lbl.join(sizes, on="cluster_id").select(
+            F.col("id"),
+            F.col("cluster_id"),
+            F.col("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        return scoped_persist(lbl, out)
+
     labels, guard = _min_label_propagation(
-        ids, pairs, pair_a, pair_b, max_iterations
+        ids, pairs, pair_a, pair_b, max_iterations, driver_edge_limit=0
     )
 
     # cluster_size via groupBy + join, NOT a cluster-keyed window: a
@@ -1850,55 +1934,70 @@ def minhash_dedup_clusters(
     digesting, signatures, banding, verification, AND the closure
     (recursive CTE) bit-for-bit.
     """
+    from lapis_silo_spark.cache import scoped_persist, scoped_rdd_release
+
+    # digests feeds the rep aggregation AND the final doc join — persist
+    # the narrow (id, digest) projection so the md5 pass over the corpus
+    # runs once (round 11; the cache fills during the pair stage's probe).
     digests = df.select(
         F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("digest")
+    ).persist()
+    # ONE digest-keyed aggregation produces both the representative (min
+    # id) and the digest-group size — the former reps/digest_sizes twin
+    # groupBys shared a key but ran as two exchanges (round 11, guide §2.4).
+    g = digests.groupBy("digest").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("_n")
     )
-    reps = digests.groupBy("digest").agg(F.min("id").alias("rep_id"))
     rep_docs = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     ).join(
-        reps.select(F.col("rep_id").alias("id")), on="id", how="left_semi"
+        g.select(F.col("rep_id").alias("id")), on="id", how="left_semi"
     )
     pairs = minhash_lsh_pairs(
         rep_docs, "id", "_t", threshold=threshold, n_perms=n_perms,
         n_bands=n_bands, k=k, hash_fn=hash_fn, max_band_freq=max_band_freq,
     )
-    from lapis_silo_spark.cache import scoped_rdd_release
 
-    labels, guard = _min_label_propagation(
-        rep_docs.select("id"), pairs, "id_a", "id_b", max_iterations
-    )
-    comp = labels.select(
-        F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
-    )
+    guard = None
+    mapping = _cc_label_map(pairs, "id_a", "id_b")
+    if mapping is not None:
+        # labels attach as coalesce(map[rep_id], rep_id) on the O(reps)
+        # aggregate directly — no propagation seed, no comp join, no
+        # untouched anti-join/union (round 11)
+        gl = _apply_label_map(g, "rep_id", mapping, "cluster_id")
+    else:
+        labels, guard = _min_label_propagation(
+            g.select(F.col("rep_id").alias("id")), pairs, "id_a", "id_b",
+            max_iterations, driver_edge_limit=0,
+        )
+        gl = g.join(
+            labels.select(
+                F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
+            ),
+            on="rep_id",
+        )
+    # gl is read twice (sizes agg + doc join) — persist the O(reps) table
+    gl = gl.persist()
 
     # cluster_size = Σ digest-group sizes over the component — computed on
     # the O(reps) side and joined back, never a cluster-keyed window over
     # the full corpus (a boilerplate mega-cluster would single-task it;
     # the join's one-row-per-cluster side is AQE skew-splittable).
-    digest_sizes = digests.groupBy("digest").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    sizes = (
-        digest_sizes.join(reps, on="digest")
-        .join(comp, on="rep_id")
-        .groupBy("cluster_id")
-        .agg(F.sum("_n").alias("cluster_size"))
-    )
+    sizes = gl.groupBy("cluster_id").agg(F.sum("_n").alias("cluster_size"))
     out = (
-        digests.join(reps, on="digest")
-        .join(comp, on="rep_id")
+        digests.join(gl.select("digest", "cluster_id"), on="digest")
         .join(sizes, on="cluster_id")
-    )
-    return scoped_rdd_release(
-        out.select(
+        .select(
             "id",
             "cluster_id",
             "cluster_size",
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
-        ),
-        guard,
+        )
     )
+    out = scoped_persist(gl, scoped_persist(digests, out))
+    if guard is not None:
+        out = scoped_rdd_release(out, guard)
+    return out
 
 
 def embedding_dedup_clusters(
@@ -2015,35 +2114,47 @@ def embedding_dedup_clusters(
     else:
         raise ValueError(f"unknown method {method!r}; use 'blocked' or 'lsh'")
 
-    labels, guard = _min_label_propagation(
-        rep_ids, pairs.select("id_a", "id_b"), "id_a", "id_b", max_iterations
+    guard = None
+    mapping = _cc_label_map(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    if mapping is not None:
+        # labels attach as coalesce(map[rep_id], rep_id) directly on the
+        # narrow (id, rep_id) table — no rep_ids distinct seed, no comp
+        # join, no untouched anti-join/union (round 11)
+        rml = _apply_label_map(rep_map, "rep_id", mapping, "cluster_id")
+    else:
+        rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
+        labels, guard = _min_label_propagation(
+            rep_ids, pairs.select("id_a", "id_b"), "id_a", "id_b",
+            max_iterations, driver_edge_limit=0,
+        )
+        rml = rep_map.join(
+            labels.select(
+                F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
+            ),
+            on="rep_id",
+        )
+    # rml is read twice (sizes agg + final join) and its lineage is the
+    # vector-wide groupBy + join — persist the narrow labeled table so the
+    # wide agg runs once
+    rml = rml.persist()
+
+    # cluster_size = one cluster-keyed COUNT over the labeled rows — the
+    # partial (map-side) aggregation makes this skew-safe even for a
+    # boilerplate mega-cluster (count is combinable), unlike a
+    # cluster-keyed window, which would single-task it (round-7 doctrine).
+    sizes = rml.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
     )
-    comp = labels.select(
-        F.col("id").alias("rep_id"), F.col("label").alias("cluster_id")
+    out = rml.join(sizes, on="cluster_id")
+    result = out.select(
+        "id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
-    # cluster_size = Σ rep-group sizes over the component (O(reps) agg +
-    # skew-splittable join), not a cluster-keyed window over the corpus —
-    # see minhash_dedup_clusters for the mega-cluster rationale.
-    rep_sizes = rep_map.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_n"))
-    sizes = (
-        rep_sizes.join(comp, on="rep_id")
-        .groupBy("cluster_id")
-        .agg(F.sum("_n").alias("cluster_size"))
-    )
-    out = rep_map.join(comp, on="rep_id").join(sizes, on="cluster_id")
-    result = scoped_rdd_release(
-        out.select(
-            "id",
-            "cluster_id",
-            "cluster_size",
-            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
-        ),
-        guard,
-    )
-    # rep_map is read twice (rep_ids seed + the final component join) and
-    # its lineage is the vector-wide groupBy + join — persist the narrow
-    # (id, rep_id) table for the result's lifetime so the wide agg runs once
-    result = scoped_persist(rep_map, result)
+    if guard is not None:
+        result = scoped_rdd_release(result, guard)
+    result = scoped_persist(rml, result)
     if rep_docs.is_cached:
         result = scoped_persist(rep_docs, result)
     return result
