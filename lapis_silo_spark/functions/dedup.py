@@ -55,6 +55,18 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# Compressed-parquet bytes per _spread partition. Python-boundary stages
+# pay ~0.3-0.5 s of fixed per-TASK overhead on this class of box (Arrow
+# ser/de + worker dispatch; measured round 11: identity mapInPandas over
+# 5 000 rows — 0.76 s wall at 32 partitions vs 0.35 s at 4), so tiny
+# inputs must not fan out to defaultParallelism tasks. 128 KB of
+# compressed parquet ≈ 0.5-1 MB of text ≈ ~0.3-0.5 s of signature CPU per
+# partition — enough work to amortize the boundary. Large inputs hit the
+# defaultParallelism cap and behave exactly as before (a 100 TB scan is
+# naturally wide; the cap, not the divisor, binds).
+_SPREAD_TARGET_BYTES = 128 * 1024
+
+
 def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     """Project to the named columns and rebalance across the cluster.
 
@@ -62,16 +74,34 @@ def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     inherit a narrow input's partitioning — a single-file Parquet table scans
     as ONE partition, serializing everything downstream. Repartitioning the
     *projected* two columns (id, text) keeps the shuffle payload minimal.
+
+    The partition count is SCALE-ADAPTIVE (round 11, guide §2): derived
+    from the input's file bytes (:data:`_SPREAD_TARGET_BYTES` per
+    partition) and capped at ``defaultParallelism`` — a bench-sized corpus
+    gets a handful of partitions instead of 32 tiny Python tasks whose
+    fixed Arrow/worker overhead dwarfs the work, while anything
+    cluster-sized saturates the cores exactly as before.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
     out = df.select(*cols)
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    # repartition a KNOWN-narrow file scan outright
     if files and len(files) < max(2, n // 2):
-        return out.repartition(n)
+        import os as _os
+
+        try:
+            total = sum(
+                _os.path.getsize(f[len("file:"):] if f.startswith("file:")
+                                 else f)
+                for f in files
+            )
+            target = min(n, max(2, -(-total // _SPREAD_TARGET_BYTES)))
+        except OSError:  # non-local paths: size unknown, keep full width
+            target = n
+        return out.repartition(target)
     if not files:
         # Non-file-backed input (e.g. a persisted projection): a small
         # single-file scan CACHES as one partition, and every heavy stage
@@ -1434,12 +1464,15 @@ def incremental_minhash_dedup(
     new_state = minhash_band_state(
         new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
     )
-    # NOTE(round 11): persisting new_state/base_state here was measured a
-    # WASH at bench scale and +14 jobs — the plan's 20 ReusedExchange nodes
-    # already share the id-keyed signature aggregation across the band,
-    # occupancy, and verify branches, so the cache only added
-    # materialization barriers (guide §1: measure before caching; §5 —
-    # cache only when reuse × recompute-cost beats the memory pressure).
+    # NOTE(round 11): state caching here measured WORSE three separate
+    # ways — lazy persist (wash), two sequential eager counts (+14 jobs,
+    # barriers serialize what the scheduler absorbs), and a single-job
+    # union-fill of both caches (jobs 21→36, stages 55→106, wall 2-4×:
+    # the size-known cached states stop broadcasting into the band joins,
+    # so every candidate join becomes exchange-bearing). The plan's
+    # ReusedExchange nodes already share the id-keyed aggregation across
+    # the band, occupancy, and verify branches; leave the states lazy
+    # (guide §1: measure before caching).
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq

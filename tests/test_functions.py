@@ -612,6 +612,34 @@ def test_driver_union_find_min_label_semantics():
     assert dedup._driver_union_find([None, 1], [5, None]) == {}
 
 
+def test_spread_partition_count_scales_with_input_bytes(spark, tmp_path):
+    # _spread derives its repartition width from the input's FILE bytes
+    # (round 11): a tiny file-backed scan must not fan out to
+    # defaultParallelism-many Python tasks (fixed per-task Arrow/worker
+    # overhead dwarfs the work), while the defaultParallelism cap keeps
+    # cluster-sized inputs as wide as before.
+    p = str(tmp_path / "tiny.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "id long, t string"
+    ).coalesce(1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    n = spark.sparkContext.defaultParallelism
+    spread = dedup._spread(tiny, F.col("id"), F.col("t"))
+    parts = spread.rdd.getNumPartitions()
+    assert 2 <= parts < max(3, n), parts
+    # rows pass through unchanged under any width
+    assert spread.count() == 100
+    # a byte-heavy input saturates the cap: fake it by shrinking the
+    # per-partition byte target
+    orig = dedup._SPREAD_TARGET_BYTES
+    try:
+        dedup._SPREAD_TARGET_BYTES = 1
+        wide = dedup._spread(tiny, F.col("id"), F.col("t"))
+        assert wide.rdd.getNumPartitions() == n
+    finally:
+        dedup._SPREAD_TARGET_BYTES = orig
+
+
 def test_brute_force_topk(vectors):
     out = similarity.brute_force_topk(
         vectors,
