@@ -2381,19 +2381,48 @@ def _non_canonical_occurrences(
         # post-join filter dropped it anyway — filtering the aggregate
         # first is value-identical and shrinks the join's build/broadcast
         # side from O(distinct grams) to O(duplicated grams). The count
-        # combines map-side with the same min-struct partial.
-        canon = (
-            occ.groupBy("gh")
-            .agg(
-                F.min(F.struct("id", "pos")).alias("c"),
-                F.count(F.lit(1)).alias("_n"),
+        # combines map-side with the same min partial.
+        from pyspark.sql import types as T
+
+        id_dt = occ.schema["id"].dataType
+        integral = isinstance(
+            id_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+        if integral:
+            # HASH-aggregable canonical pick (round 11, guide §2): MIN over
+            # a STRUCT forces SortAggregate (struct ordering has no hash-agg
+            # support — measured as the dominant stage of the char-span
+            # rows); packing (id, pos) into ONE decimal(38,0) as
+            # id * 2^32 + pos preserves lexicographic order exactly for any
+            # signed 64-bit id (pos ∈ [1, 2^31) is always below the 2^32
+            # stride) and min(decimal) hash-aggregates.
+            key = (
+                F.col("id").cast("decimal(20,0)")
+                * F.lit(4294967296).cast("decimal(20,0)")
+                + F.col("pos").cast("decimal(20,0)")
+            ).cast("decimal(38,0)")
+            keyed = occ.withColumn("_k", key)
+            canon = (
+                keyed.groupBy("gh")
+                .agg(F.min("_k").alias("c"), F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= 2)
+                .select("gh", "c")
             )
-            .where(F.col("_n") >= 2)
-            .select("gh", "c")
-        )
-        dups = occ.join(canon, "gh").where(
-            (F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos"))
-        )
+            dups = keyed.join(canon, "gh").where(F.col("_k") != F.col("c"))
+        else:
+            canon = (
+                occ.groupBy("gh")
+                .agg(
+                    F.min(F.struct("id", "pos")).alias("c"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .where(F.col("_n") >= 2)
+                .select("gh", "c")
+            )
+            dups = occ.join(canon, "gh").where(
+                (F.col("id") != F.col("c.id"))
+                | (F.col("pos") != F.col("c.pos"))
+            )
     else:
         w = Window.partitionBy("gh").orderBy("id", "pos")
         dups = occ.withColumn("_rn", F.row_number().over(w)).where(
