@@ -1828,6 +1828,59 @@ def test_count_min_never_undercounts_and_merges(spark):
     assert est_m == est
 
 
+def test_count_min_arrow_build_matches_expression_path(spark):
+    """The string-valued Arrow build (per-partition Counter + per-distinct
+    md5 slots) must produce the exact (h, slot, cnt) rows of the
+    expression path — pinned on multibyte, repeated, and long-tail values
+    (a LONG column exercises the expression fallback on the same data)."""
+    from lapis_silo_spark.functions.sketches import (
+        _cm_slot,
+        count_min_build,
+    )
+
+    vals = (
+        ["tok%d" % (i % 7) for i in range(200)]
+        + ["ناقلات", "übergröße", "東京"] * 3
+        + ["solo"]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)],
+        ["i", "term"],
+    )
+    arrow = sorted(
+        map(tuple, count_min_build(df, "term", n_width=32,
+                                   n_hashes=3).collect())
+    )
+    # expression reference, built inline (the library routes strings to
+    # the Arrow path, so reconstruct the old plan by hand)
+    rows = df.select(F.col("term").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    positions = rows.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("h"),
+                    _cm_slot(F.col("val"), i, 32).alias("slot"),
+                )
+                for i in range(3)
+            ])
+        ).alias("p")
+    ).select(F.col("p.h").alias("h"), F.col("p.slot").alias("slot"))
+    expr = sorted(
+        map(
+            tuple,
+            positions.groupBy("h", "slot")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect(),
+        )
+    )
+    assert arrow == expr
+    # non-string values take the expression path and still work
+    longs = count_min_build(df, "i", n_width=32, n_hashes=3)
+    assert longs.agg(F.sum("cnt")).first()[0] == (200 + 9 + 1 + 1) * 3
+
+
 def test_count_min_exact_when_collision_free(spark):
     """With width >> distinct values, estimates equal exact counts."""
     from lapis_silo_spark.functions.sketches import (
