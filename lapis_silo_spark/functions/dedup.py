@@ -55,18 +55,6 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-# Compressed-parquet bytes per _spread partition. Python-boundary stages
-# pay ~0.3-0.5 s of fixed per-TASK overhead on this class of box (Arrow
-# ser/de + worker dispatch; measured round 11: identity mapInPandas over
-# 5 000 rows — 0.76 s wall at 32 partitions vs 0.35 s at 4), so tiny
-# inputs must not fan out to defaultParallelism tasks. 128 KB of
-# compressed parquet ≈ 0.5-1 MB of text ≈ ~0.3-0.5 s of signature CPU per
-# partition — enough work to amortize the boundary. Large inputs hit the
-# defaultParallelism cap and behave exactly as before (a 100 TB scan is
-# naturally wide; the cap, not the divisor, binds).
-_SPREAD_TARGET_BYTES = 128 * 1024
-
-
 def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     """Project to the named columns and rebalance across the cluster.
 
@@ -76,12 +64,14 @@ def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     *projected* two columns (id, text) keeps the shuffle payload minimal.
 
     The partition count is SCALE-ADAPTIVE (round 11, guide §2): derived
-    from the input's file bytes (:data:`_SPREAD_TARGET_BYTES` per
-    partition) and capped at ``defaultParallelism`` — a bench-sized corpus
-    gets a handful of partitions instead of 32 tiny Python tasks whose
-    fixed Arrow/worker overhead dwarfs the work, while anything
-    cluster-sized saturates the cores exactly as before.
+    from the input's file bytes (``session.rebalance_width``) and capped
+    at ``defaultParallelism`` — a bench-sized corpus gets a handful of
+    partitions instead of 32 tiny Python tasks whose fixed Arrow/worker
+    overhead dwarfs the work, while anything cluster-sized saturates the
+    cores exactly as before.
     """
+    from lapis_silo_spark.session import rebalance_width
+
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     out = df.select(*cols)
@@ -90,18 +80,7 @@ def _spread(df: DataFrame, *cols: Column) -> DataFrame:
     except Exception:
         files = []
     if files and len(files) < max(2, n // 2):
-        import os as _os
-
-        try:
-            total = sum(
-                _os.path.getsize(f[len("file:"):] if f.startswith("file:")
-                                 else f)
-                for f in files
-            )
-            target = min(n, max(2, -(-total // _SPREAD_TARGET_BYTES)))
-        except OSError:  # non-local paths: size unknown, keep full width
-            target = n
-        return out.repartition(target)
+        return out.repartition(rebalance_width(files, n))
     if not files:
         # Non-file-backed input (e.g. a persisted projection): a small
         # single-file scan CACHES as one partition, and every heavy stage

@@ -160,7 +160,15 @@ class Pipeline:
         narrow = bool(files) and len(files) < max(2, n // 2)
         if not narrow:
             return self
-        return self._with(self._df.repartition(n), keeps_rows=True)
+        # scale-adaptive width (round 11): one partition per
+        # REBALANCE_TARGET_BYTES of input, capped at defaultParallelism —
+        # a tiny scan must not become 32 tiny tasks whose per-task
+        # (especially Python-boundary) overhead dwarfs the work
+        from lapis_silo_spark.session import rebalance_width
+
+        return self._with(
+            self._df.repartition(rebalance_width(files, n)), keeps_rows=True
+        )
 
     def project(self, columns: Sequence[str]) -> "Pipeline":
         missing = [c for c in columns if c not in self._df.columns]

@@ -66,6 +66,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Compressed-parquet bytes per partition when fanning a narrow file scan
+# out for heavy per-row work. Python-boundary stages pay ~0.3-0.5 s of
+# fixed per-TASK overhead (Arrow ser/de + worker dispatch; measured round
+# 11: identity mapInPandas over 5 000 rows — 0.76 s wall at 32 partitions
+# vs 0.35 s at 4), so tiny inputs must not fan out to defaultParallelism
+# tasks. 128 KB of compressed parquet ≈ 0.5-1 MB of text ≈ enough work to
+# amortize the boundary. Cluster-sized inputs hit the defaultParallelism
+# cap and keep full width — the constant is a floor on work per task, not
+# a local-mode tune.
+REBALANCE_TARGET_BYTES = 128 * 1024
+
+
+def rebalance_width(files: list[str], n: int) -> int:
+    """SCALE-ADAPTIVE partition count for rebalancing a narrow file scan
+    (guide §2: derive from input size): one partition per
+    :data:`REBALANCE_TARGET_BYTES` of input, clamped to [2, n]. Unknown
+    sizes (non-local paths) fall back to full width."""
+    import os as _os
+
+    try:
+        total = sum(
+            _os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+    except OSError:
+        return n
+    return min(n, max(2, -(-total // REBALANCE_TARGET_BYTES)))
+
+
 def local_relation(spark: SparkSession, data, schema) -> DataFrame:
     """``createDataFrame`` for small driver-side row lists that compiles to
     a pure-JVM ``LocalRelation`` instead of a ``LogicalRDD``.

@@ -631,13 +631,15 @@ def test_spread_partition_count_scales_with_input_bytes(spark, tmp_path):
     assert spread.count() == 100
     # a byte-heavy input saturates the cap: fake it by shrinking the
     # per-partition byte target
-    orig = dedup._SPREAD_TARGET_BYTES
+    from lapis_silo_spark import session as sess
+
+    orig = sess.REBALANCE_TARGET_BYTES
     try:
-        dedup._SPREAD_TARGET_BYTES = 1
+        sess.REBALANCE_TARGET_BYTES = 1
         wide = dedup._spread(tiny, F.col("id"), F.col("t"))
         assert wide.rdd.getNumPartitions() == n
     finally:
-        dedup._SPREAD_TARGET_BYTES = orig
+        sess.REBALANCE_TARGET_BYTES = orig
 
 
 def test_brute_force_topk(vectors):
