@@ -4551,7 +4551,12 @@ def q_dedup_substring_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions.dedup import duplicate_char_spans
 
     db = db_for(spark, sf_dir)
-    docs = Pipeline.scan(db, "documents").rebalance().df
+    # char grams multiply every input byte into ~k rows of JVM md5 work
+    # (O(chars) explode, ~50x the text-pipeline norm) — rebalance to a
+    # width that tracks the EXPANDED compute, not the raw scan bytes
+    docs = Pipeline.scan(db, "documents").rebalance(
+        target_bytes=16 * 1024
+    ).df
     return duplicate_char_spans(docs, "doc_id", "text", k=50)
 
 
@@ -4602,7 +4607,10 @@ def q_dedup_substring_char_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapis_silo_spark.functions.dedup import remove_duplicate_char_spans
 
     db = db_for(spark, sf_dir)
-    docs = Pipeline.scan(db, "documents").rebalance().df
+    # same char-gram expansion rationale as dedup_substring_char_spans
+    docs = Pipeline.scan(db, "documents").rebalance(
+        target_bytes=16 * 1024
+    ).df
     return remove_duplicate_char_spans(docs, "doc_id", "text", k=50)
 
 

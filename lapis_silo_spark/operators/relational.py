@@ -142,7 +142,7 @@ class Pipeline:
         """Raw Column filter (internal / power-user path)."""
         return self._with(self._df.filter(cond))
 
-    def rebalance(self) -> "Pipeline":
+    def rebalance(self, target_bytes: int | None = None) -> "Pipeline":
         """Fan a narrow input across the cluster before expensive per-row
         work. Single-row-group Parquet files scan as ONE task (Parquet splits
         only at row-group boundaries); a cheap exchange ahead of a heavy map
@@ -167,7 +167,8 @@ class Pipeline:
         from lapis_silo_spark.session import rebalance_width
 
         return self._with(
-            self._df.repartition(rebalance_width(files, n)), keeps_rows=True
+            self._df.repartition(rebalance_width(files, n, target_bytes)),
+            keeps_rows=True,
         )
 
     def project(self, columns: Sequence[str]) -> "Pipeline":

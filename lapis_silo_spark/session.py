@@ -78,11 +78,16 @@ def get_spark(
 REBALANCE_TARGET_BYTES = 128 * 1024
 
 
-def rebalance_width(files: list[str], n: int) -> int:
+def rebalance_width(
+    files: list[str], n: int, target_bytes: int | None = None
+) -> int:
     """SCALE-ADAPTIVE partition count for rebalancing a narrow file scan
-    (guide §2: derive from input size): one partition per
-    :data:`REBALANCE_TARGET_BYTES` of input, clamped to [2, n]. Unknown
-    sizes (non-local paths) fall back to full width."""
+    (guide §2: derive from input size): one partition per ``target_bytes``
+    (default :data:`REBALANCE_TARGET_BYTES`) of input, clamped to [2, n].
+    Pass a smaller ``target_bytes`` when the downstream work per input
+    byte is far above the text-pipeline norm (e.g. the char-gram explode
+    multiplies each byte into ~k rows of JVM md5 work). Unknown sizes
+    (non-local paths) fall back to full width."""
     import os as _os
 
     try:
@@ -92,7 +97,8 @@ def rebalance_width(files: list[str], n: int) -> int:
         )
     except OSError:
         return n
-    return min(n, max(2, -(-total // REBALANCE_TARGET_BYTES)))
+    per = target_bytes or REBALANCE_TARGET_BYTES
+    return min(n, max(2, -(-total // per)))
 
 
 def local_relation(spark: SparkSession, data, schema) -> DataFrame:
