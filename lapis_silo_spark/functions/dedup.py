@@ -631,16 +631,16 @@ def minhash_lsh_pairs(
     # output SQL-oracle-reproducible (the registered correctness query does).
     sig = minhash_signatures(df, id_col, text_col, n_perms, k,
                              hash_fn=hash_fn or hash32_fast)
-    # EAGER cache fill (round 11): the signature producer is now a NARROW
-    # zero-shuffle op (mapInPandas on the md5 path), so nothing forces a
-    # single materialization before AQE launches the band-side, hot-bucket
-    # and verification stages CONCURRENTLY — each racing stage found a cold
-    # cache and recomputed signatures (measured: up to 10 duplicate ~1.2-
-    # 1.7 s signature stages inside one minhash_dedup_clusters action).
-    # One count() fills the cache in one job; every downstream stage then
-    # reads it.
+    # LAZY persist (round 11, re-measured after the Arrow producer + memo
+    # + width changes): an earlier eager count() fill guarded against
+    # concurrent AQE stages racing the cold cache (then: up to 10
+    # duplicate ~1.5 s signature computes per action). With the memoized
+    # Arrow pass at byte-derived width the producer costs ~0.6 s once and
+    # the worst-case race duplicates it at most a couple of times
+    # concurrently — cheaper than the serialized count job, measured:
+    # lsh_pairs 2.2 → 1.2 s, minhash_clusters 2.7 → 1.8 s,
+    # curation_near_dup 4.7 → 3.0 s without the eager fill.
     sig = sig.persist()
-    sig.count()
     # The band self-join references this subplan on BOTH sides; without a
     # materialized cache Spark computes the whole shingle-hash aggregation
     # twice. Signatures are n_perms longs/doc — tiny next to the text they
