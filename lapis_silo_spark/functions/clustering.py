@@ -57,6 +57,14 @@ from lapis_silo_spark.session import local_relation
 #: distributed loop (tests pin both paths).
 KMEANS_DRIVER_ROW_LIMIT = 1_000_000
 
+#: Byte ceiling for the same collect (round 12): the row limit alone is
+#: dim-blind — 1M rows × 1024-dim float64 would be ~8 GB of driver numpy,
+#: not the 0.5-1 GB the row constant was reasoned about at 64-128 dims.
+#: The probe reads the vector width and admits at most
+#: ``KMEANS_DRIVER_BYTE_LIMIT / (dim * 8)`` rows, so the collected matrix
+#: stays ~1 GB whatever the embedding width.
+KMEANS_DRIVER_BYTE_LIMIT = 1 << 30
+
 
 def _round_half_away(a, decimals: int):
     """Round half AWAY from zero on the binary double, fixed decimal grid —
@@ -155,8 +163,26 @@ def _fit_centroids(
     # the centroid rounding grid absorbs by design (the DuckDB oracle
     # already sums in a third order — oracle-gated + sf1 replay stable).
     # The distributed loop below remains the unbounded-scale path.
+    # ONE bounded probe job returns both the capped row count and the
+    # vector width (round 12 — the former shape was a count-only probe,
+    # blind to dim): the admit decision is min(row limit, byte limit /
+    # row bytes), so a wide-embedding table falls through to the
+    # distributed loop instead of collecting multi-GB of driver numpy.
     limit = KMEANS_DRIVER_ROW_LIMIT
-    if limit and base.limit(limit + 1).count() <= limit:
+    probe = None
+    if limit:
+        probe = (
+            base.limit(limit + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.size("vec")).alias("dim"),
+            )
+            .first()
+        )
+    if probe is not None and probe["n"] <= min(
+        limit,
+        KMEANS_DRIVER_BYTE_LIMIT // (8 * max(1, probe["dim"] or 1)),
+    ):
         import numpy as np
 
         pdf = base.toPandas()

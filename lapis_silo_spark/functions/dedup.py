@@ -654,6 +654,13 @@ def minhash_lsh_pairs(
     # row, and the 64-long signatures re-join by id only for the deduped
     # candidate pairs (the similarity.lsh_candidate_pairs lesson).
     bands = banded_rows(sig, n_bands, rows_per_band, max_band_freq)
+    # NOTE(round 12, negative A/B): repartition(bands, "band", "band_hash")
+    # to share ONE exchange between the self-join's sides (guide §2.4)
+    # measured WORSE control-paired (lsh_pairs_fast 0.96→1.23 s, clusters
+    # 1.94→2.18, near_dup 3.18→3.38 min-of-4; +2 jobs): the added exchange
+    # + SMJ sorts cost more than the duplicated band-side compute they
+    # remove — the band rows are narrow and the sig cache absorbs most of
+    # the recompute.
     a = bands.alias("a")
     b = bands.alias("b")
     cand_ids = (
@@ -1463,15 +1470,18 @@ def incremental_minhash_dedup(
     new_state = minhash_band_state(
         new_df, id_col, text_col, n_perms, n_bands, k, hash_fn
     )
-    # NOTE(round 11): state caching here measured WORSE three separate
-    # ways — lazy persist (wash), two sequential eager counts (+14 jobs,
-    # barriers serialize what the scheduler absorbs), and a single-job
-    # union-fill of both caches (jobs 21→36, stages 55→106, wall 2-4×:
-    # the size-known cached states stop broadcasting into the band joins,
-    # so every candidate join becomes exchange-bearing). The plan's
+    # NOTE(rounds 11-12): state caching here measured WORSE four separate
+    # ways — lazy persist of both states (wash), two sequential eager
+    # counts (+14 jobs, barriers serialize what the scheduler absorbs), a
+    # single-job union-fill of both caches (jobs 21→36, stages 55→106,
+    # wall 2-4×), and round 12's BASE-ONLY lazy persist (jobs 21→36,
+    # stages 55→103, wall 2.30→2.42 s min-of-6): every variant makes the
+    # cached state's size known, which stops it broadcasting into the band
+    # joins, so each candidate join becomes exchange-bearing. The plan's
     # ReusedExchange nodes already share the id-keyed aggregation across
     # the band, occupancy, and verify branches; leave the states lazy
-    # (guide §1: measure before caching).
+    # (guide §1: measure before caching). This row's ~2.3-3 s is the
+    # double Arrow signature pass (base 80% + batch 20%) — its floor.
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
@@ -1637,6 +1647,13 @@ def _cc_label_map(
     if not limit:
         return None
     raw = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    # Drop null endpoints BEFORE the fetch (round-11 ADVICE): the equi-join
+    # semantics of the distributed path never match them anyway, and a
+    # single null in either column makes pandas coerce the whole int64
+    # column to float64 — _driver_union_find's `is None` guard never fires
+    # on NaN, and the float keys/labels would mismatch the LongType schema
+    # handed to local_relation.
+    raw = raw.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     pdf = raw.limit(limit + 1).toPandas()
     if len(pdf) > limit:
         return None
@@ -1721,6 +1738,11 @@ def _min_label_propagation(
     from lapis_silo_spark.cache import _CacheGuard, checkpoint_tracked
 
     raw = pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+    # Null-endpoint edges never match the propagation equi-joins and never
+    # enter the union-find (see _cc_label_map's pandas-coercion rationale);
+    # filtering them once here keeps BOTH paths value-identical and the
+    # probe's pandas columns integer-typed.
+    raw = raw.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
 
     limit = CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
     if limit:
@@ -2353,7 +2375,16 @@ def _non_canonical_occurrences(
     occurrences, every occurrence that is NOT its gram's corpus-wide
     canonical (lexicographically-min ``(id, pos)``) one, as
     ``(id, pos, end)``. See :func:`_gram_dup_occurrences` for the
-    ``skew_safe`` physical-form tradeoff."""
+    ``skew_safe`` physical-form tradeoff.
+
+    INVARIANT (round-11 ADVICE): ``id`` and ``pos`` must be non-null —
+    every in-tree producer guarantees it (Generate/mapInPandas emit rows
+    only for real positions of non-null texts). The decimal packed-key
+    branch and the struct-min branch diverge on nulls (a null id yields a
+    null ``_k`` which ``min`` ignores and the ``_k != c`` filter drops,
+    whereas ``struct(null, pos)`` participates in struct ordering), so a
+    null-emitting producer must not be routed here without adding an
+    explicit isNotNull filter to pin one behavior."""
     if skew_safe:
         # Keep only grams with >= 2 occurrences on the build side (round
         # 11): a singleton gram's one occurrence IS its canonical, so the

@@ -26,6 +26,14 @@ from pyspark.sql import types as T
 #: 2^32 — the md5-prefix hash space; dividing by it lands in [0, 1).
 _HASH_SPACE = 4294967296.0
 
+#: Flush threshold for the count-min Arrow build's per-task value Counter
+#: (guide §5): 1M distinct values ≈ tens of MB of Python dict state —
+#: comfortably bounded per worker — after which partial slot rows are
+#: emitted and the Counter clears. Purely a memory bound: the downstream
+#: (h, slot) SUM makes any flush schedule value-identical (forced-overflow
+#: test pins it).
+CM_COUNTER_FLUSH_ENTRIES = 1_000_000
+
 
 def kmv_hash(col: str | Column) -> Column:
     """Normalized deterministic hash in [0, 1): first 8 md5 hex chars."""
@@ -285,14 +293,11 @@ def count_min_build(
         import pandas as pd
 
         nh, nw = n_hashes, n_width
+        flush_at = CM_COUNTER_FLUSH_ENTRIES
 
-        def gen(it):
+        def emit(counts):
             import hashlib
-            from collections import Counter
 
-            counts: Counter = Counter()
-            for pdf in it:
-                counts.update(pdf["val"])
             hs, slots, cnts = [], [], []
             for v, c in counts.items():
                 enc = v.encode("utf-8")
@@ -306,13 +311,33 @@ def count_min_build(
                     hs.append(i)
                     slots.append(slot)
                     cnts.append(c)
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "h": pd.Series(hs, dtype="int32"),
                     "slot": pd.Series(slots, dtype="int64"),
                     "cnt": pd.Series(cnts, dtype="int64"),
                 }
             )
+
+        def gen(it):
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for pdf in it:
+                counts.update(pdf["val"])
+                if len(counts) >= flush_at:
+                    # Bounded per-task state (round 12, guide §5): a
+                    # high-cardinality column would otherwise grow the
+                    # Counter with one entry per DISTINCT value per
+                    # partition until the Python worker OOMs — where the
+                    # old expression pipeline would have spilled. Flushing
+                    # partial (h, slot, cnt) rows is correct by
+                    # construction: the downstream aggregation SUMS
+                    # partials per (h, slot), so any interleaving of
+                    # flushes adds up to the same sketch.
+                    yield emit(counts)
+                    counts.clear()
+            yield emit(counts)
 
         partial = rows.mapInPandas(gen, "h int, slot long, cnt long")
         return partial.groupBy("h", "slot").agg(

@@ -38,6 +38,15 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE(round 12, negative A/B): coalescing post-shuffle partitions by
+        # byte size (parallelismFirst=false, guide §2.2) measured WORSE on 9
+        # of 12 profiled rows (sessionize 1.09→1.48 s, char_spans 2.39→2.94,
+        # dsir 1.26→1.54, incremental_minhash 2.26→2.64 min-of-4): at bench
+        # scale the advisory 64 MB target coalesces every exchange to ONE
+        # task, serializing stages that still carry real work (sorts,
+        # windows, gram explodes). parallelismFirst's core-count fan-out is
+        # the right default here; the per-task floor is handled where it
+        # matters (rebalance_width for Python-boundary stages).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",

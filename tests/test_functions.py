@@ -2030,3 +2030,26 @@ def test_minhash_signatures_arrow_xx32_matches_expression_path(spark):
         }
         assert fast == slow, f"k={kk}"
         assert fast[9001] is not None and None not in fast[9001]
+
+
+def test_count_min_arrow_build_flush_overflow_identical(spark, monkeypatch):
+    """The Arrow build's per-task Counter flushes at a bounded size (round
+    12, guide SS5 100 TB safety): forcing overflow every 3 distinct values
+    must yield the exact same sketch — the downstream (h, slot) SUM makes
+    any flush schedule value-identical by construction."""
+    from lapis_silo_spark.functions import sketches as sk
+
+    vals = ["tok%d" % (i % 11) for i in range(300)] + ["東京", "solo"] * 2
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["i", "term"]
+    )
+    unbounded = sorted(
+        map(tuple, sk.count_min_build(df, "term", n_width=32,
+                                      n_hashes=3).collect())
+    )
+    monkeypatch.setattr(sk, "CM_COUNTER_FLUSH_ENTRIES", 3)
+    flushed = sorted(
+        map(tuple, sk.count_min_build(df, "term", n_width=32,
+                                      n_hashes=3).collect())
+    )
+    assert flushed == unbounded

@@ -1,9 +1,12 @@
 """Per-STAGE wall-time breakdown for a registered query (guide §1/§7).
 
-Like job_breakdown.py but prints EVERY completed stage of the warm run with
-its RDD-scope name chain (which physical operators ran in it), task count,
-task-time sum, and shuffle bytes — the data needed to attribute a
+Like job_breakdown.py but prints EVERY completed stage of the warm (last)
+run with its RDD-scope name chain (which physical operators ran in it),
+task count, task-time sum, and wall — the data needed to attribute a
 multi-stage AQE job's cost to specific operators when the UI is disabled.
+The report is filtered to stages whose owning job belongs to the LAST run
+(job ids recorded via the status tracker before it starts), so cold-run
+stages no longer inflate warm-run attribution (round-11 ADVICE).
 
 Usage:
     python tools/stage_breakdown.py [--sf-dir DIR] [--runs N] name
@@ -46,10 +49,13 @@ def main() -> int:
     db_for(spark, args.sf_dir)
     q = QUERIES[args.name]
 
-    first_stage = 0
+    first_job = 0
     for i in range(args.runs):
-        tracker = sc.statusTracker()
-        sids = tracker.getActiveStageIds() or []
+        # job ids are monotonically increasing; remember where the last
+        # (reported) run starts so its stages can be isolated below
+        jids = sc.statusTracker().getJobIdsForGroup(None) or []
+        if i == args.runs - 1:
+            first_job = (max(jids) + 1) if jids else 0
         t0 = time.perf_counter()
         df = q(spark, args.sf_dir)
         rows = df.collect()
@@ -71,12 +77,17 @@ def main() -> int:
             lines.extend(f)
 
     stages = []
-    runs_seen = 0
+    last_run_stages: set[int] = set()
     stage_task_ms: dict[int, float] = {}
     for line in lines:
         ev = json.loads(line)
         e = ev.get("Event")
-        if e == "SparkListenerTaskEnd":
+        if e == "SparkListenerJobStart":
+            if ev["Job ID"] >= first_job:
+                last_run_stages.update(
+                    s["Stage ID"] for s in ev["Stage Infos"]
+                )
+        elif e == "SparkListenerTaskEnd":
             sid = ev["Stage ID"]
             ti = ev.get("Task Info", {})
             dur = (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
@@ -106,13 +117,12 @@ def main() -> int:
                 if si.get("Submission Time") else 0,
             })
 
-    # keep only the last run's stages: stage ids increase monotonically;
-    # find the run boundary by the largest gap heuristic — simpler: take
-    # stages whose id >= max_id_seen_before_last_run is unavailable here,
-    # so just report the LAST half by id and let the reader judge.
+    stages = [s for s in stages if s["id"] in last_run_stages]
     stages.sort(key=lambda s: -(stage_task_ms.get(s["id"], s["wall_ms"] or 0)))
-    total = sum(stage_task_ms.values())
-    print(f"total task-ms across all runs: {total:.0f}")
+    total = sum(
+        ms for sid, ms in stage_task_ms.items() if sid in last_run_stages
+    )
+    print(f"total task-ms, last run only (jobs >= {first_job}): {total:.0f}")
     for s in stages[:40]:
         tm = stage_task_ms.get(s["id"], 0)
         print(f"  stage {s['id']:>4} task_sum={tm/1000.0:7.2f}s wall={(s['wall_ms'] or 0)/1000.0:6.2f}s "
