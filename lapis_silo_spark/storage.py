@@ -128,10 +128,19 @@ def save_version(
         sorts = (table_sorts or {}).get(name)
         if sorts:
             df = _ranged(df, sorts)
+        parts = (table_partitions or {}).get(name)
+        if parts:
+            # Cluster rows by the partition columns before a partitionBy
+            # write (round 12, guide §6): without it every INPUT partition
+            # opens a file per partition VALUE it contains — N×V small
+            # files, slow commit, slow reader listing. The AQE rebalance
+            # hint targets advisory-sized output files per value and
+            # splits skewed values instead of single-tasking them (the
+            # plain ``repartition(cols)`` would).
+            df = df.hint("rebalance", *parts)
         writer = df.write.mode("overwrite")
         if parquet_options:
             writer = writer.options(**parquet_options)
-        parts = (table_partitions or {}).get(name)
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)

@@ -231,3 +231,36 @@ def test_gram_occurrences_arrow_matches_expression_path(spark):
             _gram_occurrences_arrow(docs, "doc_id", "text", k, char_level=True)
         )
         assert arr == exp and len(exp) > 0, f"char k={k}"
+
+
+def test_char_span_hot_prefix_prefilter_identical(spark):
+    """The round-12 hot-prefix prefilter must not change the duplicated-
+    occurrence set: a gram with >=2 occurrences always survives the prefix
+    count, and prefix-collision singletons are re-dropped by the full-key
+    count. Pinned on a corpus with exact twins, partial overlaps, short
+    and NULL texts."""
+    from pyspark.sql import functions as F
+
+    from lapis_silo_spark.functions import dedup as D
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),
+        (3, "something else entirely with no duplication at all here"),
+        (4, "the quick brown fox jumps over the lazy dog tail differs"),
+        (5, None),
+        (6, "short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    occ = D._char_gram_occurrences_expr(docs, "doc_id", "text", 20)
+    base = sorted(
+        map(tuple,
+            D._non_canonical_occurrences(occ, 20, True).collect())
+    )
+    pre = sorted(
+        map(tuple,
+            D._non_canonical_occurrences(
+                occ, 20, True, prefilter_hot_prefix=True
+            ).collect())
+    )
+    assert pre == base and len(base) > 0
