@@ -957,6 +957,78 @@ def test_lsh_candidate_pairs_subset_of_exact(vectors):
     assert (1, 2) in lsh
 
 
+def test_lsh_candidate_pairs_value_identical_to_join_form(spark):
+    """The round-12 per-bucket blocked-matmul shape must emit EXACTLY the
+    pairs of the previous bucket-self-join + expression-cosine form: same
+    (id_a, id_b) set, same 6-dp cosines. The reference form is
+    reconstructed here from the same primitives. block_rows=3 forces
+    multi-block buckets (diagonal + cross-block tasks, both pair
+    orientations) on a corpus with a hot near-duplicate cluster, a spread
+    tail, and zero-norm / NaN / null edge rows."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    rows = []
+    base = rng.normal(size=dim)
+    for i in range(40):  # hot cluster: 40 near-duplicates of one vector
+        rows.append((i, (base + rng.normal(scale=0.01, size=dim)).tolist()))
+    for i in range(40, 120):  # spread tail
+        rows.append((i, rng.normal(size=dim).tolist()))
+    rows.append((120, [0.0] * dim))              # zero norm: dropped
+    rows.append((121, [float("nan")] + [0.0] * (dim - 1)))  # NaN norm
+    rows.append((122, None))                      # null vector
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+    new = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.lsh_candidate_pairs(
+            df, "vec_id", "embedding", threshold=0.6,
+            n_planes=3, n_tables=4, dim=dim, block_rows=3,
+        ).collect()
+    }
+
+    # pre-round-12 reference: bucket self-join, dropDuplicates, two
+    # id-keyed vector joins, JVM expression cosine
+    vecs = (
+        df.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").cast("array<double>").alias("vec"))
+        .withColumn("nrm", similarity.norm(F.col("vec")))
+        .filter((F.col("nrm") > 0) & ~F.isnan("nrm"))
+    )
+    buckets = vecs.select(
+        "id",
+        F.explode(
+            similarity.lsh_table_buckets("vec", 3, 4, dim)
+        ).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                     F.col("nrm").alias("nrm_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                     F.col("nrm").alias("nrm_b"))
+    cos = similarity.dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("nrm_a") * F.col("nrm_b"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(0.6))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .collect()
+    }
+    assert len(new) > 100  # the hot cluster alone yields C(40,2) pairs
+    assert new == ref
+
+
 def test_repetition_fractions(spark):
     df = spark.createDataFrame(
         [
